@@ -1,13 +1,276 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{Analytics, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps one entry per implemented operator (SURVEY.md §2 +
+  * extensions); `oracleSql` carries the DuckDB-equivalent ANSI SQL for the
+  * driver's differential check. Column names/types are aligned on both sides
+  * (the driver sorts columns by name before hashing). Non-integral
+  * double aggregates go through DECIMAL so results are independent of
+  * summation order — see graft.ops.Analytics scaladoc.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.factSongplays(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // M1 — reference surface (SURVEY.md §2)
+    "q_songs_dim" -> (Relational.songsDim _),
+    "q_artists_dim" -> (Relational.artistsDim _),
+    "q_users_dim" -> (Relational.usersDim _),
+    "q_time_dim" -> (Relational.timeDim _),
+    "q_filter_events" -> (Relational.filterEvents _),
+    "q_epoch_ms" -> (Relational.epochMs _),
+    "q_groupby_count" -> (Relational.groupbyCount _),
+    "q_paid_free_join" -> (Relational.paidFreeJoin _),
+    "q_user_level_listen" -> (Relational.userLevelListen _),
+    "q_fact_songplays" -> (Relational.factSongplays _),
+    "q_distinct_flags" -> (Relational.distinctFlags _),
+    "q_global_count" -> (Relational.globalCount _),
+    "q_csv_roundtrip" -> (Relational.csvRoundtrip _),
+    "q_partitioned_parquet" -> (Relational.partitionedParquetRoundtrip _),
+    // M2 — analytics breadth
+    "q1_agg" -> (Analytics.q1Agg _),
+    "q_rollup" -> (Analytics.rollupAgg _),
+    "q_cube" -> (Analytics.cubeAgg _),
+    "q_grouping_sets" -> (Analytics.groupingSets _),
+    "q_join_left" -> (Analytics.joinLeftOuter _),
+    "q_join_semi" -> (Analytics.joinSemi _),
+    "q_join_anti" -> (Analytics.joinAnti _),
+    "q_set_union" -> (Analytics.setUnion _),
+    "q_set_intersect" -> (Analytics.setIntersect _),
+    "q_set_except" -> (Analytics.setExcept _),
+    "q_topk" -> (Analytics.topK _),
+    "q_window_lag" -> (Analytics.windowLag _),
+    "q_window_running" -> (Analytics.windowRunning _),
+    "q_window_rank" -> (Analytics.windowRank _),
+    "q_json_extract" -> (Analytics.jsonExtract _),
+    "q_array_funcs" -> (Analytics.arrayFuncs _),
+    "q_string_funcs" -> (Analytics.stringFuncs _),
+    "q_case_math" -> (Analytics.caseMath _),
+    "q_having" -> (Analytics.havingAgg _),
+    "q_above_avg" -> (Analytics.aboveAvgCustomers _),
+    "q_tumbling_window" -> (Analytics.tumblingWindow _),
+    "q_sessionize" -> (Analytics.sessionize _),
+    "q_agg_suite" -> (Analytics.aggSuite _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_songs_dim" ->
+      """SELECT DISTINCT p_partkey, p_name, p_brand, p_type,
+         coalesce(CASE WHEN p_size % 7 = 0 THEN NULL ELSE p_retailprice END,
+                  CAST(0 AS DOUBLE)) AS retail_w
+         FROM part ORDER BY p_partkey""",
+    "q_artists_dim" ->
+      """SELECT DISTINCT s_suppkey AS artist_id, s_name AS name,
+         s_nationkey AS location, s_acctbal AS balance
+         FROM supplier ORDER BY artist_id""",
+    "q_users_dim" ->
+      """SELECT DISTINCT c_custkey AS user_id, c_name AS name,
+         c_mktsegment AS level, c_nationkey AS nation_key
+         FROM customer ORDER BY user_id""",
+    "q_time_dim" ->
+      """SELECT ts AS start_time,
+         CAST(day(ts) AS INT) AS day, CAST(month(ts) AS INT) AS month,
+         CAST(year(ts) AS INT) AS year, CAST(hour(ts) AS INT) AS hour,
+         CAST(minute(ts) AS INT) AS minute, CAST(second(ts) AS INT) AS second,
+         CAST(weekofyear(ts) AS INT) AS week,
+         CAST(dayofweek(ts) + 1 AS INT) AS weekday
+         FROM (SELECT DISTINCT ts FROM events) ORDER BY start_time""",
+    "q_filter_events" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE event_type = 'click' ORDER BY event_id""",
+    "q_epoch_ms" ->
+      """SELECT event_id, epoch_ms(ts) AS ms,
+         make_timestamp(epoch_ms(ts) * 1000) AS ts_ms
+         FROM events ORDER BY event_id""",
+    "q_groupby_count" ->
+      """SELECT user_id, count(*) AS count FROM events
+         WHERE event_type = 'click' GROUP BY user_id ORDER BY user_id""",
+    "q_paid_free_join" ->
+      """WITH paid AS (SELECT user_id, count(*) AS paid_cnt FROM events
+                       WHERE event_type = 'purchase' GROUP BY user_id),
+              free AS (SELECT user_id, count(*) AS free_cnt FROM events
+                       WHERE event_type = 'view' GROUP BY user_id)
+         SELECT p.user_id, p.paid_cnt, f.free_cnt
+         FROM paid p JOIN free f ON p.user_id = f.user_id
+         WHERE p.user_id <> 0 ORDER BY p.user_id""",
+    "q_user_level_listen" ->
+      """WITH paid AS (SELECT user_id, count(*) AS paid_cnt FROM events
+                       WHERE event_type = 'purchase' GROUP BY user_id),
+              free AS (SELECT user_id, count(*) AS free_cnt FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+              ull AS (SELECT p.user_id, p.paid_cnt, f.free_cnt
+                      FROM paid p JOIN free f ON p.user_id = f.user_id
+                      WHERE p.user_id <> 0)
+         SELECT DISTINCT c.c_name || ' ' || c.c_mktsegment AS full_name,
+                ull.paid_cnt, ull.free_cnt
+         FROM customer c JOIN ull ON c.c_custkey = ull.user_id
+         ORDER BY full_name, paid_cnt, free_cnt""",
+    "q_fact_songplays" ->
+      """SELECT e.event_id, e.ts AS start_time, e.user_id, e.event_type,
+                e.value, c.c_name AS user_name, c.c_mktsegment AS level,
+                n.n_name AS nation, r.r_name AS region,
+                CAST(year(e.ts) AS INT) AS year,
+                CAST(month(e.ts) AS INT) AS month,
+                CAST(row_number() OVER (ORDER BY e.event_id) AS INT) AS num
+         FROM events e
+         JOIN customer c ON e.user_id = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         ORDER BY event_id""",
+    "q_distinct_flags" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_global_count" ->
+      "SELECT count(*) AS cnt FROM lineitem",
+    "q_csv_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_partitioned_parquet" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+         WHERE year(ts) = 2024 AND month(ts) = 1
+         GROUP BY event_type ORDER BY event_type""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+         sum(l_quantity) / count(*) AS avg_qty,
+         count(*) AS cnt
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+         sum(l_quantity) AS sum_qty,
+         CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+         CAST(grouping(o_orderstatus, o_orderpriority) AS INT) AS gid
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+         CAST(grouping(o_orderstatus, o_orderpriority) AS INT) AS gid
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_join_left" ->
+      """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+         FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+         GROUP BY c.c_custkey ORDER BY c_custkey""",
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders)
+         ORDER BY c_custkey""",
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+    "q_set_union" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         UNION
+         SELECT user_id FROM events WHERE event_type = 'purchase'
+         ORDER BY user_id""",
+    "q_set_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'purchase'
+         ORDER BY user_id""",
+    "q_set_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         EXCEPT
+         SELECT user_id FROM events WHERE event_type = 'purchase'
+         ORDER BY user_id""",
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_window_lag" ->
+      """SELECT event_id, user_id, value,
+         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+         FROM events ORDER BY event_id""",
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+         sum(l_quantity) OVER (PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+         FROM lineitem
+         ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""",
+    "q_window_rank" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+         CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT) AS bal_rank,
+         CAST(dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT) AS bal_dense_rank
+         FROM customer ORDER BY c_custkey""",
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+         FROM events ORDER BY event_id""",
+    "q_array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+         embedding[1] AS first_val, embedding[64] AS last_val, label
+         FROM embeddings ORDER BY vec_id""",
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname, substr(p_name, 1, 5) AS prefix5,
+         CAST(length(p_name) AS INT) AS name_len,
+         replace(p_brand, '#', '-') AS brand_dash,
+         (p_type LIKE '%ECO%') AS is_economy
+         FROM part ORDER BY p_partkey""",
+    "q_case_math" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_totalprice >= 200000 THEN 'large'
+              WHEN o_totalprice >= 100000 THEN 'medium'
+              ELSE 'small' END AS bucket,
+         round(o_totalprice, 0) AS price_rounded,
+         CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+         CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+         abs(o_totalprice - 150000.0) AS dist_150k,
+         sqrt(o_totalprice) AS price_sqrt,
+         o_orderkey % 10 AS key_mod
+         FROM orders ORDER BY o_orderkey""",
+    "q_having" ->
+      """SELECT o_custkey, count(*) AS n FROM orders
+         GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey""",
+    "q_above_avg" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+         WHERE c_acctbal > (
+           SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+           FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+         ORDER BY c_custkey""",
+    "q_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS win_start, count(*) AS cnt,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY win_start""",
+    "q_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+             lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+           FROM events),
+         m AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM e),
+         sx AS (
+           SELECT user_id, event_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+           FROM m)
+         SELECT user_id, sess_id, count(*) AS n_events,
+                min(ts) AS sess_start, max(ts) AS sess_end
+         FROM sx GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",
+    "q_agg_suite" ->
+      """SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         sum(l_quantity) / count(*) AS avg_qty,
+         count(DISTINCT l_partkey) AS n_parts,
+         max(l_shipdate) AS last_ship
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+  )
 }

@@ -1,0 +1,298 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Analytics breadth beyond the reference surface (SURVEY.md §7 M2):
+  * full aggregate suite, rollup/cube/grouping-sets, outer/semi/anti joins,
+  * set ops, top-k, frame-spec windows, JSON + array functions, time windows,
+  * sessionization.
+  *
+  * Float determinism policy (oracle parity): any SUM/AVG over non-integral
+  * doubles goes through DECIMAL(18,4) so the aggregate is exact and
+  * order-independent — summation order differs between Spark partitions and
+  * DuckDB, and double addition is not associative. Integral-valued doubles
+  * (l_quantity) and COUNTs are exact in any order and stay native.
+  */
+object Analytics {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+
+  /** TPC-H Q1-shaped pricing summary: multi-aggregate groupBy with partial
+    * (map-side) aggregation; one exchange on the 6-value group key. */
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** ROLLUP hierarchy totals with explicit grouping_id disambiguation. */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"),
+        grouping_id().cast(IntegerType).as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** CUBE over two dims. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("sum_price"),
+        grouping_id().cast(IntegerType).as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** GROUPING SETS via spark.sql over temp views — mirrors the reference's
+    * mixed DataFrame/SQL style (T:269-285). */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+             COUNT(1) AS cnt, CAST(grouping_id() AS INT) AS gid
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
+        GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+               o_orderpriority ASC NULLS FIRST""")
+  }
+
+  /** LEFT OUTER join preserving customers with zero orders; count(col) skips
+    * nulls so empty customers report 0. */
+  def joinLeftOuter(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  /** LEFT SEMI join: customers having >= 1 order (EXISTS). */
+  def joinSemi(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** LEFT ANTI join: customers with no orders (NOT EXISTS). */
+  def joinAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  private def usersOf(s: SparkSession, d: String, et: String): DataFrame =
+    Tables.events(s, d).filter(col("event_type") === et).select("user_id")
+
+  /** UNION DISTINCT of two event cohorts. */
+  def setUnion(s: SparkSession, d: String): DataFrame =
+    usersOf(s, d, "click").union(usersOf(s, d, "purchase"))
+      .distinct().orderBy("user_id")
+
+  /** INTERSECT of two event cohorts. */
+  def setIntersect(s: SparkSession, d: String): DataFrame =
+    usersOf(s, d, "click").intersect(usersOf(s, d, "purchase"))
+      .orderBy("user_id")
+
+  /** EXCEPT: clickers who never purchased. */
+  def setExcept(s: SparkSession, d: String): DataFrame =
+    usersOf(s, d, "click").except(usersOf(s, d, "purchase"))
+      .orderBy("user_id")
+
+  /** Top-k by value with deterministic tie-break — TakeOrderedAndProject, not
+    * a global sort: only k rows per partition survive to the driver merge. */
+  def topK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** LAG over a per-user event sequence (frame-free analytic window). */
+  def windowLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .select("event_id", "user_id", "value", "prev_value", "next_type")
+      .orderBy("event_id")
+  }
+
+  /** Running total with an explicit ROWS frame; window order is made total by
+    * (shipdate, orderkey, linenumber) so the running sum is deterministic. */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d)
+      .withColumn("running_qty", sum(col("l_quantity")).over(w))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "running_qty")
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+  }
+
+  /** RANK / DENSE_RANK per nation (ties share rank — deterministic without a
+    * tie-break because rank is order-stable under equal keys). */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc)
+    Tables.customer(s, d)
+      .withColumn("bal_rank", rank().over(w))
+      .withColumn("bal_dense_rank", dense_rank().over(w))
+      .select("c_custkey", "c_nationkey", "c_acctbal", "bal_rank", "bal_dense_rank")
+      .orderBy("c_custkey")
+  }
+
+  /** JSON field extraction from events.props — codegen'd path expression, no
+    * UDF. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .orderBy("event_id")
+
+  /** Array functions over the embeddings table (array<float> native column). */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first_val"),
+        element_at(col("embedding"), 64).as("last_val"),
+        col("label"))
+      .orderBy("vec_id")
+
+  /** String function suite (P-extensions): upper/substr/length/replace/LIKE. */
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 5).as("prefix5"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_brand"), "#", "-").as("brand_dash"),
+        col("p_type").like("%ECO%").as("is_economy"))
+      .orderBy("p_partkey")
+
+  /** CASE WHEN bucketing + math suite (sqrt is IEEE-correctly-rounded, so it
+    * matches across engines; no libm-dependent fns in oracle-checked paths). */
+  def caseMath(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") >= 200000, "large")
+          .when(col("o_totalprice") >= 100000, "medium")
+          .otherwise("small").as("bucket"),
+        round(col("o_totalprice"), 0).as("price_rounded"),
+        floor(col("o_totalprice")).as("price_floor"),
+        ceil(col("o_totalprice")).as("price_ceil"),
+        abs(col("o_totalprice") - 150000.0).as("dist_150k"),
+        sqrt(col("o_totalprice")).as("price_sqrt"),
+        (col("o_orderkey") % 10).as("key_mod"))
+      .orderBy("o_orderkey")
+
+  /** GROUP BY ... HAVING. */
+  def havingAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 15)
+      .orderBy("o_custkey")
+
+  /** Correlated-subquery shape: customers above their nation's average
+    * balance. Expressed as a window (one exchange on nationkey) — the
+    * correlated scalar subquery would rescan per-group; the window computes
+    * all group averages in a single pass. Decimal-sum avg for oracle parity. */
+  def aboveAvgCustomers(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+    Tables.customer(s, d)
+      .withColumn("nation_avg",
+        (sum(col("c_acctbal").cast(DecimalType(18, 2))).over(w).cast(DoubleType)
+          / count(lit(1)).over(w)))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** Tumbling event-time window (batch analog of a streaming window; SURVEY
+    * §2.9). Epoch-aligned 1h windows == date_trunc('hour'). */
+  def tumblingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("cnt"), col("sum_value"))
+      .orderBy("win_start")
+
+  /** Sessionization (30-min inactivity gap) via gaps-and-islands: lag to mark
+    * session starts, running sum to assign session ids, then per-session agg.
+    * Same shape Structured Streaming's session window computes incrementally. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > 30L * 60 * 1000, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(run))
+      .groupBy("user_id", "sess_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"),
+        max(col("ts")).as("sess_end"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  /** Full aggregate suite: min/max/avg/sum/count(distinct) in one pass. */
+  def aggSuite(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        max(col("l_shipdate")).as("last_ship"))
+      .orderBy("l_returnflag")
+
+  /** Scalable deterministic global row-number: per-partition counts + offsets
+    * instead of a single-partition window — the 100 TB answer to the
+    * reference's W2 (T:294-298). Requires the input to be range-partitioned by
+    * the order key so partition index order == key order. Not oracle-checked
+    * directly (row ids depend on partitioning); factSongplays carries the
+    * oracle-checked single-window variant. */
+  def scalableRowNumber(df: DataFrame, orderCol: String): DataFrame = {
+    val sorted = df.repartitionByRange(col(orderCol)).sortWithinPartitions(orderCol)
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{RowEncoder => _}
+    val schema = sorted.schema.add(StructField("num", LongType, nullable = false))
+    val counts = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      Iterator((i, it.size))
+    }.collect().sortBy(_._1)
+    val offsets = counts.map(_._2.toLong).scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var n = bc.value(i)
+      it.map { r => n += 1; Row.fromSeq(r.toSeq :+ n) }
+    }
+    spark.createDataFrame(out, schema)
+  }
+}

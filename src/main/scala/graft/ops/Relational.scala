@@ -1,0 +1,195 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference-surface operators (SURVEY.md §2, M1), re-expressed over the test
+  * corpus. Each function is a self-contained query: (session, sfDir) => DataFrame.
+  *
+  * Scale notes (100 TB stance):
+  *  - Dimension builds are narrow ops + one hash-exchange for the dedup; they
+  *    pipeline inside a single stage up to the exchange.
+  *  - The fact build joins a large fact (events) against dimensions that are
+  *    orders-of-magnitude smaller (customer/nation/region): we broadcast the
+  *    dims explicitly so the fact side never shuffles.
+  *  - Every query ends in a deterministic ORDER BY for oracle comparison; at
+  *    production scale the sort would be dropped (it is presentation-only).
+  */
+object Relational {
+
+  /** Songs-dimension analog (reference T:85-108): fillna + select + dedup.
+    * Exercises P1/P5/P6/A2. The when/otherwise synthesizes NULLs so na.fill is
+    * load-bearing (the corpus has no nulls). */
+  def songsDim(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .withColumn("retail_w",
+        when(col("p_size") % 7 === 0, lit(null)).otherwise(col("p_retailprice")))
+      .na.fill(Map("retail_w" -> 0.0))
+      .select("p_partkey", "p_name", "p_brand", "p_type", "retail_w")
+      .dropDuplicates()
+      .orderBy("p_partkey")
+
+  /** Artists-dimension analog (T:102-106): projection + rename + dedup (P1/P2/A2). */
+  def artistsDim(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .select(
+        col("s_suppkey").as("artist_id"),
+        col("s_name").as("name"),
+        col("s_nationkey").as("location"),
+        col("s_acctbal").as("balance"))
+      .dropDuplicates()
+      .orderBy("artist_id")
+
+  /** Users-dimension analog (T:135-138): rename + dedup. */
+  def usersDim(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey").as("user_id"),
+        col("c_name").as("name"),
+        col("c_mktsegment").as("level"),
+        col("c_nationkey").as("nation_key"))
+      .dropDuplicates()
+      .orderBy("user_id")
+
+  /** Time-dimension build (T:168-177): distinct timestamps + 8 date parts
+    * (F2-F9). `weekday` matches Spark dayofweek (Sunday=1). */
+  def timeDim(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("ts").as("start_time")).distinct()
+      .withColumn("day", dayofmonth(col("start_time")))
+      .withColumn("month", month(col("start_time")))
+      .withColumn("year", year(col("start_time")))
+      .withColumn("hour", hour(col("start_time")))
+      .withColumn("minute", minute(col("start_time")))
+      .withColumn("second", second(col("start_time")))
+      .withColumn("week", weekofyear(col("start_time")))
+      .withColumn("weekday", dayofweek(col("start_time")))
+      .orderBy("start_time")
+
+  /** Equality filter + projection (T:124 `page == 'NextSong'` analog, P1/P3). */
+  def filterEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "click")
+      .select("event_id", "user_id", "value")
+      .orderBy("event_id")
+
+  /** Epoch-ms conversion (F10): the reference used a Python UDF
+    * (T:127-129); here it is a pure Catalyst expression — no UDF, fully
+    * codegen'd, no per-row interpreter boundary. */
+  def epochMs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        unix_millis(col("ts")).as("ms"),
+        timestamp_millis(unix_millis(col("ts"))).as("ts_ms"))
+      .orderBy("event_id")
+
+  /** Group-by count (A1, T:144-147). Partial (map-side) aggregation then one
+    * exchange on user_id — Catalyst's hash agg does the combine for free. */
+  def groupbyCount(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "click")
+      .groupBy("user_id").count()
+      .orderBy("user_id")
+
+  /** J1 analog (T:152-157): paid/free two-sided aggregate join + post-filter.
+    * Both sides are pre-aggregated (small), so the join is on already-reduced
+    * data — the expensive part is the two scans, which Catalyst collapses into
+    * shared-scan-friendly partial aggs. */
+  def paidFreeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val paid = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("paid_cnt"))
+    val free = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(count(lit(1)).as("free_cnt"))
+    paid.join(free, Seq("user_id"), "inner")
+      .where(col("user_id") =!= 0)
+      .orderBy("user_id")
+  }
+
+  /** J2 analog (T:161-165): join + DISTINCT + string concat full-name. */
+  def userLevelListen(s: SparkSession, d: String): DataFrame = {
+    val ull = paidFreeJoin(s, d)
+    val c = Tables.customer(s, d)
+    c.join(ull, c("c_custkey") === ull("user_id"), "inner")
+      .select(
+        concat_ws(" ", col("c_name"), col("c_mktsegment")).as("full_name"),
+        col("paid_cnt"), col("free_cnt"))
+      .distinct()
+      .orderBy("full_name", "paid_cnt", "free_cnt")
+  }
+
+  /** The flagship fact build (E3, T:252-300): 4-way equi inner join + date
+    * parts + deterministic global row numbering.
+    *
+    * vs the reference: (1) dims are explicitly broadcast — at 100 TB the fact
+    * side never shuffles for these joins; (2) the reference's
+    * `row_number() over (order by "idx")` orders by a string CONSTANT
+    * (nondeterministic, T:296) — we implement the documented intent and order
+    * by the unique event_id. The global window is a single-partition exchange;
+    * it exists only to reproduce the reference's sequential-id semantics. At
+    * scale the id would come from zipWithIndex-style per-partition offsets
+    * (see graft.ops.Analytics.scalableRowNumber). */
+  def factSongplays(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    val joined = e
+      .join(broadcast(c), e("user_id") === c("c_custkey"), "inner")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "inner")
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "inner")
+      .select(
+        e("event_id"), e("ts").as("start_time"), e("user_id"),
+        e("event_type"), e("value"),
+        c("c_name").as("user_name"), c("c_mktsegment").as("level"),
+        n("n_name").as("nation"), r("r_name").as("region"),
+        year(e("ts")).as("year"), month(e("ts")).as("month"))
+    joined
+      .withColumn("num", row_number().over(Window.orderBy(col("event_id"))))
+      .orderBy("event_id")
+  }
+
+  /** Row dedup via distinct (A2, T:100/T:106). */
+  def distinctFlags(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Global count action as a 1-row DataFrame (A3, T:308). */
+  def globalCount(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))
+
+  /** CSV sink + source round-trip (S2/S4, T:33-41/T:333-335): write the region
+    * dim as headered CSV, read it back with an explicit schema, aggregate.
+    * Uses a deterministic temp dir under java.io.tmpdir. */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_region"
+    Tables.region(s, d)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType)))
+    s.read.option("header", "true").option("sep", ",").schema(schema).csv(out)
+      .orderBy("r_regionkey")
+  }
+
+  /** Partitioned-parquet sink + partition-pruned read-back (S3, T:313-327):
+    * write events hive-partitioned by (year, month), read back only one
+    * partition — the scan must prune to that directory. */
+  def partitionedParquetRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_pq_events"
+    Tables.events(s, d)
+      .withColumn("year", year(col("ts")))
+      .withColumn("month", month(col("ts")))
+      .write.mode("overwrite").partitionBy("year", "month").parquet(out)
+    s.read.parquet(out)
+      .filter(col("year") === 2024 && col("month") === 1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+  }
+}
