@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ops.{Analytics, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -58,6 +59,20 @@ object SparkEntry {
     "q_tumbling_window" -> (Analytics.tumblingWindow _),
     "q_sessionize" -> (Analytics.sessionize _),
     "q_agg_suite" -> (Analytics.aggSuite _),
+    // M3 — LLM-data-pipeline operators
+    "q_dedup_exact" -> (Dedup.exactDedup _),
+    "q_dedup_fingerprint" -> (Dedup.fingerprintDedup _),
+    "q_dedup_minhash" -> (Dedup.minhashPairs _),
+    "q_dedup_simhash" -> (Dedup.simhashPairs _),
+    "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
+    "q_ann_topk" -> (Similarity.annTopK _),
+    "q_ann_lsh" -> (Similarity.annLsh _),
+    "q_cosine_pairs" -> (Similarity.cosinePairs _),
+    "q_text_quality" -> (TextAnalysis.quality _),
+    "q_lang_id" -> (TextAnalysis.langId _),
+    "q_token_counts" -> (TextAnalysis.tokenCounts _),
+    "q_media_meta" -> (Multimodal.mediaMeta _),
+    "q_media_features" -> (Multimodal.mediaFeatures _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -272,5 +287,18 @@ object SparkEntry {
          count(DISTINCT l_partkey) AS n_parts,
          max(l_shipdate) AS last_ship
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_dedup_exact" -> Dedup.exactDedupSql,
+    "q_dedup_fingerprint" -> Dedup.fingerprintDedupSql,
+    "q_dedup_minhash" -> Dedup.minhashPairsSql,
+    "q_dedup_simhash" -> Dedup.simhashPairsSql,
+    "q_dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql,
+    "q_ann_topk" -> Similarity.annTopKSql,
+    "q_ann_lsh" -> Similarity.annLshSql,
+    "q_cosine_pairs" -> Similarity.cosinePairsSql,
+    "q_text_quality" -> TextAnalysis.qualitySql,
+    "q_lang_id" -> TextAnalysis.langIdSql,
+    "q_token_counts" -> TextAnalysis.tokenCountsSql,
+    "q_media_meta" -> Multimodal.mediaMetaSql,
+    "q_media_features" -> Multimodal.mediaFeaturesSql,
   )
 }

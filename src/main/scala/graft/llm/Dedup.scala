@@ -1,0 +1,270 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Document deduplication for LLM training-data pipelines: exact,
+  * normalization-fingerprint, MinHash-LSH, SimHash, and exact n-gram Jaccard.
+  *
+  * Every variant ships BOTH a Spark implementation and a DuckDB oracle that
+  * replicate the SAME deterministic hash arithmetic (md5-hex-prefix -> int64,
+  * affine permutations mod a prime), so the differential check validates the
+  * full pipeline — not just "rows > 0". Constants are defined once here and
+  * injected into the generated oracle SQL.
+  *
+  * Scale design (100 TB):
+  *  - Everything is shingle/token-parallel: explode -> hash -> groupBy(doc).
+  *    No driver-side state; shuffles are on doc_id (bounded by corpus size,
+  *    not token count) because min/sum aggregates combine map-side.
+  *  - Candidate generation is LSH-banded (MinHash) or bit-banded (SimHash):
+  *    the only joins are equi-joins on compact band keys, never an all-pairs
+  *    cross join. Exact Jaccard runs only on candidate pairs (here on the
+  *    shared-shingle inverted index, the standard exact-join trick).
+  *  - Skew: a stop-shingle appearing in f docs costs f^2 pairs in the
+  *    inverted-index join; production would drop shingles with doc-frequency
+  *    above a cap (cheap extra groupBy). Corpus df is small enough here.
+  */
+object Dedup {
+
+  // ---- shared constants (Spark impl + oracle SQL) ----
+  val NumHashes = 16            // MinHash signature length
+  val Bands = 4                 // LSH bands (rows per band = 16/4 = 4)
+  val Prime = 268435399L        // prime > 2^28 shingle-hash domain
+  val SimBits = 60              // SimHash width (60 bits = 15 hex chars)
+  val SimBands = 4              // 15-bit bands -> exact for hamming <= 3
+  val MinhashMatchThreshold = 8 // >= 8/16 equal signature components
+  val HammingMax = 3
+  val JaccardThreshold = 0.5
+
+  /** Affine permutation constants a_i, b_i — deterministic, shared with SQL. */
+  val HashA: IndexedSeq[Long] = (0 until NumHashes).map(i => ((i + 1) * 2654435761L) % 4294967291L)
+  val HashB: IndexedSeq[Long] = (0 until NumHashes).map(i => ((i + 1) * 2246822519L) % 1000000007L)
+
+  // ---- tokenization (identical semantics in Spark and DuckDB) ----
+  // Corpus text is clean single-space-separated lowercase words, so plain
+  // split(' ') == DuckDB string_split(' ') with no regex-dialect hazards.
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, sh). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """CASE WHEN size(ws) >= 3
+           THEN transform(sequence(0, size(ws) - 3),
+                          i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))
+           ELSE array() END"""))).as("sh"))
+
+  /** 28-bit base hash of a shingle: first 7 hex chars of md5. */
+  private def baseHash(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast(LongType)
+
+  /** SQL fragment mirroring [[shingles]]; words bounded by 300 (max ~100). */
+  private val shinglesSql =
+    """words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+              FROM words, generate_series(1, 300) t(i) WHERE i <= len(ws) - 2)"""
+
+  // =========================================================================
+  // Exact dedup: hash-groupBy on content digest.
+  // =========================================================================
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies", "text_hash")
+      .orderBy("keep_id")
+
+  val exactDedupSql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
+       FROM documents GROUP BY md5(text) ORDER BY keep_id"""
+
+  // =========================================================================
+  // Normalization fingerprint (key-collision / OpenRefine style): md5 of the
+  // sorted distinct token set — catches word-order permutations.
+  // =========================================================================
+  def fingerprintDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", sort_array(array_distinct(split(col("text"), " ")))))
+          .as("fp"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .select("keep_id", "n_docs", "fp")
+      .orderBy("keep_id")
+
+  val fingerprintDedupSql: String =
+    """WITH f AS (
+         SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+         FROM documents)
+       SELECT min(doc_id) AS keep_id, count(*) AS n_docs, fp
+       FROM f GROUP BY fp ORDER BY keep_id"""
+
+  // =========================================================================
+  // MinHash + LSH banding.
+  // =========================================================================
+
+  /** Per-doc MinHash signature: NumHashes min-of-affine-permutation columns. */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val h = shingles(s, d).withColumn("h", baseHash(col("sh")))
+    val mins = (0 until NumHashes).map { i =>
+      min((lit(HashA(i)) * col("h") + lit(HashB(i))) % lit(Prime)).as(s"s_$i")
+    }
+    h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Candidate pairs from LSH bands + signature-agreement score. */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = signatures(s, d).cache()
+    val rows = NumHashes / Bands
+    val bands = (0 until Bands).map { b =>
+      val vs = (0 until rows).map(r => col(s"s_${b * rows + r}").as(s"v$r"))
+      sig.select((col("doc_id") +: vs) :+ lit(b).as("band"): _*)
+    }.reduce(_ union _)
+    val x = bands.as("x"); val y = bands.as("y")
+    val joinCond = col("x.band") === col("y.band") &&
+      (0 until rows).map(r => col(s"x.v$r") === col(s"y.v$r")).reduce(_ && _) &&
+      col("x.doc_id") < col("y.doc_id")
+    val cand = x.join(y, joinCond, "inner")
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = sig.as("a"); val b = sig.as("b")
+    val nEq = (0 until NumHashes)
+      .map(i => when(col(s"a.s_$i") === col(s"b.s_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(a, col("doc_a") === col("a.doc_id"))
+      .join(b, col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), nEq.as("n_sig_eq"))
+      .filter(col("n_sig_eq") >= MinhashMatchThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashPairsSql: String = {
+    val rows = NumHashes / Bands
+    val minCols = (0 until NumHashes).map { i =>
+      s"min((${HashA(i)} * h + ${HashB(i)}) % $Prime) AS s_$i"
+    }.mkString(", ")
+    val bandSelects = (0 until Bands).map { b =>
+      val vs = (0 until rows).map(r => s"s_${b * rows + r} AS v$r").mkString(", ")
+      s"SELECT doc_id, $vs, $b AS band FROM sig"
+    }.mkString(" UNION ALL ")
+    val joinVs = (0 until rows).map(r => s"x.v$r = y.v$r").mkString(" AND ")
+    val nEq = (0 until NumHashes)
+      .map(i => s"CASE WHEN a.s_$i = b.s_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $shinglesSql,
+        h AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT) AS h FROM sh),
+        sig AS (SELECT doc_id, $minCols FROM h GROUP BY doc_id),
+        bands AS ($bandSelects),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM bands x JOIN bands y
+                 ON x.band = y.band AND $joinVs AND x.doc_id < y.doc_id)
+        SELECT c.doc_a, c.doc_b, $nEq AS n_sig_eq
+        FROM cand c JOIN sig a ON c.doc_a = a.doc_id JOIN sig b ON c.doc_b = b.doc_id
+        WHERE $nEq >= $MinhashMatchThreshold
+        ORDER BY doc_a, doc_b"""
+  }
+
+  // =========================================================================
+  // SimHash (60-bit) + bit-band candidate join, exact for hamming <= 3.
+  // =========================================================================
+
+  /** Per-doc 60-bit SimHash from term-frequency-weighted token hashes.
+    * Wide aggregation (60 sum columns in one pass) instead of exploding a
+    * bits axis — same shuffle width, 60x fewer shuffled rows. */
+  private def simhashes(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType))
+    val bitSums = (0 until SimBits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bs_$j")
+    }
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until SimBits)
+      .map(j => when(col(s"bs_$j") >= 0, shiftleft(lit(1L), j)).otherwise(0L))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** Near-dup pairs with hamming(simhash) <= HammingMax. Pigeonhole over
+    * SimBands 15-bit bands makes the candidate join exact (any pair within
+    * hamming 3 shares at least one intact band) — no all-pairs scan. */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sim = simhashes(s, d).cache()
+    val bandWidth = SimBits / SimBands // 15
+    val bands = (0 until SimBands).map { b =>
+      sim.select(col("doc_id"), col("simhash"),
+        lit(b).as("band"),
+        shiftright(col("simhash"), b * bandWidth)
+          .bitwiseAND((1L << bandWidth) - 1).as("v"))
+    }.reduce(_ union _)
+    val x = bands.as("x"); val y = bands.as("y")
+    val cand = x.join(y,
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"), "inner")
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= HammingMax)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val simhashPairsSql: String = {
+    val bandWidth = SimBits / SimBands
+    val mask = (1L << bandWidth) - 1
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        th AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM tok),
+        bits AS (SELECT doc_id, j,
+                   sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                 FROM th, generate_series(0, ${SimBits - 1}) t(j)
+                 GROUP BY doc_id, j),
+        sim AS (SELECT doc_id,
+                  CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+                FROM bits GROUP BY doc_id),
+        bands AS (SELECT doc_id, simhash, b AS band, (simhash >> (b * $bandWidth)) & $mask AS v
+                  FROM sim, generate_series(0, ${SimBands - 1}) t(b)),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   x.simhash AS sa, y.simhash AS sb
+                 FROM bands x JOIN bands y
+                 ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= $HammingMax
+        ORDER BY doc_a, doc_b"""
+  }
+
+  // =========================================================================
+  // Exact n-gram Jaccard via shared-shingle inverted index.
+  // =========================================================================
+  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"), "inner")
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast(DoubleType) / (col("na.n") + col("nb.n") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramJaccardPairsSql: String =
+    s"""WITH $shinglesSql,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+        FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+        WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= $JaccardThreshold
+        ORDER BY doc_a, doc_b"""
+}

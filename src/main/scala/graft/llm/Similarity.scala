@@ -1,0 +1,156 @@
+package graft.llm
+
+import graft.Tables
+import graft.functions.VectorFunctions.floatCosine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the embeddings table (array<float> column).
+  *
+  * Two paths, as a production pipeline would ship them:
+  *  - brute-force cosine top-k ([[annTopK]]): the exactness baseline. The
+  *    query side is tiny (broadcast); the corpus side streams through the
+  *    codegen'd [[graft.functions.FloatCosine]] expression — one fused loop
+  *    per pair, no shuffle until the final per-query top-k.
+  *  - random-hyperplane LSH buckets ([[annLsh]]): the scale path. Vectors
+  *    hash to a NumPlanes-bit sign bucket; neighbor candidates are an
+  *    equi-join on the bucket id, so cost is corpus-linear (times bucket
+  *    occupancy), not quadratic. Plane weights are ±1 derived from md5 so
+  *    the DuckDB oracle reproduces them exactly.
+  *
+  * Determinism for the oracle diff: cosine scores are rounded to 4 decimals
+  * BEFORE ranking, and ties break on vec_id — double summation order differs
+  * between engines by a few ulp, so raw scores must never decide anything.
+  */
+object Similarity {
+
+  val TopK = 10
+  val NumQueries = 5       // query set = vec_id < 5
+  val NumPlanes = 8        // LSH: 8 hyperplanes -> 256 buckets
+  val PairThreshold = 0.4  // near-dup cosine threshold (corpus max ~0.51)
+
+  /** Brute-force cosine top-k for each query vector. */
+  def annTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(floatCosine(col("qe"), col("embedding")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rk")
+  }
+
+  val annTopKSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                   WHERE vec_id < $NumQueries),
+        pairs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                    round(sum(CAST(qe[i] * e.embedding[i] AS DOUBLE))
+                      / (sqrt(sum(CAST(qe[i] * qe[i] AS DOUBLE)))
+                         * sqrt(sum(CAST(e.embedding[i] * e.embedding[i] AS DOUBLE)))), 4) AS cos
+                  FROM q JOIN embeddings e ON e.vec_id <> q.query_id,
+                       generate_series(1, 64) t(i)
+                  GROUP BY 1, 2),
+        ranked AS (SELECT query_id, neighbor_id, cos,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS INT) AS rk
+                   FROM pairs)
+        SELECT query_id, rk, neighbor_id, cos FROM ranked
+        WHERE rk <= $TopK ORDER BY query_id, rk"""
+
+  /** All near-duplicate embedding pairs above [[PairThreshold]] — the
+    * embedding-cosine dedup variant. Block on LSH bucket equality first so
+    * the exact pass is not quadratic (replicated identically in the oracle). */
+  def cosinePairs(s: SparkSession, d: String): DataFrame = {
+    val b = buckets(s, d).cache()
+    val x = b.as("x"); val y = b.as("y")
+    x.join(y, col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        round(floatCosine(col("x.embedding"), col("y.embedding")), 4).as("cos"))
+      .filter(col("cos") >= PairThreshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** LSH bucket assignment: sign bit per hyperplane, packed to an int.
+    * Plane weights w(p,i) = +1 if first md5 hex digit of "p:i" < '8' else -1.
+    * Computed as data (cross join planes x dims), not literals, so the same
+    * md5 arithmetic runs in DuckDB. */
+  private def buckets(s: SparkSession, d: String): DataFrame = {
+    val planes = s.range(0, NumPlanes).toDF("p")
+    val dims = s.range(1, 65).toDF("i")
+    val w = planes.crossJoin(dims).withColumn("w",
+      when(conv(substring(md5(concat(col("p"), lit(":"), col("i"))), 1, 1), 16, 10)
+        .cast(IntegerType) < 8, 1).otherwise(-1))
+    val comps = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), posexplode(col("embedding")))
+      .withColumnRenamed("pos", "pos0")
+      .withColumn("i", col("pos0") + 1)
+    val proj = comps.join(broadcast(w), "i")
+      .groupBy("vec_id", "p")
+      .agg(sum(col("col").cast(DoubleType) * col("w")).as("proj"))
+    proj.groupBy("vec_id")
+      .agg(sum(when(col("proj") >= 0, expr("shiftleft(1, cast(p as int))"))
+        .otherwise(0)).cast(IntegerType).as("bucket"))
+      .join(Tables.embeddings(s, d), "vec_id")
+      .select("vec_id", "bucket", "embedding")
+  }
+
+  /** LSH-bucketed approximate neighbors for the query set: candidates share
+    * the query's bucket; exact cosine only on candidates. */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val b = buckets(s, d).cache()
+    val q = b.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("bucket"), col("embedding").as("qe"))
+    b.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(floatCosine(col("qe"), col("embedding")), 4).as("cos"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  private val bucketsSql: String =
+    s"""w AS (SELECT p, i, CASE WHEN CAST('0x' || substr(md5(p || ':' || i), 1, 1) AS INT) < 8
+                THEN 1 ELSE -1 END AS w
+              FROM generate_series(0, ${NumPlanes - 1}) pp(p), generate_series(1, 64) ii(i)),
+        proj AS (SELECT e.vec_id, w.p, sum(CAST(e.embedding[w.i] AS DOUBLE) * w.w) AS proj
+                 FROM embeddings e, w GROUP BY 1, 2),
+        bkt AS (SELECT vec_id,
+                  CAST(sum(CASE WHEN proj >= 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+                FROM proj GROUP BY vec_id)"""
+
+  val cosinePairsSql: String =
+    s"""WITH $bucketsSql,
+        cand AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+                 FROM bkt x JOIN bkt y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        scored AS (SELECT c.vec_a, c.vec_b,
+                     round(sum(CAST(a.embedding[i] * b.embedding[i] AS DOUBLE))
+                       / (sqrt(sum(CAST(a.embedding[i] * a.embedding[i] AS DOUBLE)))
+                          * sqrt(sum(CAST(b.embedding[i] * b.embedding[i] AS DOUBLE)))), 4) AS cos
+                   FROM cand c
+                   JOIN embeddings a ON c.vec_a = a.vec_id
+                   JOIN embeddings b ON c.vec_b = b.vec_id,
+                        generate_series(1, 64) t(i)
+                   GROUP BY 1, 2)
+        SELECT vec_a, vec_b, cos FROM scored
+        WHERE cos >= $PairThreshold ORDER BY vec_a, vec_b"""
+
+  val annLshSql: String =
+    s"""WITH $bucketsSql,
+        q AS (SELECT b.vec_id AS query_id, b.bucket, e.embedding AS qe
+              FROM bkt b JOIN embeddings e ON b.vec_id = e.vec_id
+              WHERE b.vec_id < $NumQueries)
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+          round(sum(CAST(q.qe[i] * e.embedding[i] AS DOUBLE))
+            / (sqrt(sum(CAST(q.qe[i] * q.qe[i] AS DOUBLE)))
+               * sqrt(sum(CAST(e.embedding[i] * e.embedding[i] AS DOUBLE)))), 4) AS cos
+        FROM q JOIN bkt k ON k.bucket = q.bucket AND k.vec_id <> q.query_id
+        JOIN embeddings e ON e.vec_id = k.vec_id,
+             generate_series(1, 64) t(i)
+        GROUP BY 1, 2 ORDER BY query_id, neighbor_id"""
+}

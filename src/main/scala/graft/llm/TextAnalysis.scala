@@ -1,0 +1,115 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis for training-data curation: quality scoring, language ID,
+  * token counting, all as pure codegen'd column expressions (no UDFs) with
+  * DuckDB oracle mirrors. Single-pass per document, trivially
+  * data-parallel — no shuffles at all except the final presentation sort.
+  *
+  * Ratio outputs divide exact integers in double precision, so both engines
+  * produce bit-identical values without rounding tricks.
+  */
+object TextAnalysis {
+
+  /** Stopword list shared with the SQL mirror. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "or", "in", "to")
+
+  private def stopArray = array(Stopwords.map(lit): _*)
+
+  /** Quality metrics per document: length, word counts, average word length,
+    * stopword ratio, type-token ratio. */
+  def quality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        length(col("text")).as("n_chars"),
+        size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_distinct_words"),
+        (size(array_distinct(col("ws"))).cast(DoubleType) / size(col("ws")))
+          .as("type_token_ratio"),
+        ((length(col("text")) - size(col("ws")) + 1).cast(DoubleType) / size(col("ws")))
+          .as("avg_word_len"),
+        (size(filter(col("ws"), w => array_contains(stopArray, w))).cast(DoubleType)
+          / size(col("ws"))).as("stopword_ratio"))
+      .orderBy("doc_id")
+
+  val qualitySql: String = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, lang, source, text, string_split(text, ' ') AS ws
+                   FROM documents)
+        SELECT doc_id, lang, source,
+          CAST(length(text) AS INT) AS n_chars,
+          CAST(len(ws) AS INT) AS n_words,
+          CAST(len(list_distinct(ws)) AS INT) AS n_distinct_words,
+          CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS type_token_ratio,
+          CAST(length(text) - len(ws) + 1 AS DOUBLE) / len(ws) AS avg_word_len,
+          CAST(len(list_filter(ws, x -> x IN ($stopList))) AS DOUBLE) / len(ws)
+            AS stopword_ratio
+        FROM w ORDER BY doc_id"""
+  }
+
+  /** Language-ID heuristic: marker-word hit counts per language family,
+    * argmax with deterministic tie-break (en > es > de > und). The corpus is
+    * synthetic English-ish word soup, so the interesting part is the shape:
+    * O(1) marker lookups per token, no model, streamable at 100 TB. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val en = Seq("the", "a", "and", "of")
+    val es = Seq("el", "la", "y", "de")
+    val de = Seq("der", "die", "das", "und")
+    def hits(ws: Seq[String]) =
+      size(filter(col("ws"), w => array_contains(array(ws.map(lit): _*), w)))
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        hits(en).as("en_hits"), hits(es).as("es_hits"), hits(de).as("de_hits"))
+      .withColumn("pred_lang",
+        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits")
+          && col("en_hits") > 0, "en")
+          .when(col("es_hits") >= col("de_hits") && col("es_hits") > 0, "es")
+          .when(col("de_hits") > 0, "de")
+          .otherwise("und"))
+      .orderBy("doc_id")
+
+  }
+
+  val langIdSql: String = {
+    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        h AS (SELECT doc_id, lang AS labeled_lang,
+                CAST(len(list_filter(ws, x -> x IN (${inList(Seq("the", "a", "and", "of"))}))) AS INT) AS en_hits,
+                CAST(len(list_filter(ws, x -> x IN (${inList(Seq("el", "la", "y", "de"))}))) AS INT) AS es_hits,
+                CAST(len(list_filter(ws, x -> x IN (${inList(Seq("der", "die", "das", "und"))}))) AS INT) AS de_hits
+              FROM w)
+        SELECT doc_id, labeled_lang, en_hits, es_hits, de_hits,
+          CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+               WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+               WHEN de_hits > 0 THEN 'de'
+               ELSE 'und' END AS pred_lang
+        FROM h ORDER BY doc_id"""
+  }
+
+  /** Token counting: whitespace tokens vs BPE-ish regex tokens (alpha runs,
+    * digit runs, other non-space singletons) vs a chars/4 approximation. */
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]', 0)"))
+          .as("re_tokens"),
+        floor(length(col("text")) / 4).cast(IntegerType).as("approx_bpe"))
+      .orderBy("doc_id")
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INT) AS re_tokens,
+       CAST(floor(length(text) / 4.0) AS INT) AS approx_bpe
+       FROM documents ORDER BY doc_id"""
+}

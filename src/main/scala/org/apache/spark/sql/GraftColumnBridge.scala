@@ -1,0 +1,11 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Spark 4 made Column <-> Expression conversion private[sql]
+  * (classic.ExpressionUtils). Custom-expression libraries bridge it from
+  * inside the package — the same approach third-party Spark extensions use. */
+object GraftColumnBridge {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
