@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.ops.{Analytics, Relational}
+import graft.ops.{Analytics, Execution, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -73,6 +73,13 @@ object SparkEntry {
     "q_token_counts" -> (TextAnalysis.tokenCounts _),
     "q_media_meta" -> (Multimodal.mediaMeta _),
     "q_media_features" -> (Multimodal.mediaFeatures _),
+    // Execution control, generators, custom aggregator, streaming
+    "q_cached_fanout" -> (Execution.cachedFanout _),
+    "q_surrogate_ids" -> (Execution.surrogateIds _),
+    "q_pivot" -> (Execution.pivotCounts _),
+    "q_explode_words" -> (Execution.explodeTopWords _),
+    "q_variance_agg" -> (Execution.varianceAgg _),
+    "q_stream_tumbling" -> (graft.streaming.EventStreams.tumblingWindowStream _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -300,5 +307,15 @@ object SparkEntry {
     "q_token_counts" -> TextAnalysis.tokenCountsSql,
     "q_media_meta" -> Multimodal.mediaMetaSql,
     "q_media_features" -> Multimodal.mediaFeaturesSql,
+    "q_cached_fanout" -> Execution.cachedFanoutSql,
+    "q_surrogate_ids" -> Execution.surrogateIdsSql,
+    "q_pivot" -> Execution.pivotCountsSql,
+    "q_explode_words" -> Execution.explodeTopWordsSql,
+    "q_variance_agg" -> Execution.varianceAggSql,
+    // streaming complete-mode window agg == the batch tumbling window
+    "q_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS win_start, count(*) AS cnt,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY win_start""",
   )
 }

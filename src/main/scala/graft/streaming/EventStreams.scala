@@ -1,0 +1,147 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table (SURVEY.md §2.9 extension).
+  *
+  * The corpus is batch parquet, so streaming runs are driven file-by-file
+  * (`maxFilesPerTrigger=1` over a staged copy) — the same code shape a
+  * production `readStream` on a landing bucket would use. Aggregations carry
+  * watermarks; sessionization is a `flatMapGroupsWithState` with event-time
+  * timeout, the canonical scalable pattern (state is per-key on executors,
+  * no global coordination).
+  */
+object EventStreams {
+
+  /** Streaming-source schema: ts staged as epoch micros (long) because the
+    * corpus's TIMESTAMP(NANOS) cannot round-trip a stream source directly. */
+  private val stagedSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Stage events as streamable parquet: one file per contiguous TIME chunk,
+    * with strictly increasing mtimes so the file source replays them in
+    * event-time order (a random split would make later micro-batches almost
+    * entirely late w.r.t. the watermark and they would be dropped — exactly
+    * what a production landing zone avoids by being append-ordered). */
+  def stageEvents(s: SparkSession, d: String, nFiles: Int = 4): String = {
+    import java.nio.file._
+    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_events")
+    if (Files.exists(base)) {
+      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(base)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .cache()
+    val Array(lo, hi) = ev.agg(min("ts_us"), max("ts_us")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val span = (hi - lo) / nFiles + 1
+    (0 until nFiles).foreach { i =>
+      val tmp = base.resolve(s"_stage_$i")
+      ev.filter(col("ts_us") >= lo + i * span && col("ts_us") < lo + (i + 1) * span)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = base.resolve(f"chunk_$i%02d.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    ev.unpersist()
+    base.toString
+  }
+
+  /** Tumbling 1h window counts as a streaming query: watermark + window agg,
+    * complete mode into a memory sink, drained synchronously. Returns the
+    * final result table — bit-equal to the batch q_tumbling_window. */
+  def tumblingWindowStream(s: SparkSession, d: String): DataFrame = {
+    val dir = stageEvents(s, d)
+    val stream = s.readStream.schema(stagedSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("cnt"), col("sum_value"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("graft_tumbling").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_tumbling").orderBy("win_start")
+  }
+
+  case class Ev(event_id: Long, user_id: Long, ts_us: Long, event_type: String,
+      ts: java.sql.Timestamp)
+  case class Sess(user_id: Long, sess_start: Long, sess_end: Long, n_events: Long)
+  case class SessState(start: Long, last: Long, n: Long)
+
+  val SessionGapMs = 30L * 60 * 1000
+
+  /** Stateful streaming sessionization: per-user session assembly in
+    * flatMapGroupsWithState with event-time timeout. Emits a session when
+    * the watermark passes its gap. The batch gaps-and-islands query
+    * (ops.Analytics.sessionize) is the oracle for this in tests. */
+  def sessionizeStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = stageEvents(s, d)
+    val stream = s.readStream.schema(stagedSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"),
+        col("ts"))
+      .as[Ev]
+
+    val emit = (userId: Long, events: Iterator[Ev], state: GroupState[SessState]) => {
+      // Events within a micro-batch group are not ordered: sort by event time.
+      val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var out = List.empty[Sess]
+      var st = state.getOption
+      sorted.foreach { e =>
+        st match {
+          case Some(cur) if e.ts_us - cur.last <= SessionGapMs * 1000 =>
+            st = Some(cur.copy(last = e.ts_us, n = cur.n + 1))
+          case Some(cur) =>
+            out ::= Sess(userId, cur.start, cur.last, cur.n)
+            st = Some(SessState(e.ts_us, e.ts_us, 1))
+          case None =>
+            st = Some(SessState(e.ts_us, e.ts_us, 1))
+        }
+      }
+      if (state.hasTimedOut) {
+        st.foreach(cur => out ::= Sess(userId, cur.start, cur.last, cur.n))
+        state.remove()
+      } else {
+        st.foreach { cur =>
+          state.update(cur)
+          // The gap deadline may already be behind the watermark (events
+          // arrive within the allowed lateness); clamp forward or the
+          // runtime rejects the timestamp.
+          state.setTimeoutTimestamp(
+            math.max(cur.last / 1000 + SessionGapMs, state.getCurrentWatermarkMs() + 1))
+        }
+      }
+      out.reverseIterator
+    }
+
+    val sessions = stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(emit)
+    val q = sessions.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_sessions").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_sessions").orderBy("user_id", "sess_start")
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.llm.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Properties of the dedup operators (scalacheck generators over small
+  * in-memory docs; sampled deterministically — the scalatest/scalacheck
+  * bridge artifact is not in the offline cache). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wordGen = Gen.oneOf(
+    "spark", "scan", "join", "group", "sort", "hash", "merge", "filter")
+  private val docGen = Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, wordGen))
+
+  test("exact dedup is idempotent and conserves rows") {
+    val df = Dedup.exactDedup(spark, Sf).cache()
+    val total = df.agg(sum("n_copies")).head().getLong(0)
+    val docs = Tables.documents(spark, Sf).count()
+    assert(total == docs, "every doc lands in exactly one cluster")
+    assert(df.groupBy("text_hash").count().filter(col("count") > 1).count() == 0)
+    df.unpersist()
+  }
+
+  test("fingerprint is invariant under word permutation (property)") {
+    val rnd = new scala.util.Random(42)
+    val samples = (0 until 40).flatMap(i =>
+      docGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    assert(samples.nonEmpty)
+    val pairs = samples.zipWithIndex.flatMap { case (words, i) =>
+      val doc = words.mkString(" ")
+      val perm = rnd.shuffle(words).mkString(" ")
+      Seq((i.toLong, 0, doc), (i.toLong, 1, perm))
+    }
+    val fps = pairs.toDF("pair_id", "side", "text")
+      .select(col("pair_id"), md5(concat_ws(" ",
+        sort_array(array_distinct(split(col("text"), " "))))).as("fp"))
+      .groupBy("pair_id").agg(countDistinct("fp").as("nfp"))
+      .filter(col("nfp") =!= 1)
+    assert(fps.count() == 0, "permuted doc produced a different fingerprint")
+  }
+
+  test("minhash pair scores are bounded by the signature length") {
+    val df = Dedup.minhashPairs(spark, Sf)
+    val bad = df.filter(col("n_sig_eq") < Dedup.MinhashMatchThreshold ||
+      col("n_sig_eq") > Dedup.NumHashes)
+    assert(bad.count() == 0)
+  }
+
+  test("jaccard pairs are canonical (a < b) and within (0, 1]") {
+    val df = Dedup.ngramJaccardPairs(spark, Sf)
+    assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(df.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
+  }
+
+  test("simhash hamming bound respected") {
+    val df = Dedup.simhashPairs(spark, Sf)
+    assert(df.filter(col("hamming") > Dedup.HammingMax).count() == 0)
+  }
+}

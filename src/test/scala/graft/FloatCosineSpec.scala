@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.VectorFunctions.floatCosine
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the custom Catalyst FloatCosine expression — interpreted
+  * and codegen paths, null/edge semantics, and agreement with a composed
+  * built-in formulation. */
+class FloatCosineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cosOf(a: Seq[Float], b: Seq[Float]): Option[Double] = {
+    val df = Seq((a, b)).toDF("a", "b")
+      .select(floatCosine(col("a"), col("b")).as("c"))
+    val r = df.head()
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  test("identical vectors -> 1.0") {
+    val c = cosOf(Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)).get
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("orthogonal vectors -> 0.0") {
+    assert(cosOf(Seq(1f, 0f), Seq(0f, 1f)).contains(0.0))
+  }
+
+  test("opposite vectors -> -1.0") {
+    val c = cosOf(Seq(1f, 2f), Seq(-1f, -2f)).get
+    assert(math.abs(c + 1.0) < 1e-12)
+  }
+
+  test("zero-norm input -> null") {
+    assert(cosOf(Seq(0f, 0f), Seq(1f, 2f)).isEmpty)
+  }
+
+  test("length mismatch -> null") {
+    assert(cosOf(Seq(1f, 2f, 3f), Seq(1f, 2f)).isEmpty)
+  }
+
+  test("null input -> null") {
+    val df = Seq((Some(Seq(1f, 2f)), Option.empty[Seq[Float]])).toDF("a", "b")
+      .select(floatCosine(col("a"), col("b")).as("c"))
+    assert(df.head().isNullAt(0))
+  }
+
+  test("codegen path agrees with composed built-ins on real embeddings") {
+    val emb = Tables.embeddings(spark, Sf).limit(50).cache()
+    val a = emb.as("a"); val b = emb.as("b")
+    val builtin = expr(
+      """aggregate(zip_with(a.embedding, b.embedding, (x, y) -> double(x * y)),
+                   0D, (acc, v) -> acc + v)
+         / (sqrt(aggregate(zip_with(a.embedding, a.embedding, (x, y) -> double(x * y)),
+                           0D, (acc, v) -> acc + v))
+            * sqrt(aggregate(zip_with(b.embedding, b.embedding, (x, y) -> double(x * y)),
+                             0D, (acc, v) -> acc + v)))""")
+    val diff = a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select((floatCosine(col("a.embedding"), col("b.embedding")) - builtin).as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(diff < 1e-12, s"codegen vs built-in max diff $diff")
+    emb.unpersist()
+  }
+}
