@@ -185,6 +185,10 @@ object Relational {
     Tables.events(s, d)
       .withColumn("year", year(col("ts")))
       .withColumn("month", month(col("ts")))
+      // co-locate rows of each hive partition before the write: without this
+      // every task opens a file per (year,month) it sees — task_count x
+      // partition_count small files at cluster scale
+      .repartition(col("year"), col("month"))
       .write.mode("overwrite").partitionBy("year", "month").parquet(out)
     s.read.parquet(out)
       .filter(col("year") === 2024 && col("month") === 1)
