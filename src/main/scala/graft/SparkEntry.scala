@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.ops.{Analytics, Execution, Relational}
+import graft.ops.{Advanced, Analytics, Execution, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -80,6 +80,11 @@ object SparkEntry {
     "q_explode_words" -> (Execution.explodeTopWords _),
     "q_variance_agg" -> (Execution.varianceAgg _),
     "q_stream_tumbling" -> (graft.streaming.EventStreams.tumblingWindowStream _),
+    // Advanced: JSON source, as-of join, deterministic order stats
+    "q_json_roundtrip" -> (Advanced.jsonRoundtrip _),
+    "q_asof_join" -> (Advanced.asofJoin _),
+    "q_median" -> (Advanced.median _),
+    "q_corr" -> (Advanced.corr2 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -317,5 +322,9 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS win_start, count(*) AS cnt,
          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY win_start""",
+    "q_json_roundtrip" -> Advanced.jsonRoundtripSql,
+    "q_asof_join" -> Advanced.asofJoinSql,
+    "q_median" -> Advanced.medianSql,
+    "q_corr" -> Advanced.corr2Sql,
   )
 }

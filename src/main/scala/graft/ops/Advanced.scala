@@ -1,0 +1,149 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Advanced operator surface: JSON source round-trip (reference S1 — its
+  * primary scan is schema-explicit JSON, T:64-81/T:186-199), as-of join
+  * (the canonical "operator Spark lacks", composed scalably from built-ins),
+  * and deterministic order statistics / correlation.
+  */
+object Advanced {
+
+  /** S1 analog: write documents as JSON lines, read back with an EXPLICIT
+    * StructType (the reference's schema-on-read discipline — no inference
+    * pass), aggregate. Oracle runs on the original table: the round-trip must
+    * be lossless. */
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_docs"
+    Tables.documents(s, d)
+      .select("doc_id", "lang", "source", "n_chars")
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    s.read.schema(schema).json(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+  }
+
+  val jsonRoundtripSql: String =
+    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+       FROM documents GROUP BY lang ORDER BY lang"""
+
+  /** AS-OF JOIN: for every purchase event, the most recent prior click of the
+    * same user, plus the gap. Implemented with the union + last(ignoreNulls)
+    * window trick: ONE shuffle on user_id, then a linear per-partition pass —
+    * no range-join pair explosion, the scalable formulation (a naive theta
+    * join on ts_click <= ts_purchase is quadratic per user). DuckDB mirrors
+    * it with last_value(...IGNORE NULLS). */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("prev_click_us",
+        last(when(col("event_type") === "click", col("ts_us")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"), col("ts_us").as("purchase_us"),
+        col("prev_click_us"),
+        ((col("ts_us") - col("prev_click_us")) / lit(1000000L))
+          .cast(LongType).as("gap_s"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String =
+    """WITH ev AS (
+         SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+         FROM events WHERE event_type IN ('click', 'purchase')),
+       m AS (
+         SELECT event_id, user_id, event_type, ts_us,
+           last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_us
+         FROM ev)
+       SELECT event_id, user_id, ts_us AS purchase_us, prev_click_us,
+         CAST(floor((ts_us - prev_click_us) / 1000000.0) AS BIGINT) AS gap_s
+       FROM m WHERE event_type = 'purchase' ORDER BY event_id"""
+
+  /** Exact median (interpolating percentile) per group — Spark `percentile`
+    * computes the exact order statistic, not a sketch. */
+  def median(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, array(0.25, 0.75))").getItem(0).as("q1_qty"),
+        expr("percentile(l_quantity, array(0.25, 0.75))").getItem(1).as("q3_qty"))
+      .orderBy("l_returnflag")
+
+  val medianSql: String =
+    """SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.25) AS q1_qty,
+       quantile_cont(l_quantity, 0.75) AS q3_qty
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Pearson correlation of (extendedprice, discount) per returnflag,
+    * computed from DECIMAL-exact moment sums so the result is independent of
+    * partitioning/summation order (naive corr() over doubles is not); the
+    * final double arithmetic is operation-for-operation identical to the
+    * oracle's. */
+  def corr2(s: SparkSession, d: String): DataFrame = {
+    // Correlation is scale/shift-invariant, so compute it over integer units
+    // (whole dollars, discount cents) whose moment sums stay below 2^53:
+    // every sum is then EXACTLY representable in double on both engines.
+    // Wide-decimal sums are exact too, but DuckDB's decimal->double cast
+    // double-rounds (int128 then scale division) and drifts 1 ulp from
+    // Spark's correctly-rounded BigDecimal conversion.
+    val px = round(col("l_extendedprice"), 0).cast(LongType)
+    val pd = round(col("l_discount") * 100, 0).cast(LongType)
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(px).cast(DoubleType).as("sp"),
+        sum(pd).cast(DoubleType).as("sd"),
+        sum(px * px).cast(DoubleType).as("spp"),
+        sum(pd * pd).cast(DoubleType).as("sdd"),
+        sum(px * pd).cast(DoubleType).as("spd"))
+      .select(
+        col("l_returnflag"),
+        ((col("n") * col("spd") - col("sp") * col("sd")) /
+          (sqrt(col("n") * col("spp") - col("sp") * col("sp")) *
+            sqrt(col("n") * col("sdd") - col("sd") * col("sd"))))
+          .as("price_discount_corr"))
+      .orderBy("l_returnflag")
+  }
+
+  val corr2Sql: String =
+    """WITH d AS (
+         SELECT l_returnflag,
+           CAST(round(l_extendedprice, 0) AS BIGINT) AS px,
+           CAST(round(l_discount * 100, 0) AS BIGINT) AS pd
+         FROM lineitem),
+       a AS (
+         SELECT l_returnflag,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(px) AS DOUBLE) AS sp,
+           CAST(sum(pd) AS DOUBLE) AS sd,
+           CAST(sum(px * px) AS DOUBLE) AS spp,
+           CAST(sum(pd * pd) AS DOUBLE) AS sdd,
+           CAST(sum(px * pd) AS DOUBLE) AS spd
+         FROM d GROUP BY l_returnflag)
+       SELECT l_returnflag,
+         (n * spd - sp * sd) / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd))
+           AS price_discount_corr
+       FROM a ORDER BY l_returnflag"""
+}

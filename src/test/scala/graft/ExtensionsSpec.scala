@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.{GraftExtensions, SelfCosine}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SparkSessionExtensions: SQL function registration + optimizer rule. Own
+  * session (extensions bind at build time). */
+class ExtensionsSpec extends AnyFunSuite {
+  // getOrCreate would silently return another suite's session (no
+  // extensions); clearing forces a fresh session (shared SparkContext is fine).
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-ext-test")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+  }
+
+  test("float_cosine is callable from SQL") {
+    val r = spark.sql(
+      """SELECT float_cosine(array(cast(1.0 as float), cast(2.0 as float)),
+                             array(cast(1.0 as float), cast(2.0 as float))) AS c""")
+      .head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("optimizer rewrites cos(x, x) to SelfCosine") {
+    // Parquet-backed plan: with a LocalRelation, constant folding evaluates
+    // the (deterministic) expression away before we can observe the rewrite.
+    val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(graft.functions.VectorFunctions
+        .floatCosine(col("embedding"), col("embedding")).as("c"))
+    val optimized = df.queryExecution.optimizedPlan
+    val rewritten = optimized.expressions.exists(_.exists(_.isInstanceOf[SelfCosine]))
+    assert(rewritten, s"SelfCosine not found in: $optimized")
+    assert(df.filter(col("c") =!= 1.0).count() == 0)
+  }
+
+  test("SelfCosine preserves null on zero-norm input") {
+    import spark.implicits._
+    val rows = Seq(Tuple1(Seq(1f, 2f)), Tuple1(Seq(0f, 0f))).toDF("v")
+      .select(graft.functions.VectorFunctions.floatCosine(col("v"), col("v")).as("c"))
+      .collect()
+    // On a LocalRelation, constant folding may evaluate raw FloatCosine
+    // before the rewrite batch runs — either path must keep the semantics.
+    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
+    assert(rows(1).isNullAt(0), "zero-norm must stay NULL")
+  }
+
+  test("rule preserves results vs unrewritten session on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(20)
+    val viaRule = emb.select(
+      graft.functions.VectorFunctions.floatCosine(col("embedding"), col("embedding")).as("c"))
+      .agg(sum("c")).head().getDouble(0)
+    assert(viaRule == 20.0)
+  }
+}
