@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10x scale experiment (not part of the driver contract): replicate the
+  * sf0.1 relational tables to ~sf1 in /tmp with consistent key offsets
+  * (customer/orders/events keys shift together, so per-user and per-customer
+  * densities stay constant — the realistic growth mode), then time a
+  * representative operator subset at both scales. Documents/embeddings stay
+  * at natural size (replicating them would plant artificial duplicate
+  * clusters and measure a different problem).
+  *
+  * Usage: runMain graft.ScaleTest [copies]   (default 10)
+  */
+object ScaleTest {
+  def main(args: Array[String]): Unit = {
+    val copies = if (args.nonEmpty) args(0).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val src = "/root/testdata/sf0.1"
+    val dst = s"${System.getProperty("java.io.tmpdir")}/graft_sf1"
+
+    if (!new java.io.File(s"$dst/_built").exists()) {
+      build(spark, src, dst, copies)
+      new java.io.File(s"$dst/_built").createNewFile()
+    }
+
+    val subset = Seq(
+      "q1_agg", "q_fact_songplays", "q_groupby_count", "q_window_running",
+      "q_sessionize", "q_salted_join", "q_topk", "q_join_left",
+      "q_tumbling_window", "q_asof_join")
+
+    def time(dir: String): Map[String, Double] =
+      subset.map { name =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+
+    time(src) // warm both code paths
+    val small = time(src)
+    val big = time(dst)
+    println("query,sf0.1_s,sf1_s,ratio")
+    subset.foreach { q =>
+      println(f"$q,${small(q)}%.2f,${big(q)}%.2f,${big(q) / small(q)}%.1f")
+    }
+    spark.stop()
+  }
+
+  private def build(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+    val cMax = 1000000L // key offset stride per copy
+    def copyUnion(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(i => f(df, i)).reduce(_ unionByName _)
+
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    copyUnion(cust, (df, i) => df.withColumn("c_custkey", col("c_custkey") + i * cMax))
+      .write.mode("overwrite").parquet(s"$dst/customer.parquet")
+
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    copyUnion(ord, (df, i) => df
+      .withColumn("o_orderkey", col("o_orderkey") + i * cMax)
+      .withColumn("o_custkey", col("o_custkey") + i * cMax))
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    copyUnion(li, (df, i) => df
+      .withColumn("l_orderkey", col("l_orderkey") + i * cMax))
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
+    // events: keep ns-as-long staging out of it — convert through Tables
+    // (ts becomes TIMESTAMP) and write micros, then read plain.
+    val ev = Tables.events(spark, src)
+    copyUnion(ev, (df, i) => df
+      .withColumn("event_id", col("event_id") + i * cMax)
+      .withColumn("user_id", col("user_id") + i * cMax))
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    Seq("nation", "region", "part", "supplier", "documents", "embeddings")
+      .foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      }
+  }
+}

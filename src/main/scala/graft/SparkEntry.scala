@@ -85,6 +85,7 @@ object SparkEntry {
     "q_asof_join" -> (Advanced.asofJoin _),
     "q_median" -> (Advanced.median _),
     "q_corr" -> (Advanced.corr2 _),
+    "q_salted_join" -> (Advanced.saltedJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -326,5 +327,6 @@ object SparkEntry {
     "q_asof_join" -> Advanced.asofJoinSql,
     "q_median" -> Advanced.medianSql,
     "q_corr" -> Advanced.corr2Sql,
+    "q_salted_join" -> Advanced.saltedJoinSql,
   )
 }

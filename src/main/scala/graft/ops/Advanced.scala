@@ -77,6 +77,32 @@ object Advanced {
          CAST(floor((ts_us - prev_click_us) / 1000000.0) AS BIGINT) AS gap_s
        FROM m WHERE event_type = 'purchase' ORDER BY event_id"""
 
+  /** Skew-safe join: salt the large (skewed) side's key into SaltFactor
+    * sub-keys and replicate the small side once per salt, so a hot key's rows
+    * spread over SaltFactor reducers instead of one straggler task. The
+    * standard remedy when AQE's skew-join split isn't available (e.g.
+    * pre-shuffle bucketing) — result is provably identical to the plain join,
+    * which is exactly what the oracle checks. */
+  val SaltFactor = 8
+
+  def saltedJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(SaltFactor)))
+    val part = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"))
+      .crossJoin(s.range(SaltFactor).toDF("salt"))
+    li.join(part,
+        li("l_partkey") === part("p_partkey") && li("salt") === part("salt"), "inner")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
+  val saltedJoinSql: String =
+    """SELECT p_brand, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY p_brand ORDER BY p_brand"""
+
   /** Exact median (interpolating percentile) per group — Spark `percentile`
     * computes the exact order statistic, not a sketch. */
   def median(s: SparkSession, d: String): DataFrame =
