@@ -86,6 +86,8 @@ object SparkEntry {
     "q_median" -> (Advanced.median _),
     "q_corr" -> (Advanced.corr2 _),
     "q_salted_join" -> (Advanced.saltedJoin _),
+    "q_bucketed_join" -> (Advanced.bucketedJoin _),
+    "q_approx_distinct" -> (Advanced.approxDistinct _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -328,5 +330,8 @@ object SparkEntry {
     "q_median" -> Advanced.medianSql,
     "q_corr" -> Advanced.corr2Sql,
     "q_salted_join" -> Advanced.saltedJoinSql,
+    "q_bucketed_join" -> Advanced.bucketedJoinSql,
+    // q_approx_distinct: intentionally NO oracle — HLL sketches are
+    // engine-specific; the spec bounds relative error instead.
   )
 }

@@ -103,6 +103,58 @@ object Advanced {
        FROM lineitem JOIN part ON l_partkey = p_partkey
        GROUP BY p_brand ORDER BY p_brand"""
 
+  /** Bucketed co-located join: both sides pre-bucketed on the join key via
+    * saveAsTable(bucketBy), so the join plans WITHOUT a shuffle exchange on
+    * either side — the 100 TB pattern for repeated joins on a stable key
+    * (fact-to-fact, daily increments). BucketedJoinSpec asserts the absence
+    * of exchanges in the physical plan; the oracle checks semantics. */
+  val NumBuckets = 8
+
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val db = "graft_buckets"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val o = "graft_buckets.orders_b"
+    val l = "graft_buckets.lineitem_b"
+    // Idempotence across sessions: the in-memory catalog forgets tables but
+    // their warehouse locations survive — drop both catalog entry and files.
+    Seq(o, l).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      val p = java.nio.file.Paths.get(wh, s"$db.db", t)
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(x => java.nio.file.Files.delete(x))
+      }
+    }
+    Tables.orders(s, d).write.mode("overwrite")
+      .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
+      .format("parquet").saveAsTable(o)
+    Tables.lineitem(s, d).write.mode("overwrite")
+      .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
+      .format("parquet").saveAsTable(l)
+    s.table(l).join(s.table(o), col("l_orderkey") === col("o_orderkey"), "inner")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** HLL approximate distinct alongside the exact value. No DuckDB oracle —
+    * sketch implementations differ across engines by design; the spec bounds
+    * the relative error instead. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy("event_type")
+
   /** Exact median (interpolating percentile) per group — Spark `percentile`
     * computes the exact order statistic, not a sketch. */
   def median(s: SparkSession, d: String): DataFrame =
