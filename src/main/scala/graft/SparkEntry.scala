@@ -67,6 +67,8 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
     "q_ann_topk" -> (Similarity.annTopK _),
     "q_ann_lsh" -> (Similarity.annLsh _),
+    "q_ann_ivf" -> (Similarity.annIvf _),
+    "q_tfidf_top" -> (TextAnalysis.tfidfTop _),
     "q_cosine_pairs" -> (Similarity.cosinePairs _),
     "q_text_quality" -> (TextAnalysis.quality _),
     "q_lang_id" -> (TextAnalysis.langId _),
@@ -309,6 +311,8 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql,
     "q_ann_topk" -> Similarity.annTopKSql,
     "q_ann_lsh" -> Similarity.annLshSql,
+    "q_ann_ivf" -> Similarity.annIvfSql,
+    "q_tfidf_top" -> TextAnalysis.tfidfTopSql,
     "q_cosine_pairs" -> Similarity.cosinePairsSql,
     "q_text_quality" -> TextAnalysis.qualitySql,
     "q_lang_id" -> TextAnalysis.langIdSql,

@@ -106,9 +106,15 @@ object Dedup {
   // MinHash + LSH banding.
   // =========================================================================
 
-  /** Per-doc MinHash signature: NumHashes min-of-affine-permutation columns. */
+  /** (doc_id, 28-bit shingle hash) stream — input to signature aggregation. */
+  def shingleHashes(s: SparkSession, d: String): DataFrame =
+    shingles(s, d).withColumn("h", baseHash(col("sh"))).select("doc_id", "h")
+
+  /** Per-doc MinHash signature: NumHashes min-of-affine-permutation columns.
+    * (graft.functions.MinHashSigAgg computes the same signature as a single
+    * TypedImperativeAggregate sketch buffer — spec-checked equivalent.) */
   private def signatures(s: SparkSession, d: String): DataFrame = {
-    val h = shingles(s, d).withColumn("h", baseHash(col("sh")))
+    val h = shingleHashes(s, d)
     val mins = (0 until NumHashes).map { i =>
       min((lit(HashA(i)) * col("h") + lit(HashB(i))) % lit(Prime)).as(s"s_$i")
     }

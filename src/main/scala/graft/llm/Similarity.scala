@@ -114,6 +114,62 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  val NumCentroids = 8
+
+  /** IVF-style ANN: a fixed centroid set (first NumCentroids vectors — a
+    * stand-in for trained k-means centroids; the index mechanics are what
+    * matters), each vector assigned to its nearest centroid cell, queries probe
+    * only their own cell. Cell assignment is an equi-groupable key, so the
+    * search is an equi-join like LSH — corpus-linear, never all-pairs. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        round(floatCosine(col("embedding"), col("ce")), 4).as("sim"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id"))
+    val cells = assigned.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      .cache()
+    val q = cells.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("cell"), col("embedding").as("qe"))
+    cells.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(floatCosine(col("qe"), col("embedding")), 4).as("cos"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  val annIvfSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+                       WHERE vec_id < $NumCentroids),
+        sims AS (SELECT e.vec_id, c.cent_id,
+                   round(sum(CAST(e.embedding[i] * c.ce[i] AS DOUBLE))
+                     / (sqrt(sum(CAST(e.embedding[i] * e.embedding[i] AS DOUBLE)))
+                        * sqrt(sum(CAST(c.ce[i] * c.ce[i] AS DOUBLE)))), 4) AS sim
+                 FROM embeddings e CROSS JOIN cents c,
+                      generate_series(1, 64) t(i)
+                 GROUP BY 1, 2),
+        cells AS (SELECT vec_id, cent_id AS cell FROM (
+                    SELECT vec_id, cent_id,
+                      row_number() OVER (PARTITION BY vec_id
+                        ORDER BY sim DESC, cent_id) AS rk
+                    FROM sims) WHERE rk = 1),
+        q AS (SELECT c.vec_id AS query_id, c.cell, e.embedding AS qe
+              FROM cells c JOIN embeddings e ON c.vec_id = e.vec_id
+              WHERE c.vec_id < $NumQueries)
+        SELECT q.query_id, k.vec_id AS neighbor_id,
+          round(sum(CAST(q.qe[i] * e.embedding[i] AS DOUBLE))
+            / (sqrt(sum(CAST(q.qe[i] * q.qe[i] AS DOUBLE)))
+               * sqrt(sum(CAST(e.embedding[i] * e.embedding[i] AS DOUBLE)))), 4) AS cos
+        FROM q JOIN cells k ON k.cell = q.cell AND k.vec_id <> q.query_id
+        JOIN embeddings e ON e.vec_id = k.vec_id,
+             generate_series(1, 64) t(i)
+        GROUP BY 1, 2 ORDER BY query_id, neighbor_id"""
+
   private val bucketsSql: String =
     s"""w AS (SELECT p, i, CASE WHEN CAST('0x' || substr(md5(p || ':' || i), 1, 1) AS INT) < 8
                 THEN 1 ELSE -1 END AS w

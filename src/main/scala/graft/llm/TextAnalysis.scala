@@ -112,4 +112,45 @@ object TextAnalysis {
        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INT) AS re_tokens,
        CAST(floor(length(text) / 4.0) AS INT) AS approx_bpe
        FROM documents ORDER BY doc_id"""
+
+  /** TF-IDF top term per document — the inverted-index scoring pattern:
+    * explode tokens -> per-(doc, term) TF -> per-term DF (one small
+    * aggregate) -> score = tf * ln(N/df). The DF side is corpus-vocabulary
+    * sized — broadcastable at any corpus scale. Scores are rounded before
+    * ranking (ln is libm-dependent in the last ulp); ties break on the term. */
+  def tfidfTop(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val tokens = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tokens.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df_), "term")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
+      .orderBy("doc_id")
+  }
+
+  val tfidfTopSql: String =
+    """WITH tokens AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2),
+       df AS (SELECT term, count(*) AS df
+              FROM (SELECT DISTINCT doc_id, term FROM tokens) GROUP BY term),
+       n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       scored AS (
+         SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+         FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+       ranked AS (
+         SELECT doc_id, term, tfidf,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+         FROM scored)
+       SELECT doc_id, term AS top_term, tfidf FROM ranked
+       WHERE rk = 1 ORDER BY doc_id"""
 }

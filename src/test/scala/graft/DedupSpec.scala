@@ -59,4 +59,22 @@ class DedupSpec extends SparkSpec {
     val df = Dedup.simhashPairs(spark, Sf)
     assert(df.filter(col("hamming") > Dedup.HammingMax).count() == 0)
   }
+
+  test("MinHashSigAgg sketch equals the column-wise min signature") {
+    val h = Dedup.shingleHashes(spark, Sf).cache()
+    val viaAgg = h.groupBy("doc_id")
+      .agg(graft.functions.MinHashAggregate.minhashSig(col("h")).as("sig"))
+    val viaCols = {
+      val mins = (0 until Dedup.NumHashes).map { i =>
+        min((lit(Dedup.HashA(i)) * col("h") + lit(Dedup.HashB(i))) % lit(Dedup.Prime))
+          .as(s"s_$i")
+      }
+      h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+        .select(col("doc_id"),
+          array((0 until Dedup.NumHashes).map(i => col(s"s_$i")): _*).as("sig"))
+    }
+    assert(viaAgg.exceptAll(viaCols).count() == 0)
+    assert(viaCols.exceptAll(viaAgg).count() == 0)
+    h.unpersist()
+  }
 }
