@@ -82,6 +82,8 @@ object SparkEntry {
     "q_explode_words" -> (Execution.explodeTopWords _),
     "q_variance_agg" -> (Execution.varianceAgg _),
     "q_stream_tumbling" -> (graft.streaming.EventStreams.tumblingWindowStream _),
+    "q_stream_static_join" -> (graft.streaming.EventStreams.streamStaticJoin _),
+    "q_sliding_window" -> (Analytics.slidingWindow _),
     // Advanced: JSON source, as-of join, deterministic order stats
     "q_json_roundtrip" -> (Advanced.jsonRoundtrip _),
     "q_asof_join" -> (Advanced.asofJoin _),
@@ -329,6 +331,8 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS win_start, count(*) AS cnt,
          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY win_start""",
+    "q_stream_static_join" -> graft.streaming.EventStreams.streamStaticJoinSql,
+    "q_sliding_window" -> Analytics.slidingWindowSql,
     "q_json_roundtrip" -> Advanced.jsonRoundtripSql,
     "q_asof_join" -> Advanced.asofJoinSql,
     "q_median" -> Advanced.medianSql,

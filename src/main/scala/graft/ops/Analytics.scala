@@ -240,6 +240,26 @@ object Analytics {
       .select(col("window.start").as("win_start"), col("cnt"), col("sum_value"))
       .orderBy("win_start")
 
+  /** Sliding event-time window (2h width, 1h slide): every event lands in
+    * two windows; Spark's window() generator expands them, the oracle mirrors
+    * with a two-branch UNION ALL of shifted truncations. */
+  def slidingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("cnt"), col("sum_value"))
+      .orderBy("win_start")
+
+  val slidingWindowSql: String =
+    """WITH w AS (
+         SELECT date_trunc('hour', ts) AS win_start, value FROM events
+         UNION ALL
+         SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, value FROM events)
+       SELECT win_start, count(*) AS cnt,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       FROM w GROUP BY 1 ORDER BY win_start"""
+
   /** Sessionization (30-min inactivity gap) via gaps-and-islands: lag to mark
     * session starts, running sum to assign session ids, then per-session agg.
     * Same shape Structured Streaming's session window computes incrementally. */

@@ -83,6 +83,32 @@ object EventStreams {
     s.table("graft_tumbling").orderBy("win_start")
   }
 
+  /** Stream-static join: the event stream enriched against the static
+    * customer dim (re-read per micro-batch by Spark, broadcast-sized),
+    * aggregated per market segment. The standard streaming-enrichment shape:
+    * no state beyond the aggregation, dim freshness = batch boundary. */
+  def streamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    val dir = stageEvents(s, d)
+    val customers = Tables.customer(s, d)
+    val stream = s.readStream.schema(stagedSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val joined = stream
+      .join(customers, stream("user_id") === customers("c_custkey"), "inner")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+    val q = joined.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("graft_stream_static").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_static").orderBy("c_mktsegment")
+  }
+
+  val streamStaticJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       FROM events JOIN customer ON user_id = c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   case class Ev(event_id: Long, user_id: Long, ts_us: Long, event_type: String,
       ts: java.sql.Timestamp)
   case class Sess(user_id: Long, sess_start: Long, sess_end: Long, n_events: Long)
