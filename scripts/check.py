@@ -47,6 +47,13 @@ def main(sf_dir, out_dir):
         if spark_cols != ocols:
             print(f"FAIL {name}: columns spark={spark_cols} oracle={ocols}")
             n_fail += 1; continue
+        stypes = dict(zip(spark_rel.columns, [str(t) for t in spark_rel.types]))
+        otypes = dict(zip(orel.columns, [str(t) for t in orel.types]))
+        mismatched = {c: (stypes[c], otypes[c]) for c in spark_cols
+                      if stypes[c] != otypes[c]}
+        if mismatched:
+            print(f"FAIL {name}: column types differ: {mismatched}")
+            n_fail += 1; continue
         if len(sdf) != len(odf):
             print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
             n_fail += 1; continue

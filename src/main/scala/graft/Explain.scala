@@ -2,15 +2,26 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions","32")
       .config("spark.sql.session.timeZone","UTC")
+      .config("spark.sql.warehouse.dir","/tmp/graft_warehouse")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.01"
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     args.foreach { q =>
-      println(s"########## $q")
-      println(SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString.take(4000))
+      if (q.startsWith("time:")) {
+        val name = q.stripPrefix("time:")
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
+          println(f"$name run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+        }
+      } else {
+        println(s"########## $q")
+        println(SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString.take(20000))
+      }
     }
+    spark.stop()
   }
 }

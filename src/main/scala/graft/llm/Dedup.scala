@@ -177,22 +177,16 @@ object Dedup {
   // SimHash (60-bit) + bit-band candidate join, exact for hamming <= 3.
   // =========================================================================
 
-  /** Per-doc 60-bit SimHash from term-frequency-weighted token hashes.
-    * Wide aggregation (60 sum columns in one pass) instead of exploding a
-    * bits axis — same shuffle width, 60x fewer shuffled rows. */
-  private def simhashes(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
+  /** Per-doc 60-bit SimHash from term-frequency-weighted token hashes, via
+    * the SimHashAgg TypedImperativeAggregate — one pass, one small buffer per
+    * doc. (A 60-column sum(CASE) formulation computes the same thing but its
+    * generated code takes ~8 s to Janino-compile; see SimHashAggregate.) */
+  private def simhashes(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType))
-    val bitSums = (0 until SimBits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bs_$j")
-    }
-    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until SimBits)
-      .map(j => when(col(s"bs_$j") >= 0, shiftleft(lit(1L), j)).otherwise(0L))
-      .reduce(_ + _)
-    agg.select(col("doc_id"), sim.as("simhash"))
-  }
+      .groupBy("doc_id")
+      .agg(graft.functions.SimHashAggregate.simhash(col("h")).as("simhash"))
 
   /** Near-dup pairs with hamming(simhash) <= HammingMax. Pigeonhole over
     * SimBands 15-bit bands makes the candidate join exact (any pair within

@@ -34,7 +34,7 @@ object Advanced {
   }
 
   val jsonRoundtripSql: String =
-    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
        FROM documents GROUP BY lang ORDER BY lang"""
 
   /** AS-OF JOIN: for every purchase event, the most recent prior click of the
