@@ -83,6 +83,8 @@ object SparkEntry {
     "q_variance_agg" -> (Execution.varianceAgg _),
     "q_stream_tumbling" -> (graft.streaming.EventStreams.tumblingWindowStream _),
     "q_stream_static_join" -> (graft.streaming.EventStreams.streamStaticJoin _),
+    "q_stream_dedup" -> (graft.streaming.EventStreams.streamingDedup _),
+    "q_range_join" -> (Advanced.rangeJoin _),
     "q_sliding_window" -> (Analytics.slidingWindow _),
     // Advanced: JSON source, as-of join, deterministic order stats
     "q_json_roundtrip" -> (Advanced.jsonRoundtrip _),
@@ -332,6 +334,8 @@ object SparkEntry {
          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY win_start""",
     "q_stream_static_join" -> graft.streaming.EventStreams.streamStaticJoinSql,
+    "q_stream_dedup" -> graft.streaming.EventStreams.streamingDedupSql,
+    "q_range_join" -> Advanced.rangeJoinSql,
     "q_sliding_window" -> Analytics.slidingWindowSql,
     "q_json_roundtrip" -> Advanced.jsonRoundtripSql,
     "q_asof_join" -> Advanced.asofJoinSql,

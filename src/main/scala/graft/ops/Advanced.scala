@@ -155,6 +155,45 @@ object Advanced {
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .orderBy("event_type")
 
+  /** RANGE JOIN: pairs of same-user events within 60 s of each other,
+    * blocked by time bucket — each event joins only its own and the adjacent
+    * minute bucket (candidates), then the exact |dt| predicate filters. The
+    * scalable range-join formulation: equi-join on (user, bucket) instead of
+    * a quadratic theta-join; cost ∝ bucket occupancy. */
+  val RangeWindowUs = 60L * 1000000
+
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val a = ev.withColumn("bucket", expr(s"ts_us div $RangeWindowUs"))
+    // right side appears in 3 buckets: its own and both neighbors
+    val b = ev
+      .crossJoin(s.range(-1, 2).toDF("shift"))
+      .select(col("event_id").as("eb"), col("user_id").as("ub"),
+        col("ts_us").as("tb"),
+        (expr(s"ts_us div $RangeWindowUs") + col("shift")).as("bucketb"))
+    a.join(b,
+        a("user_id") === col("ub") && a("bucket") === col("bucketb") &&
+          a("event_id") < col("eb"), "inner")
+      .filter(abs(a("ts_us") - col("tb")) <= RangeWindowUs)
+      // floor, not cast-truncation: dt can be negative and Spark's
+      // double->long cast truncates toward zero while DuckDB floors
+      .select(a("event_id").as("event_a"), col("eb").as("event_b"),
+        a("user_id"),
+        floor((col("tb") - a("ts_us")) / lit(1000000.0)).cast(LongType).as("dt_s"))
+      .distinct()
+      .orderBy("event_a", "event_b")
+  }
+
+  val rangeJoinSql: String =
+    s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+        SELECT DISTINCT a.event_id AS event_a, b.event_id AS event_b, a.user_id,
+          CAST(floor((b.ts_us - a.ts_us) / 1000000.0) AS BIGINT) AS dt_s
+        FROM ev a JOIN ev b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+          AND abs(a.ts_us - b.ts_us) <= $RangeWindowUs
+        ORDER BY event_a, event_b"""
+
   /** Exact median (interpolating percentile) per group — Spark `percentile`
     * computes the exact order statistic, not a sketch. */
   def median(s: SparkSession, d: String): DataFrame =

@@ -109,6 +109,33 @@ object EventStreams {
        FROM events JOIN customer ON user_id = c_custkey
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** Streaming deduplication: two readers of the same landing zone unioned
+    * (every event arrives twice, possibly in different micro-batches) then
+    * `dropDuplicates` keyed on event_id under a watermark — state is bounded
+    * by the watermark horizon, the production pattern for at-least-once
+    * ingestion. Output counts must equal the single-copy batch counts, which
+    * is exactly what the oracle checks. */
+  def streamingDedup(s: SparkSession, d: String): DataFrame = {
+    val dir = stageEvents(s, d)
+    def reader = s.readStream.schema(stagedSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val doubled = reader.unionByName(reader)
+    val deduped = doubled
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val q = deduped.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("graft_stream_dedup").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_dedup").orderBy("event_type")
+  }
+
+  val streamingDedupSql: String =
+    """SELECT event_type, count(*) AS cnt FROM events
+       GROUP BY event_type ORDER BY event_type"""
+
   case class Ev(event_id: Long, user_id: Long, ts_us: Long, event_type: String,
       ts: java.sql.Timestamp)
   case class Sess(user_id: Long, sess_start: Long, sess_end: Long, n_events: Long)
