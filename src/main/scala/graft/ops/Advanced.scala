@@ -116,23 +116,36 @@ object Advanced {
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     val o = "graft_buckets.orders_b"
     val l = "graft_buckets.lineitem_b"
-    // Idempotence across sessions: the in-memory catalog forgets tables but
-    // their warehouse locations survive — drop both catalog entry and files.
-    Seq(o, l).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    // Bucketing is build-once-query-many: skip the rebuild when this session
+    // already built these tables from the same source dir. Across sessions
+    // the in-memory catalog forgets the tables while their warehouse
+    // locations survive — then drop both catalog entry and files first.
     val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    Seq("orders_b", "lineitem_b").foreach { t =>
-      val p = java.nio.file.Paths.get(wh, s"$db.db", t)
-      if (java.nio.file.Files.exists(p)) {
-        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(x => java.nio.file.Files.delete(x))
+    val marker = java.nio.file.Paths.get(wh,
+      s"$db.marker_${d.replaceAll("[^a-zA-Z0-9.]", "_")}")
+    val cached = java.nio.file.Files.exists(marker) && s.catalog.tableExists(l)
+    if (!cached) {
+      Seq(o, l).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq("orders_b", "lineitem_b").foreach { t =>
+        val p = java.nio.file.Paths.get(wh, s"$db.db", t)
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(x => java.nio.file.Files.delete(x))
+        }
       }
+      java.nio.file.Files.list(java.nio.file.Paths.get(wh))
+        .filter(p => p.getFileName.toString.startsWith(s"$db.marker_"))
+        .forEach(p => java.nio.file.Files.delete(p))
     }
-    Tables.orders(s, d).write.mode("overwrite")
-      .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
-      .format("parquet").saveAsTable(o)
-    Tables.lineitem(s, d).write.mode("overwrite")
-      .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
-      .format("parquet").saveAsTable(l)
+    if (!cached) {
+      Tables.orders(s, d).write.mode("overwrite")
+        .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
+        .format("parquet").saveAsTable(o)
+      Tables.lineitem(s, d).write.mode("overwrite")
+        .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
+        .format("parquet").saveAsTable(l)
+      java.nio.file.Files.createFile(marker)
+    }
     s.table(l).join(s.table(o), col("l_orderkey") === col("o_orderkey"), "inner")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
