@@ -50,6 +50,8 @@ object SparkEntry {
     "q_window_lag" -> (Analytics.windowLag _),
     "q_window_running" -> (Analytics.windowRunning _),
     "q_window_rank" -> (Analytics.windowRank _),
+    "q_window_distribution" -> (Analytics.windowDistribution _),
+    "q_mode" -> (Analytics.modeAgg _),
     "q_json_extract" -> (Analytics.jsonExtract _),
     "q_array_funcs" -> (Analytics.arrayFuncs _),
     "q_string_funcs" -> (Analytics.stringFuncs _),
@@ -246,6 +248,8 @@ object SparkEntry {
          CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT) AS bal_rank,
          CAST(dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT) AS bal_dense_rank
          FROM customer ORDER BY c_custkey""",
+    "q_window_distribution" -> Analytics.windowDistributionSql,
+    "q_mode" -> Analytics.modeAggSql,
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
          FROM events ORDER BY event_id""",

@@ -157,6 +157,54 @@ object Analytics {
       .orderBy("c_custkey")
   }
 
+  /** Distribution window functions: ntile / percent_rank / cume_dist — all
+    * integer-ratio math (exact doubles, engine-portable). Total order via the
+    * unique key keeps every value deterministic. */
+  def windowDistribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"), col("c_nationkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("c_custkey")
+  }
+
+  val windowDistributionSql: String =
+    """SELECT c_custkey, c_nationkey,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+       FROM customer
+       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+       ORDER BY c_custkey"""
+
+  /** Deterministic per-group mode (most frequent value, ties to the smallest
+    * value) — count + rank, no sketch. */
+  def modeAgg(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("n").desc, col("l_quantity"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val modeAggSql: String =
+    """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n
+                  FROM lineitem GROUP BY 1, 2),
+        r AS (SELECT l_returnflag, l_quantity, n,
+                row_number() OVER (PARTITION BY l_returnflag
+                  ORDER BY n DESC, l_quantity) AS rk
+              FROM c)
+       SELECT l_returnflag, l_quantity AS mode_qty, n
+       FROM r WHERE rk = 1 ORDER BY l_returnflag"""
+
   /** JSON field extraction from events.props — codegen'd path expression, no
     * UDF. */
   def jsonExtract(s: SparkSession, d: String): DataFrame =
