@@ -95,6 +95,7 @@ object SparkEntry {
     "q_corr" -> (Advanced.corr2 _),
     "q_salted_join" -> (Advanced.saltedJoin _),
     "q_bucketed_join" -> (Advanced.bucketedJoin _),
+    "q_topk_per_key" -> (Advanced.topKPerKeyQuery _),
     "q_approx_distinct" -> (Advanced.approxDistinct _),
   )
 
@@ -347,6 +348,7 @@ object SparkEntry {
     "q_corr" -> Advanced.corr2Sql,
     "q_salted_join" -> Advanced.saltedJoinSql,
     "q_bucketed_join" -> Advanced.bucketedJoinSql,
+    "q_topk_per_key" -> Advanced.topKPerKeySql,
     // q_approx_distinct: intentionally NO oracle — HLL sketches are
     // engine-specific; the spec bounds relative error instead.
   )

@@ -157,6 +157,28 @@ object Advanced {
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** Top-3 orders per customer through the custom TopKPerKey operator
+    * (graft.plans: LogicalPlan + Strategy + partial/final SparkPlans with
+    * bounded heaps — shuffles at most k rows per key per input partition
+    * instead of sorting whole partitions). Oracle is the window formulation:
+    * the custom physical operator must reproduce it exactly. */
+  def topKPerKeyQuery(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    graft.plans.TopKPerKey.topKPerKey(o, 3,
+      Seq("o_custkey"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true))
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  val topKPerKeySql: String =
+    """WITH r AS (
+         SELECT o_orderkey, o_custkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey) AS rk
+         FROM orders)
+       SELECT o_orderkey, o_custkey, o_totalprice FROM r WHERE rk <= 3
+       ORDER BY o_custkey, o_totalprice DESC, o_orderkey"""
+
   /** HLL approximate distinct alongside the exact value. No DuckDB oracle —
     * sketch implementations differ across engines by design; the spec bounds
     * the relative error instead. */
