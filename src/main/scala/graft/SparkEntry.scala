@@ -240,10 +240,11 @@ object SparkEntry {
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
          sum(l_quantity) OVER (PARTITION BY l_suppkey
-           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                    l_partkey, l_quantity, l_extendedprice
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
          FROM lineitem
-         ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""",
+         ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, running_qty""",
     "q_window_rank" ->
       """SELECT c_custkey, c_nationkey, c_acctbal,
          CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT) AS bal_rank,

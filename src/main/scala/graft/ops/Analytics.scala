@@ -134,16 +134,20 @@ object Analytics {
       .orderBy("event_id")
   }
 
-  /** Running total with an explicit ROWS frame; window order is made total by
-    * (shipdate, orderkey, linenumber) so the running sum is deterministic. */
+  /** Running total with an explicit ROWS frame. The corpus has DUPLICATE
+    * (l_orderkey, l_linenumber) pairs, so the window order includes partkey,
+    * quantity and price: any rows still tied are identical in the summed
+    * column, making every prefix sum deterministic; running_qty joins the
+    * final sort for a fully deterministic output order. */
   def windowRunning(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, d)
       .withColumn("running_qty", sum(col("l_quantity")).over(w))
       .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "running_qty")
-      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "running_qty")
   }
 
   /** RANK / DENSE_RANK per nation (ties share rank — deterministic without a
