@@ -96,6 +96,8 @@ object SparkEntry {
     "q_salted_join" -> (Advanced.saltedJoin _),
     "q_bucketed_join" -> (Advanced.bucketedJoin _),
     "q_topk_per_key" -> (Advanced.topKPerKeyQuery _),
+    "q_dq_report" -> (graft.ops.Quality.dqReport _),
+    "q_scd2" -> (graft.ops.Quality.scd2Build _),
     "q_approx_distinct" -> (Advanced.approxDistinct _),
   )
 
@@ -350,6 +352,8 @@ object SparkEntry {
     "q_salted_join" -> Advanced.saltedJoinSql,
     "q_bucketed_join" -> Advanced.bucketedJoinSql,
     "q_topk_per_key" -> Advanced.topKPerKeySql,
+    "q_dq_report" -> graft.ops.Quality.dqReportSql,
+    "q_scd2" -> graft.ops.Quality.scd2BuildSql,
     // q_approx_distinct: intentionally NO oracle — HLL sketches are
     // engine-specific; the spec bounds relative error instead.
   )

@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pipeline data-quality operators: constraint auditing and SCD-2 dimension
+  * maintenance — the ETL-surface a production ingest (like the reference's
+  * star-schema build) runs before/while publishing tables.
+  */
+object Quality {
+
+  /** Data-quality audit across the star schema: per-check violation counts
+    * (referential integrity, domain ranges, duplicates). One row per check —
+    * the shape a pipeline gate consumes. Each check is a single aggregate or
+    * anti-join: all shuffle-light, all pushdown-friendly. */
+  def dqReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+
+    val orphanLineitems = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti").count()
+    val orphanOrders = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti").count()
+    val orphanCustomers = c.join(n, c("c_nationkey") === n("n_nationkey"), "left_anti").count()
+    val badDiscount = li.filter(col("l_discount") < 0 || col("l_discount") > 1).count()
+    val badQty = li.filter(col("l_quantity") <= 0).count()
+    val dupOrders = o.groupBy("o_orderkey").count().filter(col("count") > 1).count()
+    val nullKeys = li.filter(col("l_orderkey").isNull || col("l_partkey").isNull).count()
+
+    Seq(
+      ("fk_lineitem_orders_orphans", orphanLineitems),
+      ("fk_orders_customer_orphans", orphanOrders),
+      ("fk_customer_nation_orphans", orphanCustomers),
+      ("domain_discount_out_of_range", badDiscount),
+      ("domain_quantity_nonpositive", badQty),
+      ("unique_orderkey_duplicates", dupOrders),
+      ("null_lineitem_keys", nullKeys))
+      .toDF("check_name", "violations")
+      .orderBy("check_name")
+  }
+
+  val dqReportSql: String =
+    """SELECT * FROM (
+         SELECT 'fk_lineitem_orders_orphans' AS check_name, count(*) AS violations
+         FROM lineitem WHERE NOT EXISTS
+           (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+         UNION ALL
+         SELECT 'fk_orders_customer_orphans', count(*)
+         FROM orders WHERE NOT EXISTS
+           (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+         UNION ALL
+         SELECT 'fk_customer_nation_orphans', count(*)
+         FROM customer WHERE NOT EXISTS
+           (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+         UNION ALL
+         SELECT 'domain_discount_out_of_range', count(*)
+         FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+         UNION ALL
+         SELECT 'domain_quantity_nonpositive', count(*)
+         FROM lineitem WHERE l_quantity <= 0
+         UNION ALL
+         SELECT 'unique_orderkey_duplicates', count(*)
+         FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+         UNION ALL
+         SELECT 'null_lineitem_keys', count(*)
+         FROM lineitem WHERE l_orderkey IS NULL OR l_partkey IS NULL)
+       ORDER BY check_name"""
+
+  /** SCD Type-2 dimension build: apply a deterministic change-set to the
+    * customer dim, emitting versioned rows (old version closed, new version
+    * current). The change-set is derived from the data itself (customers
+    * whose balance exceeds a threshold "move" to segment PREMIUM) so the
+    * oracle can reproduce it exactly. Shape: union of (unchanged current),
+    * (closed old), (opened new) — the standard merge-free SCD-2 formulation,
+    * one broadcast-joinable change-set against the dim. */
+  def scd2Build(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val changed = c.filter(col("c_acctbal") > 9000)
+    val unchanged = c.filter(col("c_acctbal") <= 9000)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        lit(1).as("version"), lit(true).as("is_current"))
+    val closedOld = changed
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        lit(1).as("version"), lit(false).as("is_current"))
+    val openedNew = changed
+      .select(col("c_custkey"), col("c_name"), lit("PREMIUM").as("c_mktsegment"),
+        lit(2).as("version"), lit(true).as("is_current"))
+    unchanged.unionByName(closedOld).unionByName(openedNew)
+      .orderBy("c_custkey", "version")
+  }
+
+  val scd2BuildSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment, 1 AS version,
+              true AS is_current
+       FROM customer WHERE c_acctbal <= 9000
+       UNION ALL
+       SELECT c_custkey, c_name, c_mktsegment, 1, false
+       FROM customer WHERE c_acctbal > 9000
+       UNION ALL
+       SELECT c_custkey, c_name, 'PREMIUM', 2, true
+       FROM customer WHERE c_acctbal > 9000
+       ORDER BY c_custkey, version"""
+}
