@@ -67,6 +67,9 @@ object SparkEntry {
     "q_dedup_minhash" -> (Dedup.minhashPairs _),
     "q_dedup_simhash" -> (Dedup.simhashPairs _),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
+    "q_dedup_clusters" -> (Dedup.dedupClusters _),
+    "q_vec_quantize" -> (Similarity.quantizeVectors _),
+    "q_dq_detect" -> (graft.ops.Quality.dqDetect _),
     "q_ann_topk" -> (Similarity.annTopK _),
     "q_ann_lsh" -> (Similarity.annLsh _),
     "q_ann_ivf" -> (Similarity.annIvf _),
@@ -321,6 +324,9 @@ object SparkEntry {
     "q_dedup_minhash" -> Dedup.minhashPairsSql,
     "q_dedup_simhash" -> Dedup.simhashPairsSql,
     "q_dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql,
+    "q_dedup_clusters" -> Dedup.dedupClustersSql,
+    "q_vec_quantize" -> Similarity.quantizeVectorsSql,
+    "q_dq_detect" -> graft.ops.Quality.dqDetectSql,
     "q_ann_topk" -> Similarity.annTopKSql,
     "q_ann_lsh" -> Similarity.annLshSql,
     "q_ann_ivf" -> Similarity.annIvfSql,

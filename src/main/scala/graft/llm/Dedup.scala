@@ -257,6 +257,57 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over the near-dup pair graph — the dedup DECISION
+    * step: each document maps to its cluster (min doc_id reachable through
+    * near-dup edges); keepers are cluster representatives. Spark side:
+    * min-label propagation (one equi-join per iteration — the Pregel-lite
+    * pattern that scales to billions of edges); fixpoint is exact for any
+    * iteration count >= the min-node eccentricity (clusters here are tiny;
+    * 15 is generous). Oracle: exact transitive closure via WITH RECURSIVE. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccardPairs(s, d).select("doc_a", "doc_b").cache()
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    (1 to 15).foreach { _ =>
+      val viaNeighbor = edges
+        .join(labels, edges("doc_b") === labels("doc_id"))
+        .select(edges("doc_a").as("doc_id"), col("label"))
+      // localCheckpoint per iteration: each step references `labels` twice,
+      // so an unmaterialized lineage doubles per round (2^15 plan blowup);
+      // checkpointing truncates the logical plan, the standard move for
+      // iterative algorithms on DataFrames.
+      labels = labels.union(viaNeighbor)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $shinglesSql,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        jp AS (SELECT doc_a, doc_b
+               FROM inter JOIN sizes na ON doc_a = na.doc_id
+                          JOIN sizes nb ON doc_b = nb.doc_id
+               WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= $JaccardThreshold),
+        edges AS (SELECT doc_a AS s, doc_b AS t FROM jp
+                  UNION ALL SELECT doc_b, doc_a FROM jp),
+        nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
+        reach AS (SELECT doc_id, doc_id AS r FROM nodes
+                  UNION
+                  SELECT reach.doc_id, e.t FROM reach JOIN edges e ON reach.r = e.s)
+        SELECT doc_id, min(r) AS cluster_id, (doc_id = min(r)) AS is_keeper
+        FROM reach GROUP BY doc_id ORDER BY doc_id"""
+
   val ngramJaccardPairsSql: String =
     s"""WITH $shinglesSql,
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

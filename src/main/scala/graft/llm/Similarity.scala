@@ -170,6 +170,36 @@ object Similarity {
              generate_series(1, 64) t(i)
         GROUP BY 1, 2 ORDER BY query_id, neighbor_id"""
 
+  /** Scalar int8 quantization of embeddings — the storage-side companion of
+    * ANN (4x smaller vectors, SIMD-friendly distance kernels downstream).
+    * q = floor(x * 127 / max_abs + 0.5), clamped: floor(+0.5) instead of
+    * round() because round's half-way tie-breaking differs across engines
+    * while floor of identical doubles cannot. */
+  def quantizeVectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("max_abs", expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"))
+      .select(
+        col("vec_id"),
+        round(col("max_abs"), 6).as("scale_max"),
+        expr("""transform(embedding,
+                 x -> CAST(greatest(-127, least(127,
+                      floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5d))) AS INT))""")
+          .as("qvec"))
+      .orderBy("vec_id")
+
+  val quantizeVectorsSql: String =
+    """WITH m AS (
+         SELECT vec_id, embedding,
+           (SELECT max(abs(CAST(u.x AS DOUBLE)))
+            FROM unnest(embedding) AS u(x)) AS max_abs
+         FROM embeddings)
+       SELECT vec_id, round(max_abs, 6) AS scale_max,
+         list_transform(embedding,
+           x -> CAST(greatest(-127, least(127,
+                floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5))) AS INT)) AS qvec
+       FROM m ORDER BY vec_id"""
+
   private val bucketsSql: String =
     s"""w AS (SELECT p, i, CASE WHEN CAST('0x' || substr(md5(p || ':' || i), 1, 1) AS INT) < 8
                 THEN 1 ELSE -1 END AS w

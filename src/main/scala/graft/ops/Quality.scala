@@ -69,6 +69,45 @@ object Quality {
          FROM lineitem WHERE l_orderkey IS NULL OR l_partkey IS NULL)
        ORDER BY check_name"""
 
+  /** DQ detection variant: inject a deterministic corruption set (negative
+    * quantities on every 997th lineitem row, orphaned order keys on every
+    * 991st) and prove the checks actually fire — the audit must count
+    * exactly the injected rows. */
+  def dqDetect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .withColumn("l_quantity",
+        when(col("l_orderkey") % 997 === 0, -col("l_quantity"))
+          .otherwise(col("l_quantity")))
+      .withColumn("l_orderkey",
+        when(col("l_orderkey") % 991 === 0, -col("l_orderkey") - 1000000000L)
+          .otherwise(col("l_orderkey")))
+    val o = Tables.orders(s, d)
+    val badQty = li.filter(col("l_quantity") < 0).count()
+    val orphans = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti").count()
+    Seq(
+      ("injected_negative_qty", badQty),
+      ("injected_fk_orphans", orphans))
+      .toDF("check_name", "violations")
+      .orderBy("check_name")
+  }
+
+  val dqDetectSql: String =
+    """WITH li AS (
+         SELECT CASE WHEN l_orderkey % 997 = 0 THEN -l_quantity
+                     ELSE l_quantity END AS l_quantity,
+                CASE WHEN l_orderkey % 991 = 0 THEN -l_orderkey - 1000000000
+                     ELSE l_orderkey END AS l_orderkey
+         FROM lineitem)
+       SELECT * FROM (
+         SELECT 'injected_fk_orphans' AS check_name, count(*) AS violations
+         FROM li WHERE NOT EXISTS
+           (SELECT 1 FROM orders WHERE o_orderkey = li.l_orderkey)
+         UNION ALL
+         SELECT 'injected_negative_qty', count(*)
+         FROM li WHERE l_quantity < 0)
+       ORDER BY check_name"""
+
   /** SCD Type-2 dimension build: apply a deterministic change-set to the
     * customer dim, emitting versioned rows (old version closed, new version
     * current). The change-set is derived from the data itself (customers
