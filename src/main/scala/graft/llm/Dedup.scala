@@ -271,17 +271,27 @@ object Dedup {
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint(true)
-    (1 to 15).foreach { _ =>
-      val viaNeighbor = edges
-        .join(labels, edges("doc_b") === labels("doc_id"))
-        .select(edges("doc_a").as("doc_id"), col("label"))
-      // localCheckpoint per iteration: each step references `labels` twice,
-      // so an unmaterialized lineage doubles per round (2^15 plan blowup);
-      // checkpointing truncates the logical plan, the standard move for
-      // iterative algorithms on DataFrames.
-      labels = labels.union(viaNeighbor)
-        .groupBy("doc_id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+    // Label sums decrease monotonically and stabilize exactly at the
+    // fixpoint, so they double as a convergence check (one cheap action per
+    // round over the checkpointed frame). Iteration cap is a safety net for
+    // pathological path-shaped components.
+    var prevSum = Long.MaxValue
+    var converged = false
+    (1 to 30).foreach { _ =>
+      if (!converged) {
+        val viaNeighbor = edges
+          .join(labels, edges("doc_b") === labels("doc_id"))
+          .select(edges("doc_a").as("doc_id"), col("label"))
+        // localCheckpoint per iteration: each step references `labels` twice,
+        // so an unmaterialized lineage doubles per round (2^n plan blowup);
+        // checkpointing truncates the logical plan, the standard move for
+        // iterative algorithms on DataFrames.
+        labels = labels.union(viaNeighbor)
+          .groupBy("doc_id").agg(min("label").as("label"))
+          .localCheckpoint(true)
+        val s = labels.agg(sum("label")).head().getLong(0)
+        if (s == prevSum) converged = true else prevSum = s
+      }
     }
     labels
       .select(col("doc_id"), col("label").as("cluster_id"),
