@@ -78,6 +78,9 @@ object SparkEntry {
     "q_text_quality" -> (TextAnalysis.quality _),
     "q_lang_id" -> (TextAnalysis.langId _),
     "q_token_counts" -> (TextAnalysis.tokenCounts _),
+    "q_hash_sample" -> (TextAnalysis.hashSample _),
+    "q_stratified_sample" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.stratifiedSample(s, d)),
     "q_media_meta" -> (Multimodal.mediaMeta _),
     "q_media_features" -> (Multimodal.mediaFeatures _),
     // Execution control, generators, custom aggregator, streaming
@@ -335,6 +338,8 @@ object SparkEntry {
     "q_text_quality" -> TextAnalysis.qualitySql,
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_token_counts" -> TextAnalysis.tokenCountsSql,
+    "q_hash_sample" -> TextAnalysis.hashSampleSql,
+    "q_stratified_sample" -> TextAnalysis.stratifiedSampleSql,
     "q_media_meta" -> Multimodal.mediaMetaSql,
     "q_media_features" -> Multimodal.mediaFeaturesSql,
     "q_cached_fanout" -> Execution.cachedFanoutSql,

@@ -113,6 +113,50 @@ object TextAnalysis {
        CAST(floor(length(text) / 4.0) AS INT) AS approx_bpe
        FROM documents ORDER BY doc_id"""
 
+  /** Deterministic hash sampling — the reproducible subsampling every
+    * training-data pipeline needs (a seeded random sample differs per engine
+    * and per partitioning; a content-hash systematic sample is stable
+    * everywhere): keep documents whose md5(doc_id) bucket is 0 mod 10. */
+  def hashSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 7), 16, 10)
+          .cast(LongType) % 10)
+      .filter(col("bucket") === 0)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  val hashSampleSql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+       WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10 = 0
+       ORDER BY doc_id"""
+
+  /** Stratified deterministic sampling: k docs per language, selected by
+    * hash order (uniform within stratum, reproducible across engines). */
+  def stratifiedSample(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 7), 16, 10)
+          .cast(LongType))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  val stratifiedSampleSql: String =
+    """WITH h AS (
+         SELECT doc_id, lang,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) AS h
+         FROM documents),
+       r AS (
+         SELECT doc_id, lang,
+           CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS INT) AS rk
+         FROM h)
+       SELECT doc_id, lang, rk FROM r WHERE rk <= 20 ORDER BY lang, rk"""
+
   /** TF-IDF top term per document — the inverted-index scoring pattern:
     * explode tokens -> per-(doc, term) TF -> per-term DF (one small
     * aggregate) -> score = tf * ln(N/df). The DF side is corpus-vocabulary
