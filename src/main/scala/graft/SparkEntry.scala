@@ -51,6 +51,9 @@ object SparkEntry {
     "q_window_running" -> (Analytics.windowRunning _),
     "q_window_rank" -> (Analytics.windowRank _),
     "q_window_distribution" -> (Analytics.windowDistribution _),
+    "q_window_first_last" -> (Analytics.windowFirstLast _),
+    "q_conditional_agg" -> (Analytics.conditionalAgg _),
+    "q_date_arithmetic" -> (Analytics.dateArithmetic _),
     "q_mode" -> (Analytics.modeAgg _),
     "q_json_extract" -> (Analytics.jsonExtract _),
     "q_array_funcs" -> (Analytics.arrayFuncs _),
@@ -259,6 +262,9 @@ object SparkEntry {
          CAST(dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT) AS bal_dense_rank
          FROM customer ORDER BY c_custkey""",
     "q_window_distribution" -> Analytics.windowDistributionSql,
+    "q_window_first_last" -> Analytics.windowFirstLastSql,
+    "q_conditional_agg" -> Analytics.conditionalAggSql,
+    "q_date_arithmetic" -> Analytics.dateArithmeticSql,
     "q_mode" -> Analytics.modeAggSql,
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k

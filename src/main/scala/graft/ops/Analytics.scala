@@ -161,6 +161,74 @@ object Analytics {
       .orderBy("c_custkey")
   }
 
+  /** FIRST_VALUE / LAST_VALUE over explicit frames: each user's first and
+    * latest event value as of each row (running frame for last, full-frame
+    * first). */
+  def windowFirstLast(s: SparkSession, d: String): DataFrame = {
+    val base = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(
+        col("event_id"), col("user_id"), col("value"),
+        first(col("value")).over(run).as("first_value_so_far"),
+        last(col("value")).over(run).as("latest_value"))
+      .orderBy("event_id")
+  }
+
+  val windowFirstLastSql: String =
+    """SELECT event_id, user_id, value,
+       first_value(value) OVER w AS first_value_so_far,
+       last_value(value) OVER w AS latest_value
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       ORDER BY event_id"""
+
+  /** Conditional aggregation (FILTER / count_if shapes) in one pass. */
+  def conditionalAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("clicks"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"),
+        sum(when(col("event_type") === "purchase", dec(col("value")))
+          .otherwise(lit(0).cast(DecimalType(18, 4))))
+          .cast(DoubleType).as("purchase_value"),
+        max(when(col("event_type") === "error", col("ts"))).as("last_error"))
+      .orderBy("user_id")
+
+  val conditionalAggSql: String =
+    """SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS clicks,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+       CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(value AS DECIMAL(18,4))
+                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS purchase_value,
+       max(CASE WHEN event_type = 'error' THEN ts END) AS last_error
+       FROM events GROUP BY user_id ORDER BY user_id"""
+
+  /** Date arithmetic suite: day diffs, additions, truncations — all integer
+    * or timestamp-exact. */
+  def dateArithmetic(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        datediff(lit("2002-01-01").cast(DateType), col("o_orderdate").cast(DateType))
+          .as("days_to_2002"),
+        date_add(col("o_orderdate").cast(DateType), 30).as("due_date"),
+        date_trunc("month", col("o_orderdate")).as("order_month"),
+        last_day(col("o_orderdate").cast(DateType)).as("month_end"))
+      .orderBy("o_orderkey")
+
+  val dateArithmeticSql: String =
+    """SELECT o_orderkey,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT)
+         AS days_to_2002,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end
+       FROM orders ORDER BY o_orderkey"""
+
   /** Distribution window functions: ntile / percent_rank / cume_dist — all
     * integer-ratio math (exact doubles, engine-portable). Total order via the
     * unique key keeps every value deterministic. */
