@@ -32,10 +32,17 @@ object Bench {
       .groupBy("r_name").count()
       .write.format("noop").mode("overwrite").save()
 
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      // A swallowed failure would contribute a near-zero time and make the
+      // JSON look healthy — record it loudly instead.
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable =>
+          errors += name
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // Queries cache() intermediates for intra-query reuse; drop them so 69
       // queries' worth of stale blocks don't squeeze execution memory and
@@ -45,8 +52,15 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // The driver captures a bounded stdout tail; a 79-query JSON line can
+    // overrun it. Persist the full line so totals parse reliably.
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

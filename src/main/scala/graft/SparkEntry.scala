@@ -371,7 +371,8 @@ object SparkEntry {
     "q_topk_per_key" -> Advanced.topKPerKeySql,
     "q_dq_report" -> graft.ops.Quality.dqReportSql,
     "q_scd2" -> graft.ops.Quality.scd2BuildSql,
-    // q_approx_distinct: intentionally NO oracle — HLL sketches are
-    // engine-specific; the spec bounds relative error instead.
+    // HLL sketch internals are engine-specific; the portable surface is the
+    // exact count + the error-bound boolean, both verified by DuckDB.
+    "q_approx_distinct" -> Advanced.approxDistinctSql,
   )
 }

@@ -174,7 +174,9 @@ object Similarity {
     * ANN (4x smaller vectors, SIMD-friendly distance kernels downstream).
     * q = floor(x * 127 / max_abs + 0.5), clamped: floor(+0.5) instead of
     * round() because round's half-way tie-breaking differs across engines
-    * while floor of identical doubles cannot. */
+    * while floor of identical doubles cannot. The quantized vector is emitted
+    * as a comma-joined string (qvec_csv): the driver's differential comparator
+    * sorts rows via pandas, and raw array columns are unhashable there. */
   def quantizeVectors(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .withColumn("max_abs", expr(
@@ -182,10 +184,10 @@ object Similarity {
       .select(
         col("vec_id"),
         round(col("max_abs"), 6).as("scale_max"),
-        expr("""transform(embedding,
+        array_join(expr("""transform(embedding,
                  x -> CAST(greatest(-127, least(127,
-                      floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5d))) AS INT))""")
-          .as("qvec"))
+                      floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5d))) AS INT))"""), ",")
+          .as("qvec_csv"))
       .orderBy("vec_id")
 
   val quantizeVectorsSql: String =
@@ -195,9 +197,9 @@ object Similarity {
             FROM unnest(embedding) AS u(x)) AS max_abs
          FROM embeddings)
        SELECT vec_id, round(max_abs, 6) AS scale_max,
-         list_transform(embedding,
+         array_to_string(list_transform(embedding,
            x -> CAST(greatest(-127, least(127,
-                floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5))) AS INT)) AS qvec
+                floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5))) AS INT)), ',') AS qvec_csv
        FROM m ORDER BY vec_id"""
 
   private val bucketsSql: String =

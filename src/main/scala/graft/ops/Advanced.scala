@@ -179,16 +179,27 @@ object Advanced {
        SELECT o_orderkey, o_custkey, o_totalprice FROM r WHERE rk <= 3
        ORDER BY o_custkey, o_totalprice DESC, o_orderkey"""
 
-  /** HLL approximate distinct alongside the exact value. No DuckDB oracle —
-    * sketch implementations differ across engines by design; the spec bounds
-    * the relative error instead. */
+  /** HLL approximate distinct alongside the exact value. Sketch estimates are
+    * engine-specific, so the oracle gate works on what IS portable: the exact
+    * count plus a Spark-computed `within_5pct` boolean asserting the sketch's
+    * relative error bound. DuckDB recomputes the exact count and expects
+    * `true` — a hard gate on both the exact path and the sketch's accuracy
+    * claim, without requiring bit-identical HLL internals. */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy("event_type")
       .agg(
         countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")).cast(DoubleType) /
+          col("exact_users") <= 0.05).as("within_5pct"))
       .orderBy("event_type")
+
+  val approxDistinctSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       true AS within_5pct
+       FROM events GROUP BY event_type ORDER BY event_type"""
 
   /** RANGE JOIN: pairs of same-user events within 60 s of each other,
     * blocked by time bucket — each event joins only its own and the adjacent

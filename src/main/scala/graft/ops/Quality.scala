@@ -13,32 +13,54 @@ object Quality {
 
   /** Data-quality audit across the star schema: per-check violation counts
     * (referential integrity, domain ranges, duplicates). One row per check —
-    * the shape a pipeline gate consumes. Each check is a single aggregate or
-    * anti-join: all shuffle-light, all pushdown-friendly. */
+    * the shape a pipeline gate consumes.
+    *
+    * Built as ONE lazy plan (a union of aggregate branches), not N driver
+    * actions: the three row-local lineitem checks fuse into a single
+    * conditional-aggregate scan (then stack() unpivots), the duplicate check
+    * is one groupBy branch, and the referential checks stay as anti-join
+    * count branches. At 100 TB this is the difference between one pass per
+    * table and seven full-table jobs. */
   def dqReport(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val li = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
     val n = Tables.nation(s, d)
 
-    val orphanLineitems = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti").count()
-    val orphanOrders = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti").count()
-    val orphanCustomers = c.join(n, c("c_nationkey") === n("n_nationkey"), "left_anti").count()
-    val badDiscount = li.filter(col("l_discount") < 0 || col("l_discount") > 1).count()
-    val badQty = li.filter(col("l_quantity") <= 0).count()
-    val dupOrders = o.groupBy("o_orderkey").count().filter(col("count") > 1).count()
-    val nullKeys = li.filter(col("l_orderkey").isNull || col("l_partkey").isNull).count()
+    // All three row-local lineitem checks in a single scan; count(when(...))
+    // is null-skipping so each column is an independent violation count.
+    val liChecks = li.agg(
+        count(when(col("l_discount") < 0 || col("l_discount") > 1, 1))
+          .as("domain_discount_out_of_range"),
+        count(when(col("l_quantity") <= 0, 1))
+          .as("domain_quantity_nonpositive"),
+        count(when(col("l_orderkey").isNull || col("l_partkey").isNull, 1))
+          .as("null_lineitem_keys"))
+      .select(expr(
+        """stack(3,
+             'domain_discount_out_of_range', domain_discount_out_of_range,
+             'domain_quantity_nonpositive', domain_quantity_nonpositive,
+             'null_lineitem_keys', null_lineitem_keys)
+           AS (check_name, violations)"""))
 
-    Seq(
-      ("fk_lineitem_orders_orphans", orphanLineitems),
-      ("fk_orders_customer_orphans", orphanOrders),
-      ("fk_customer_nation_orphans", orphanCustomers),
-      ("domain_discount_out_of_range", badDiscount),
-      ("domain_quantity_nonpositive", badQty),
-      ("unique_orderkey_duplicates", dupOrders),
-      ("null_lineitem_keys", nullKeys))
-      .toDF("check_name", "violations")
+    def countBranch(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"))
+
+    val fkLineitem = countBranch("fk_lineitem_orders_orphans",
+      li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti"))
+    val fkOrders = countBranch("fk_orders_customer_orphans",
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_anti"))
+    val fkCustomers = countBranch("fk_customer_nation_orphans",
+      c.join(n, c("c_nationkey") === n("n_nationkey"), "left_anti"))
+    val dupOrders = countBranch("unique_orderkey_duplicates",
+      o.groupBy("o_orderkey").agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1))
+
+    liChecks
+      .unionByName(fkLineitem)
+      .unionByName(fkOrders)
+      .unionByName(fkCustomers)
+      .unionByName(dupOrders)
       .orderBy("check_name")
   }
 
@@ -74,7 +96,6 @@ object Quality {
     * 991st) and prove the checks actually fire — the audit must count
     * exactly the injected rows. */
   def dqDetect(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val li = Tables.lineitem(s, d)
       .withColumn("l_quantity",
         when(col("l_orderkey") % 997 === 0, -col("l_quantity"))
@@ -83,13 +104,15 @@ object Quality {
         when(col("l_orderkey") % 991 === 0, -col("l_orderkey") - 1000000000L)
           .otherwise(col("l_orderkey")))
     val o = Tables.orders(s, d)
-    val badQty = li.filter(col("l_quantity") < 0).count()
-    val orphans = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti").count()
-    Seq(
-      ("injected_negative_qty", badQty),
-      ("injected_fk_orphans", orphans))
-      .toDF("check_name", "violations")
-      .orderBy("check_name")
+    // Same single-lazy-plan shape as dqReport: union of count branches,
+    // zero driver-side actions.
+    val badQty = li.filter(col("l_quantity") < 0)
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("injected_negative_qty").as("check_name"), col("violations"))
+    val orphans = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("injected_fk_orphans").as("check_name"), col("violations"))
+    badQty.unionByName(orphans).orderBy("check_name")
   }
 
   val dqDetectSql: String =

@@ -28,6 +28,7 @@ class PipelineOpsSpec extends SparkSpec {
   test("int8 quantization: dequantization error within half a step") {
     val q = Similarity.quantizeVectors(spark, Sf)
       .join(Tables.embeddings(spark, Sf), "vec_id")
+      .withColumn("qvec", expr("transform(split(qvec_csv, ','), v -> CAST(v AS INT))"))
     // |x - q*max/127| <= max/254 (+ eps for the rounded scale column)
     val bad = q.select(
         expr("""aggregate(zip_with(embedding, qvec,

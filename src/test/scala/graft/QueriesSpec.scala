@@ -21,10 +21,8 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("every query has an oracle (except declared sketch ops)") {
-    val noOracleByDesign = Set("q_approx_distinct") // HLL sketches are engine-specific
-    val missing =
-      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- noOracleByDesign
+  test("every query has an oracle") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 
