@@ -23,8 +23,12 @@ import org.apache.spark.sql.types._
   *    cross join. Exact Jaccard runs only on candidate pairs (here on the
   *    shared-shingle inverted index, the standard exact-join trick).
   *  - Skew: a stop-shingle appearing in f docs costs f^2 pairs in the
-  *    inverted-index join; production would drop shingles with doc-frequency
-  *    above a cap (cheap extra groupBy). Corpus df is small enough here.
+  *    inverted-index join. The Jaccard index therefore drops shingles with
+  *    doc-frequency > [[ShingleDfCap]] before the self-join (one extra
+  *    map-side-combining groupBy + a broadcast anti-join — no new shuffle of
+  *    the shingle stream). Stop-shingles carry no dedup signal anyway; both
+  *    the Spark side and the oracle SQL compute Jaccard over the capped
+  *    shingle universe, so the differential check gates the capped semantics.
   */
 object Dedup {
 
@@ -37,6 +41,11 @@ object Dedup {
   val MinhashMatchThreshold = 8 // >= 8/16 equal signature components
   val HammingMax = 3
   val JaccardThreshold = 0.5
+  /** Max doc-frequency a shingle may have and still enter the Jaccard
+    * inverted index: one shingle in f docs costs f^2 candidate pairs, so a
+    * single hot stop-shingle would create a quadratic reducer at scale.
+    * Corpus max df is 25 at sf0.1, so 50 leaves real results untouched. */
+  val ShingleDfCap = 50
 
   /** Affine permutation constants a_i, b_i — deterministic, shared with SQL. */
   val HashA: IndexedSeq[Long] = (0 until NumHashes).map(i => ((i + 1) * 2654435761L) % 4294967291L)
@@ -60,11 +69,24 @@ object Dedup {
   private def baseHash(c: Column): Column =
     conv(substring(md5(c), 1, 7), 16, 10).cast(LongType)
 
-  /** SQL fragment mirroring [[shingles]]; words bounded by 300 (max ~100). */
+  /** Word-position bound for the oracle's constant-range shingle expansion
+    * (DuckDB can't lateral-join generate_series on a column). Corpus max is
+    * 100 words; DedupSpec asserts every SF stays under this bound, because a
+    * longer document would make the oracle silently drop shingles. */
+  val MaxWords = 300
+
+  /** SQL fragment mirroring [[shingles]]. */
   private val shinglesSql =
-    """words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
-              FROM words, generate_series(1, 300) t(i) WHERE i <= len(ws) - 2)"""
+              FROM words, generate_series(1, $MaxWords) t(i) WHERE i <= len(ws) - 2)"""
+
+  /** [[shinglesSql]] plus the df-cap: `capped` is the skew-safe inverted
+    * index (stop-shingles with df > ShingleDfCap removed). */
+  private val cappedShinglesSql =
+    s"""$shinglesSql,
+       hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > $ShingleDfCap),
+       capped AS (SELECT doc_id, sh FROM sh WHERE sh NOT IN (SELECT sh FROM hot))"""
 
   // =========================================================================
   // Exact dedup: hash-groupBy on content digest.
@@ -238,10 +260,24 @@ object Dedup {
   }
 
   // =========================================================================
-  // Exact n-gram Jaccard via shared-shingle inverted index.
+  // Exact n-gram Jaccard via shared-shingle inverted index (df-capped).
   // =========================================================================
+
+  /** Inverted index with stop-shingles removed: a shingle in > ShingleDfCap
+    * docs would contribute df^2 rows to the self-join — the one skew hazard
+    * of the exact-Jaccard formulation. The df aggregate combines map-side
+    * (hot key collapses to one row per partition) and the hot set is tiny,
+    * so the anti-join broadcasts: no extra shuffle of the shingle stream. */
+  private def cappedShingles(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap)
+      .select("sh")
+    sh.join(broadcast(hot), Seq("sh"), "left_anti")
+  }
+
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).cache()
+    val sh = cappedShingles(s, d).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b,
@@ -300,10 +336,10 @@ object Dedup {
   }
 
   val dedupClustersSql: String =
-    s"""WITH RECURSIVE $shinglesSql,
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    s"""WITH RECURSIVE $cappedShinglesSql,
+        sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
                   GROUP BY 1, 2),
         jp AS (SELECT doc_a, doc_b
                FROM inter JOIN sizes na ON doc_a = na.doc_id
@@ -319,10 +355,10 @@ object Dedup {
         FROM reach GROUP BY doc_id ORDER BY doc_id"""
 
   val ngramJaccardPairsSql: String =
-    s"""WITH $shinglesSql,
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    s"""WITH $cappedShinglesSql,
+        sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
                   GROUP BY 1, 2)
         SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
         FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id

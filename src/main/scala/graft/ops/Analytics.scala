@@ -414,10 +414,12 @@ object Analytics {
 
   /** Scalable deterministic global row-number: per-partition counts + offsets
     * instead of a single-partition window — the 100 TB answer to the
-    * reference's W2 (T:294-298). Requires the input to be range-partitioned by
-    * the order key so partition index order == key order. Not oracle-checked
-    * directly (row ids depend on partitioning); factSongplays carries the
-    * oracle-checked single-window variant. */
+    * reference's W2 (T:294-298). Range-partitions by the order key so
+    * partition index order == key order; with a unique key the assigned ids
+    * equal rank(key) regardless of partitioning, so the result is
+    * deterministic and oracle-comparable. This IS the numbering path of the
+    * flagship factSongplays (oracle-gated against the window formulation);
+    * the extra counts pass collects one int per partition. */
   def scalableRowNumber(df: DataFrame, orderCol: String): DataFrame = {
     val sorted = df.repartitionByRange(col(orderCol)).sortWithinPartitions(orderCol)
     val spark = df.sparkSession

@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -129,10 +128,13 @@ object Relational {
     * side never shuffles for these joins; (2) the reference's
     * `row_number() over (order by "idx")` orders by a string CONSTANT
     * (nondeterministic, T:296) — we implement the documented intent and order
-    * by the unique event_id. The global window is a single-partition exchange;
-    * it exists only to reproduce the reference's sequential-id semantics. At
-    * scale the id would come from zipWithIndex-style per-partition offsets
-    * (see graft.ops.Analytics.scalableRowNumber). */
+    * by the unique event_id; (3) the numbering runs through
+    * [[graft.ops.Analytics.scalableRowNumber]] (range partition + per-
+    * partition offsets) instead of a global window, so the fact table never
+    * funnels through a single-partition exchange — the ids are identical
+    * (rank of the unique event_id) but the path survives 100x. The id stays
+    * INT for reference/oracle parity (the reference's row_number is 32-bit);
+    * a >2^31-row build would switch the column to the underlying LONG. */
   def factSongplays(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
     val c = Tables.customer(s, d)
@@ -148,8 +150,8 @@ object Relational {
         c("c_name").as("user_name"), c("c_mktsegment").as("level"),
         n("n_name").as("nation"), r("r_name").as("region"),
         year(e("ts")).as("year"), month(e("ts")).as("month"))
-    joined
-      .withColumn("num", row_number().over(Window.orderBy(col("event_id"))))
+    Analytics.scalableRowNumber(joined, "event_id")
+      .withColumn("num", col("num").cast(IntegerType))
       .orderBy("event_id")
   }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Custom whole-operator: per-key top-k WITHOUT a full sort.
@@ -91,8 +91,10 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
+  // Empty key = global top-k: the final pass must see ALL partial results in
+  // one place (AllTuples), else each partition would emit its own k rows.
   override def requiredChildDistribution: Seq[Distribution] =
-    if (key.isEmpty) UnspecifiedDistribution :: Nil
+    if (key.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(key) :: Nil
   override protected def doExecute(): RDD[InternalRow] = {
     val (kk, keyE, ordE, attrs) = (k, key, order, output)

@@ -60,6 +60,43 @@ class DedupSpec extends SparkSpec {
     assert(df.filter(col("hamming") > Dedup.HammingMax).count() == 0)
   }
 
+  test("df-cap suppresses a synthetic hot shingle's O(f^2) candidates") {
+    // 60 near-identical docs share every shingle (df = 60 > cap = 50);
+    // without the cap they'd emit C(60,2) = 1770 high-jaccard pairs. Two
+    // extra docs share below-cap shingles and must still pair (the cap must
+    // not kill real candidates).
+    val hotDocs = (0L until 60L).map(i =>
+      (1000L + i, s"alpha beta gamma delta epsilon zeta u$i"))
+    val okDocs = Seq(
+      (2000L, "pine oak elm fir cedar birch maple"),
+      (2001L, "pine oak elm fir cedar birch aspen"))
+    val dir = "/tmp/graft_hot_shingle"
+    (hotDocs ++ okDocs).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(spark, dir).cache()
+    assert(pairs.filter(col("doc_a") >= 1000 && col("doc_a") < 2000).count() == 0,
+      "hot-shingle docs must produce no candidate pairs")
+    // shared shingles "pine oak elm".."cedar birch" have df = 2: jaccard 4/6
+    assert(pairs.filter(col("doc_a") === 2000 && col("doc_b") === 2001).count() == 1,
+      "below-cap near-dup pair must survive the cap")
+    pairs.unpersist()
+  }
+
+  test("corpus word counts stay under the oracle's series bound") {
+    // The oracle SQL expands word positions over a constant range
+    // (generate_series can't take a column bound in DuckDB): a document
+    // longer than MaxWords would make the oracle silently drop shingles.
+    // Gate the SFs the driver actually queries.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .foreach { sf =>
+        val maxWords = Tables.documents(spark, sf)
+          .select(max(size(split(col("text"), " "))))
+          .head().getInt(0)
+        assert(maxWords <= Dedup.MaxWords,
+          s"$sf has a $maxWords-word doc > bound ${Dedup.MaxWords}")
+      }
+  }
+
   test("MinHashSigAgg sketch equals the column-wise min signature") {
     val h = Dedup.shingleHashes(spark, Sf).cache()
     val viaAgg = h.groupBy("doc_id")

@@ -54,6 +54,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0), "zero-norm must stay NULL")
   }
 
+  test("SelfCosine matches FloatCosine's NaN semantics on non-finite input") {
+    import spark.implicits._
+    val rows = Seq(
+        Tuple1(Seq(1f, Float.NaN)),
+        Tuple1(Seq(1f, Float.PositiveInfinity)),
+        Tuple1(Seq(1f, 2f)))
+      .toDF("v")
+      .select(graft.functions.VectorFunctions.floatCosine(col("v"), col("v")).as("c"))
+      .collect()
+    // Whichever path runs (constant-folded FloatCosine or the SelfCosine
+    // rewrite), a non-finite element must yield NaN, not 1.0.
+    assert(rows(0).getDouble(0).isNaN, "NaN element must propagate")
+    assert(rows(1).getDouble(0).isNaN, "inf element must yield NaN (inf/inf)")
+    assert(math.abs(rows(2).getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("rule preserves results vs unrewritten session on real embeddings") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(20)
     val viaRule = emb.select(

@@ -42,6 +42,22 @@ class QueriesSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("flagship numbering has no single-partition window in the plan") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val df = SparkEntry.entry(spark)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.isEmpty, s"flagship must not use a window:\n$plan")
+    val singleExchanges = plan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }
+    assert(singleExchanges.isEmpty,
+      s"flagship must not funnel through one partition:\n$plan")
+  }
+
   test("q_global_count matches raw parquet count") {
     val expected = spark.read.parquet(s"$Sf/lineitem.parquet").count()
     val got = SparkEntry.queries("q_global_count")(spark, Sf).head().getLong(0)

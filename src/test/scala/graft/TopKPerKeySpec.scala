@@ -47,4 +47,21 @@ class TopKPerKeySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       Seq("o_orderkey" -> true))
     assert(all.count() == o.count())
   }
+
+  test("empty key = global top-k: exactly k rows, the right ones") {
+    // AllTuples distribution must gather every partial heap before the final
+    // pass — k rows total, not k per input partition.
+    val o = Tables.orders(spark, Sf)
+      .select("o_orderkey", "o_totalprice")
+      .repartition(7) // >1 partition so a distribution bug would show
+    val top = TopKPerKey.topKPerKey(o, 5, Seq.empty,
+      Seq("o_totalprice" -> false, "o_orderkey" -> true))
+    val expected = Tables.orders(spark, Sf)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(5)
+    assert(top.count() == 5, "global top-k must return exactly k rows")
+    assert(top.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(top).count() == 0)
+  }
 }
