@@ -115,24 +115,74 @@ object Similarity {
   }
 
   val NumCentroids = 8
+  val KmIters = 3
+  /** Fixed-point scale for k-means arithmetic: embeddings quantize to
+    * integers at 1e-6 resolution so EVERY training step is exact integer
+    * math — sums are order-independent and the DuckDB oracle reproduces the
+    * centroids bit-for-bit. Bounds: |v| <= 1e6, per-dim diff^2 <= 4e12,
+    * 64-dim distance <= 2.6e14, cell sums <= |corpus| * 1e6 — all < 2^53,
+    * so even the one double division (mean) is exact on both engines. */
+  private val ScaleQ = 1000000L
 
-  /** IVF-style ANN: a fixed centroid set (first NumCentroids vectors — a
-    * stand-in for trained k-means centroids; the index mechanics are what
-    * matters), each vector assigned to its nearest centroid cell, queries probe
-    * only their own cell. Cell assignment is an equi-groupable key, so the
-    * search is an equi-join like LSH — corpus-linear, never all-pairs. */
+  /** (vec_id, sarr): embedding scaled to exact integers. floor(x*S + 0.5)
+    * instead of round(): round's tie-breaking differs across engines. */
+  private[graft] def scaledEmb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), expr(
+      s"""transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * ${ScaleQ}.0D + 0.5D) AS BIGINT))""")
+      .as("sarr"))
+
+  /** Nearest-centroid assignment by exact integer squared-L2; ties break on
+    * cent_id via lexicographic struct-min. Centroids broadcast (k rows). */
+  private[graft] def assignCells(sx: DataFrame, cents: DataFrame): DataFrame =
+    sx.crossJoin(broadcast(cents))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(sarr, carr, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("m.cent_id").as("cell"))
+
+  /** Mean of member vectors per cell, re-quantized to the integer grid
+    * (floor(sum/n + 0.5)) so the next iteration stays exact. */
+  private def recomputeCentroids(sx: DataFrame, cells: DataFrame): DataFrame =
+    cells.join(sx, "vec_id")
+      .select(col("cell").as("cent_id"), posexplode(col("sarr")))
+      .groupBy("cent_id", "pos")
+      .agg(floor(sum(col("col")).cast(DoubleType) / count(lit(1)) + 0.5)
+        .cast(LongType).as("ci"))
+      .groupBy("cent_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, ci))), s -> s.ci)")
+        .as("carr"))
+
+  /** IVF-style ANN with TRAINED centroids: KmIters deterministic k-means
+    * iterations over the integer-scaled vectors, seeded by hash-sample (the
+    * NumCentroids vectors with smallest md5(vec_id) — engine-portable and
+    * data-independent). Each vector lands in its nearest centroid cell;
+    * queries probe only their own cell, so search is an equi-join like LSH —
+    * corpus-linear, never all-pairs. Training is broadcast-centroid +
+    * map-side-combining aggregates: the textbook scalable k-means shape.
+    * The final probe scores exact cosine (rounded 4 dp) on the raw floats. */
+  /** Hash-sample seed centroids: the NumCentroids vectors with smallest
+    * md5(vec_id) — engine-portable, data-independent. */
+  private[graft] def seedCentroids(s: SparkSession, d: String, sx: DataFrame): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), md5(col("vec_id").cast(StringType)).as("hk"))
+      .orderBy("hk", "vec_id").limit(NumCentroids)
+      // row_number over NumCentroids rows — bounded, not a global window
+      .withColumn("cent_id",
+        (row_number().over(Window.orderBy("hk", "vec_id")) - 1).cast(IntegerType))
+      .join(sx, "vec_id").select(col("cent_id"), col("sarr").as("carr"))
+
+  private[graft] def trainCentroids(sx: DataFrame, seed: DataFrame): DataFrame =
+    (1 to KmIters).foldLeft(seed)((c, _) => recomputeCentroids(sx, assignCells(sx, c)))
+
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val cents = emb.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-    val assigned = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        round(floatCosine(col("embedding"), col("ce")), 4).as("sim"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cent_id"))
-    val cells = assigned.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val sx = scaledEmb(s, d).cache()
+    val cents = trainCentroids(sx, seedCentroids(s, d, sx))
+    val cells = assignCells(sx, cents)
+      .join(emb, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell"))
       .cache()
     val q = cells.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("cell"), col("embedding").as("qe"))
@@ -143,21 +193,37 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
-  val annIvfSql: String =
-    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-                       WHERE vec_id < $NumCentroids),
-        sims AS (SELECT e.vec_id, c.cent_id,
-                   round(sum(CAST(e.embedding[i] * c.ce[i] AS DOUBLE))
-                     / (sqrt(sum(CAST(e.embedding[i] * e.embedding[i] AS DOUBLE)))
-                        * sqrt(sum(CAST(c.ce[i] * c.ce[i] AS DOUBLE)))), 4) AS sim
-                 FROM embeddings e CROSS JOIN cents c,
-                      generate_series(1, 64) t(i)
-                 GROUP BY 1, 2),
+  val annIvfSql: String = {
+    // One block per k-means iteration: exact integer distances -> argmin
+    // (ties on cent_id) -> re-quantized means. Mirrors the Spark side 1:1.
+    def iter(t: Int): String = {
+      val prev = s"cent${t - 1}"
+      s"""d$t AS (SELECT x.vec_id, c.cent_id, sum((x.v - c.c) * (x.v - c.c)) AS d
+                FROM sx x JOIN $prev c ON x.i = c.i GROUP BY 1, 2),
+        a$t AS (SELECT vec_id, cent_id FROM (
+                  SELECT vec_id, cent_id,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rk
+                  FROM d$t) WHERE rk = 1),
+        cent$t AS (SELECT a.cent_id, x.i,
+                     CAST(floor(CAST(sum(x.v) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+                   FROM a$t a JOIN sx x ON a.vec_id = x.vec_id GROUP BY 1, 2)"""
+    }
+    s"""WITH sx AS (SELECT vec_id, i,
+              CAST(floor(CAST(embedding[i] AS DOUBLE) * $ScaleQ + 0.5) AS BIGINT) AS v
+            FROM embeddings, generate_series(1, 64) t(i)),
+        seeds AS (SELECT vec_id, CAST(rk - 1 AS INT) AS cent_id FROM (
+                    SELECT vec_id,
+                      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+                    FROM embeddings) WHERE rk <= $NumCentroids),
+        cent0 AS (SELECT s.cent_id, x.i, x.v AS c
+                  FROM seeds s JOIN sx x ON x.vec_id = s.vec_id),
+        ${(1 to KmIters).map(iter).mkString(",\n        ")},
+        dfin AS (SELECT x.vec_id, c.cent_id, sum((x.v - c.c) * (x.v - c.c)) AS d
+                 FROM sx x JOIN cent$KmIters c ON x.i = c.i GROUP BY 1, 2),
         cells AS (SELECT vec_id, cent_id AS cell FROM (
                     SELECT vec_id, cent_id,
-                      row_number() OVER (PARTITION BY vec_id
-                        ORDER BY sim DESC, cent_id) AS rk
-                    FROM sims) WHERE rk = 1),
+                      row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rk
+                    FROM dfin) WHERE rk = 1),
         q AS (SELECT c.vec_id AS query_id, c.cell, e.embedding AS qe
               FROM cells c JOIN embeddings e ON c.vec_id = e.vec_id
               WHERE c.vec_id < $NumQueries)
@@ -169,6 +235,7 @@ object Similarity {
         JOIN embeddings e ON e.vec_id = k.vec_id,
              generate_series(1, 64) t(i)
         GROUP BY 1, 2 ORDER BY query_id, neighbor_id"""
+  }
 
   /** Scalar int8 quantization of embeddings — the storage-side companion of
     * ANN (4x smaller vectors, SIMD-friendly distance kernels downstream).

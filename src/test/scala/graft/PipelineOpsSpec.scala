@@ -39,6 +39,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("k-means training reduces the IVF quantization objective") {
+    val sx = Similarity.scaledEmb(spark, Sf).cache()
+    val seed = Similarity.seedCentroids(spark, Sf, sx)
+    val trained = Similarity.trainCentroids(sx, seed)
+    def objective(cents: org.apache.spark.sql.DataFrame): Long =
+      sx.crossJoin(broadcast(cents))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(sarr, carr, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+        .groupBy("vec_id").agg(min("dist").as("d"))
+        .agg(sum("d")).head().getLong(0)
+    val before = objective(seed)
+    val after = objective(trained)
+    assert(after < before,
+      s"training must reduce total within-cell distance: $before -> $after")
+    // every vector keeps exactly one cell, and all centroids survive
+    val cells = Similarity.assignCells(sx, trained).cache()
+    assert(cells.count() == sx.count())
+    assert(cells.select("cell").distinct().count() <= Similarity.NumCentroids)
+    cells.unpersist(); sx.unpersist()
+  }
+
   test("hash sample is stable and roughly 10%") {
     val s1 = TextAnalysis.hashSample(spark, Sf)
     val s2 = TextAnalysis.hashSample(spark, Sf)
