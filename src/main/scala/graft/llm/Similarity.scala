@@ -173,8 +173,18 @@ object Similarity {
         (row_number().over(Window.orderBy("hk", "vec_id")) - 1).cast(IntegerType))
       .join(sx, "vec_id").select(col("cent_id"), col("sarr").as("carr"))
 
-  private[graft] def trainCentroids(sx: DataFrame, seed: DataFrame): DataFrame =
-    (1 to KmIters).foldLeft(seed)((c, _) => recomputeCentroids(sx, assignCells(sx, c)))
+  /** Each iteration materializes its k×dim centroid table to the driver
+    * (k rows — a scalar-sized collect, the k-means analog of collecting an
+    * agg result) and restarts the plan from a local relation: without this
+    * the foldLeft nests iteration t-1's whole plan inside iteration t and
+    * training recomputes every prior round. */
+  private[graft] def trainCentroids(sx: DataFrame, seed: DataFrame): DataFrame = {
+    val s = sx.sparkSession
+    (1 to KmIters).foldLeft(seed) { (c, _) =>
+      val next = recomputeCentroids(sx, assignCells(sx, c))
+      s.createDataFrame(java.util.Arrays.asList(next.collect(): _*), next.schema)
+    }
+  }
 
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)

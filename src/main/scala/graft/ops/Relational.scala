@@ -135,13 +135,15 @@ object Relational {
     * (rank of the unique event_id) but the path survives 100x. The id stays
     * INT for reference/oracle parity (the reference's row_number is 32-bit);
     * a >2^31-row build would switch the column to the underlying LONG. */
-  def factSongplays(s: SparkSession, d: String): DataFrame = {
+  /** The flagship's join stage alone (pre-numbering), exposed so the plan
+    * spec can assert the 3 broadcast joins — scalableRowNumber's RDD hop
+    * hides this subtree from the final query execution. */
+  private[graft] def factJoined(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
     val c = Tables.customer(s, d)
     val n = Tables.nation(s, d)
     val r = Tables.region(s, d)
-    val joined = e
-      .join(broadcast(c), e("user_id") === c("c_custkey"), "inner")
+    e.join(broadcast(c), e("user_id") === c("c_custkey"), "inner")
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "inner")
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "inner")
       .select(
@@ -150,10 +152,12 @@ object Relational {
         c("c_name").as("user_name"), c("c_mktsegment").as("level"),
         n("n_name").as("nation"), r("r_name").as("region"),
         year(e("ts")).as("year"), month(e("ts")).as("month"))
-    Analytics.scalableRowNumber(joined, "event_id")
+  }
+
+  def factSongplays(s: SparkSession, d: String): DataFrame =
+    Analytics.scalableRowNumber(factJoined(s, d), "event_id")
       .withColumn("num", col("num").cast(IntegerType))
       .orderBy("event_id")
-  }
 
   /** Row dedup via distinct (A2, T:100/T:106). */
   def distinctFlags(s: SparkSession, d: String): DataFrame =

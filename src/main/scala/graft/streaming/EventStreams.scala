@@ -140,9 +140,17 @@ object EventStreams {
       .dropDuplicates("event_id")
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"))
-    val q = deduped.writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName("graft_stream_dedup").start()
-    try q.processAllAvailable() finally q.stop()
+    // Two stateful ops x shuffle.partitions state stores x batch = the fixed
+    // cost of this query; size the store count to the stream's throughput
+    // (per-query state partitioning is baked into the checkpoint, so this is
+    // a start-time decision in production too). Restored after the run.
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = deduped.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName("graft_stream_dedup").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     s.table("graft_stream_dedup").orderBy("event_type")
   }
 

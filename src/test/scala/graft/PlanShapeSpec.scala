@@ -1,0 +1,74 @@
+package graft
+
+import graft.ops.{Analytics, Relational}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+
+/** Physical-plan regression gates for the scale claims SCALING.md makes:
+  * the fact build must broadcast all three dims (fact side never shuffles
+  * for the joins) and must NOT funnel through a single-partition exchange;
+  * the hive-partitioned read-back must prune partitions in the scan; the
+  * flagship agg's filter must reach the parquet scan as a pushed filter. */
+class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  test("fact build broadcasts all dims; fact side never shuffles for joins") {
+    val df = Relational.factJoined(spark, Sf)
+    df.collect() // finalize AQE on THIS queryExecution
+    val plan = df.queryExecution.executedPlan
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size == 3,
+      s"expected customer+nation+region as broadcast joins, got ${bhj.size}:\n$plan")
+    val smj = collectWithSubqueries(plan) { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"no dim join may shuffle the fact side:\n$plan")
+    val shuffles = collectWithSubqueries(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, s"join stage must be shuffle-free:\n$plan")
+  }
+
+  test("flagship numbering avoids the single-partition global window") {
+    val df = Relational.factSongplays(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val single = collectWithSubqueries(plan) {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }
+    assert(single.isEmpty,
+      s"numbering must not funnel through a single-partition exchange:\n$plan")
+    val windows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"numbering path must not use a window:\n$plan")
+  }
+
+  test("partitioned parquet read-back prunes partitions in the scan") {
+    val df = Relational.partitionedParquetRoundtrip(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val scans = collectWithSubqueries(plan) { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, s"expected a parquet scan in:\n$plan")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      s"year/month filters must prune the scan, not evaluate post-read:\n$plan")
+    // pruned read really skipped the other months: one (year,month) dir only
+    scans.foreach { f =>
+      val parts = f.relation.location.listFiles(f.partitionFilters, Nil)
+      assert(parts.size == 1, s"expected exactly 1 surviving hive partition, " +
+        s"got ${parts.size}")
+    }
+  }
+
+  test("q1 filter is pushed down to the lineitem scan") {
+    val df = Analytics.q1Agg(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val scans = collectWithSubqueries(plan) { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "[]"))
+    assert(pushed.exists(p => p != "[]" && p.nonEmpty),
+      s"expected a pushed filter on the scan, got $pushed:\n$plan")
+    // column pruning: the 11-col table must not be read in full
+    val readSchema = scans.head.requiredSchema.fieldNames.toSet
+    assert(readSchema.size < 11, s"expected pruned ReadSchema, got $readSchema")
+  }
+}
