@@ -70,6 +70,8 @@ object SparkEntry {
     "q_dedup_minhash" -> (Dedup.minhashPairs _),
     "q_dedup_simhash" -> (Dedup.simhashPairs _),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
+    "q_winnow_fps" -> (Dedup.winnowFingerprints _),
+    "q_dedup_winnow" -> (Dedup.winnowPairs _),
     "q_dedup_clusters" -> (Dedup.dedupClusters _),
     "q_vec_quantize" -> (Similarity.quantizeVectors _),
     "q_dq_detect" -> (graft.ops.Quality.dqDetect _),
@@ -333,6 +335,8 @@ object SparkEntry {
     "q_dedup_minhash" -> Dedup.minhashPairsSql,
     "q_dedup_simhash" -> Dedup.simhashPairsSql,
     "q_dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql,
+    "q_winnow_fps" -> Dedup.winnowFingerprintsSql,
+    "q_dedup_winnow" -> Dedup.winnowPairsSql,
     "q_dedup_clusters" -> Dedup.dedupClustersSql,
     "q_vec_quantize" -> Similarity.quantizeVectorsSql,
     "q_dq_detect" -> graft.ops.Quality.dqDetectSql,

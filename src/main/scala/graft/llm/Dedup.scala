@@ -364,4 +364,89 @@ object Dedup {
         FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
         WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= $JaccardThreshold
         ORDER BY doc_a, doc_b"""
+
+  // =========================================================================
+  // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+  // scheme): rolling k-gram hashes, keep the minimum of every window of
+  // WinnowW consecutive hashes. Guarantee: two documents sharing a token run
+  // of length >= WinnowW + k - 1 share at least one fingerprint, while the
+  // selected set is ~2/(WinnowW+1) of all k-grams — a contiguity-sensitive
+  // sketch (word order matters, unlike MinHash's bag-of-shingles).
+  // =========================================================================
+  val WinnowW = 4          // window width in k-grams (k = 3, the shingle size)
+  val WinnowMinShared = 3  // shared fingerprints to become a candidate pair
+
+  /** Positioned (non-distinct) word-3-gram shingles: (doc_id, pos, sh). */
+  private def posShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        """CASE WHEN size(ws) >= 3
+           THEN transform(sequence(0, size(ws) - 3),
+                          i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))
+           ELSE array() END""")))
+      .select(col("doc_id"), col("pos"), col("col").as("sh"))
+
+  /** Per-doc winnowed fingerprint set: (doc_id, fp), fp = 28-bit hash. The
+    * sliding min is a doc-partitioned window (state bounded by WinnowW rows
+    * per task), so the whole selection distributes by doc exactly like the
+    * shingle stream; a doc shorter than WinnowW k-grams keeps its global
+    * min as the single fingerprint. */
+  def winnowFingerprints(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = posShingles(s, d)
+      .select(col("doc_id"), col("pos"), baseHash(col("sh")).as("h"))
+    val slide = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    val whole = Window.partitionBy("doc_id")
+    h.withColumn("fp", min("h").over(slide))
+      .withColumn("n", count(lit(1)).over(whole))
+      .filter(col("pos") <= greatest(col("n") - WinnowW, lit(0)))
+      .select("doc_id", "fp").distinct()
+      .orderBy("doc_id", "fp")
+  }
+
+  /** Shared winnowing CTE chain: positioned shingles -> hashes -> window
+    * minima -> distinct fingerprint set, mirroring [[winnowFingerprints]]. */
+  private val winnowFpsSql =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       psh AS (SELECT doc_id, i - 1 AS pos, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+               FROM words, generate_series(1, $MaxWords) t(i) WHERE i <= len(ws) - 2),
+       ph AS (SELECT doc_id, pos, CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT) AS h FROM psh),
+       mins AS (SELECT doc_id, pos,
+                  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp,
+                  count(*) OVER (PARTITION BY doc_id) AS n
+                FROM ph),
+       fps AS (SELECT DISTINCT doc_id, fp FROM mins
+               WHERE pos <= greatest(n - $WinnowW, 0))"""
+
+  val winnowFingerprintsSql: String =
+    s"""WITH $winnowFpsSql
+        SELECT doc_id, fp FROM fps ORDER BY doc_id, fp"""
+
+  /** Near-dup candidates sharing >= WinnowMinShared fingerprints. Same scale
+    * shape as the other banded schemes: equi-join on the fingerprint value
+    * (df-capped against hot fingerprints), never all-pairs. */
+  def winnowPairs(s: SparkSession, d: String): DataFrame = {
+    val fps = winnowFingerprints(s, d)
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap).select("fp")
+    val capped = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    capped.as("a").join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"), "inner")
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val winnowPairsSql: String =
+    s"""WITH $winnowFpsSql,
+        hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > $ShingleDfCap),
+        capped AS (SELECT doc_id, fp FROM fps WHERE fp NOT IN (SELECT fp FROM hot))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
+        ORDER BY doc_a, doc_b"""
 }

@@ -123,7 +123,23 @@ object Advanced {
     val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val marker = java.nio.file.Paths.get(wh,
       s"$db.marker_${d.replaceAll("[^a-zA-Z0-9.]", "_")}")
-    val cached = java.nio.file.Files.exists(marker) && s.catalog.tableExists(l)
+    val cached = java.nio.file.Files.exists(marker)
+    // The warehouse files outlive the session but the in-memory catalog does
+    // not: a fresh session re-registers the surviving bucketed layout as an
+    // external table (pure DDL, no data rewrite) instead of rebuilding it.
+    def register(name: String, simple: String, key: String,
+        schema: StructType): Unit =
+      if (!s.catalog.tableExists(name)) {
+        val cols = schema.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+        val loc = java.nio.file.Paths.get(wh, s"$db.db", simple).toString
+        s.sql(s"""CREATE TABLE $name ($cols) USING PARQUET
+                  CLUSTERED BY ($key) SORTED BY ($key) INTO $NumBuckets BUCKETS
+                  LOCATION '$loc'""")
+      }
+    if (cached) {
+      register(o, "orders_b", "o_orderkey", Tables.orders(s, d).schema)
+      register(l, "lineitem_b", "l_orderkey", Tables.lineitem(s, d).schema)
+    }
     if (!cached) {
       Seq(o, l).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
       Seq("orders_b", "lineitem_b").foreach { t =>

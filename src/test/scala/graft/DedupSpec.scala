@@ -60,6 +60,27 @@ class DedupSpec extends SparkSpec {
     assert(df.filter(col("hamming") > Dedup.HammingMax).count() == 0)
   }
 
+  test("winnowing recovers the planted near-dup pairs") {
+    // the corpus plants 25 pairs at jaccard >= 0.8 — contiguity-preserving
+    // edits, so the winnowing guarantee (shared run >= W+k-1 tokens -> shared
+    // fingerprint) must surface the same pair set the exact-Jaccard join does
+    val winnow = Dedup.winnowPairs(spark, Sf).select("doc_a", "doc_b")
+    val jac = Dedup.ngramJaccardPairs(spark, Sf).select("doc_a", "doc_b")
+    assert(jac.exceptAll(winnow).count() == 0,
+      "every exact near-dup pair must be a winnowing candidate")
+  }
+
+  test("winnowing selects a small fraction of k-gram hashes") {
+    // expected density is ~2/(W+1) of all positions; allow generous slack
+    val fps = Dedup.winnowFingerprints(spark, Sf).count()
+    val docs = Tables.documents(spark, Sf)
+    val grams = docs.select(greatest(
+        size(split(col("text"), " ")) - 2, lit(0)).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(fps > 0 && fps.toDouble / grams < 2.5 / (Dedup.WinnowW + 1),
+      s"$fps fingerprints for $grams k-grams is not a sparse selection")
+  }
+
   test("df-cap suppresses a synthetic hot shingle's O(f^2) candidates") {
     // 60 near-identical docs share every shingle (df = 60 > cap = 50);
     // without the cap they'd emit C(60,2) = 1770 high-jaccard pairs. Two
