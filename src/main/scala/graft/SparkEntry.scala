@@ -97,6 +97,7 @@ object SparkEntry {
     "q_stream_tumbling" -> (graft.streaming.EventStreams.tumblingWindowStream _),
     "q_stream_static_join" -> (graft.streaming.EventStreams.streamStaticJoin _),
     "q_stream_dedup" -> (graft.streaming.EventStreams.streamingDedup _),
+    "q_stream_stream_join" -> (graft.streaming.EventStreams.streamStreamJoin _),
     "q_range_join" -> (Advanced.rangeJoin _),
     "q_sliding_window" -> (Analytics.slidingWindow _),
     // Advanced: JSON source, as-of join, deterministic order stats
@@ -364,6 +365,7 @@ object SparkEntry {
          FROM events GROUP BY 1 ORDER BY win_start""",
     "q_stream_static_join" -> graft.streaming.EventStreams.streamStaticJoinSql,
     "q_stream_dedup" -> graft.streaming.EventStreams.streamingDedupSql,
+    "q_stream_stream_join" -> graft.streaming.EventStreams.streamStreamJoinSql,
     "q_range_join" -> Advanced.rangeJoinSql,
     "q_sliding_window" -> Analytics.slidingWindowSql,
     "q_json_roundtrip" -> Advanced.jsonRoundtripSql,

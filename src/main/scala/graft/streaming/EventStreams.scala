@@ -158,6 +158,76 @@ object EventStreams {
     """SELECT event_type, count(*) AS cnt FROM events
        GROUP BY event_type ORDER BY event_type"""
 
+  /** Stream-stream attribution join: `view` events joined to `purchase`
+    * events of the same user within 30 minutes — both sides are unbounded
+    * streams, so this is the full watermarked symmetric-hash-join shape
+    * (state on BOTH sides, evicted by the time-bound + watermark).
+    *
+    * Scale analysis: the join state per side is bounded by (watermark delay
+    * + 30 min) of stream history, partitioned by user_id across executors —
+    * constant memory per throughput unit, never proportional to stream
+    * length. The time bound is what makes eviction possible; an unbounded
+    * stream-stream join would accrete state forever.
+    *
+    * Matched pairs go to the sink in append mode (chaining a streaming agg
+    * after a stream-stream join would stack two stateful operators and the
+    * final windows never close at end-of-input); the per-user rollup is a
+    * batch aggregation over the sink table. Cross-micro-batch matches are
+    * exercised by construction: the staged chunks are event-time contiguous,
+    * so view→purchase pairs spanning a chunk boundary match only because the
+    * view side's state survives into the next trigger.
+    */
+  def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val dir = stageEvents(s, d)
+    attributionPairs(s, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"),
+        floor(min(col("delay_us")) / lit(1000000L)).as("min_delay_s"))
+      .orderBy("user_id")
+  }
+
+  /** The raw watermarked view→purchase join over any staged landing zone;
+    * split out so tests can drive it over a synthetic two-chunk zone that
+    * forces a cross-micro-batch match. */
+  def attributionPairs(s: SparkSession, dir: String,
+      filesPerTrigger: Int = FilesPerTrigger): DataFrame = {
+    def reader = s.readStream.schema(stagedSchema)
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(dir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val views = reader.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"), col("ts_us").as("v_us"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = reader.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("ts_us").as("p_us"))
+      .withWatermark("p_ts", "1 hour")
+    val pairs = views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        (col("p_us") - col("v_us")).as("delay_us"))
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = pairs.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("graft_stream_attrib").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    s.table("graft_stream_attrib")
+  }
+
+  /** Batch equivalent of the attribution join (DuckDB oracle). */
+  val streamStreamJoinSql: String =
+    """SELECT v.user_id AS user_id, count(*) AS cnt,
+       CAST(floor(min(epoch_us(p.ts) - epoch_us(v.ts)) / 1000000) AS BIGINT) AS min_delay_s
+       FROM events v JOIN events p
+         ON v.user_id = p.user_id
+        AND v.event_type = 'view' AND p.event_type = 'purchase'
+        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+       GROUP BY 1 ORDER BY 1"""
+
   case class Ev(event_id: Long, user_id: Long, ts_us: Long, event_type: String,
       ts: java.sql.Timestamp)
   case class Sess(user_id: Long, sess_start: Long, sess_end: Long, n_events: Long)

@@ -18,6 +18,72 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-stream attribution join == batch self-join (incl. cross-batch pairs)") {
+    val streamed = EventStreams.streamStreamJoin(spark, Sf)
+    val ev = Tables.events(spark, Sf)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        unix_micros(col("ts")).as("v_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        unix_micros(col("ts")).as("p_us"))
+    val batch = v.join(p, col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("cnt"),
+        floor(min(col("p_us") - col("v_us")) / lit(1000000L)).as("min_delay_s"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("stream-stream join matches across micro-batch boundaries (state survives)") {
+    // Two event-time-contiguous chunks, one file per trigger: the view lands
+    // in batch 0, its purchase (20 min later, same user) in batch 1. A match
+    // proves the view side's join state survived the micro-batch boundary.
+    import java.nio.file._
+    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_ss_cross")
+    if (Files.exists(base)) {
+      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(base)
+    val hourUs = 3600L * 1000000
+    val t0 = 1700000000L * 1000000
+    import spark.implicits._
+    // chunk 0: an old view (evicted: 3h before chunk max), a fresh view
+    // (10 min before chunk max), and a max-ts marker event.
+    val chunk0 = Seq(
+      (1L, t0, 7L, "view", 1.0),
+      (2L, t0 + 3 * hourUs - 600L * 1000000, 8L, "view", 1.0),
+      (3L, t0 + 3 * hourUs, 9L, "click", 0.0))
+    // chunk 1: a purchase matching the fresh view (20 min after it), and a
+    // user-7 purchase 3h after user 7's view — outside the 30-min bound, so
+    // user 7 must NOT appear in the output.
+    val chunk1 = Seq(
+      (4L, t0 + 3 * hourUs + 600L * 1000000, 8L, "purchase", 5.0),
+      (5L, t0 + 3 * hourUs + 700L * 1000000, 7L, "purchase", 5.0))
+    Seq(chunk0, chunk1).zipWithIndex.foreach { case (rows, i) =>
+      val tmp = base.resolve(s"_stage_$i")
+      rows.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = base.resolve(f"chunk_$i%02d.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val pairs = EventStreams.attributionPairs(spark, base.toString, filesPerTrigger = 1)
+      .select("user_id", "view_id", "purchase_id").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      == Set((8L, 2L, 4L)),
+      s"expected exactly the cross-batch pair (8,2,4), got ${pairs.mkString(",")}")
+  }
+
   test("stateful streaming sessions match batch gaps-and-islands sessions") {
     val streamed = EventStreams.sessionizeStream(spark, Sf)
       .select(col("user_id"), col("sess_start").as("start_us"), col("n_events"))
