@@ -77,7 +77,7 @@ object Similarity {
     * 1-(1-p^4)^8 amplification curve; RecallSpec measures the ANN analog).
     * The exact cosine pass runs only on deduped candidates, never all pairs. */
   def cosinePairs(s: SparkSession, d: String): DataFrame = {
-    val sig = bandSignatures(s, d)
+    val sig = bandSignatures(s, d).cache()
     val x = sig.as("x"); val y = sig.as("y")
     val cand = x.join(y,
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -314,20 +314,23 @@ object Similarity {
                 floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5))) AS INT)), ',') AS qvec_csv
        FROM m ORDER BY vec_id"""
 
+  /** Banded signature CTE mirroring [[bandSignatures]] 1:1: plane p belongs
+    * to band p // 4, bit p % 4, so buckets stay 4-bit (no INT32 overflow). */
   private val bucketsSql: String =
     s"""w AS (SELECT p, i, CASE WHEN CAST('0x' || substr(md5(p || ':' || i), 1, 1) AS INT) < 8
                 THEN 1 ELSE -1 END AS w
               FROM generate_series(0, ${NumPlanes - 1}) pp(p), generate_series(1, 64) ii(i)),
         proj AS (SELECT e.vec_id, w.p, sum(CAST(e.embedding[w.i] AS DOUBLE) * w.w) AS proj
                  FROM embeddings e, w GROUP BY 1, 2),
-        bkt AS (SELECT vec_id,
-                  CAST(sum(CASE WHEN proj >= 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
-                FROM proj GROUP BY vec_id)"""
+        bkt AS (SELECT vec_id, CAST(p // $PlanesPerBand AS INT) AS band,
+                  CAST(sum(CASE WHEN proj >= 0 THEN (1 << (p % $PlanesPerBand)) ELSE 0 END) AS INT) AS bucket
+                FROM proj GROUP BY vec_id, p // $PlanesPerBand)"""
 
   val cosinePairsSql: String =
     s"""WITH $bucketsSql,
-        cand AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
-                 FROM bkt x JOIN bkt y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+                 FROM bkt x JOIN bkt y
+                   ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
         scored AS (SELECT c.vec_a, c.vec_b,
                      round(sum(CAST(a.embedding[i] * b.embedding[i] AS DOUBLE))
                        / (sqrt(sum(CAST(a.embedding[i] * a.embedding[i] AS DOUBLE)))
@@ -342,15 +345,24 @@ object Similarity {
 
   val annLshSql: String =
     s"""WITH $bucketsSql,
-        q AS (SELECT b.vec_id AS query_id, b.bucket, e.embedding AS qe
-              FROM bkt b JOIN embeddings e ON b.vec_id = e.vec_id
-              WHERE b.vec_id < $NumQueries)
-        SELECT q.query_id, e.vec_id AS neighbor_id,
-          round(sum(CAST(q.qe[i] * e.embedding[i] AS DOUBLE))
-            / (sqrt(sum(CAST(q.qe[i] * q.qe[i] AS DOUBLE)))
-               * sqrt(sum(CAST(e.embedding[i] * e.embedding[i] AS DOUBLE)))), 4) AS cos
-        FROM q JOIN bkt k ON k.bucket = q.bucket AND k.vec_id <> q.query_id
-        JOIN embeddings e ON e.vec_id = k.vec_id,
-             generate_series(1, 64) t(i)
-        GROUP BY 1, 2 ORDER BY query_id, neighbor_id"""
+        qsig AS (SELECT vec_id AS query_id, band, bucket FROM bkt
+                 WHERE vec_id < $NumQueries),
+        cand AS (SELECT DISTINCT q.query_id, k.vec_id AS neighbor_id
+                 FROM qsig q JOIN bkt k
+                   ON k.band = q.band AND k.bucket = q.bucket AND k.vec_id <> q.query_id),
+        scored AS (SELECT c.query_id, c.neighbor_id,
+                     round(sum(CAST(qe.embedding[i] * e.embedding[i] AS DOUBLE))
+                       / (sqrt(sum(CAST(qe.embedding[i] * qe.embedding[i] AS DOUBLE)))
+                          * sqrt(sum(CAST(e.embedding[i] * e.embedding[i] AS DOUBLE)))), 4) AS cos
+                   FROM cand c
+                   JOIN embeddings qe ON qe.vec_id = c.query_id
+                   JOIN embeddings e ON e.vec_id = c.neighbor_id,
+                        generate_series(1, 64) t(i)
+                   GROUP BY 1, 2),
+        ranked AS (SELECT query_id, neighbor_id, cos,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS INT) AS rk
+                   FROM scored)
+        SELECT query_id, rk, neighbor_id, cos FROM ranked
+        WHERE rk <= $TopK ORDER BY query_id, rk"""
 }
