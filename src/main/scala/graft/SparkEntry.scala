@@ -98,6 +98,8 @@ object SparkEntry {
     "q_stream_static_join" -> (graft.streaming.EventStreams.streamStaticJoin _),
     "q_stream_dedup" -> (graft.streaming.EventStreams.streamingDedup _),
     "q_stream_stream_join" -> (graft.streaming.EventStreams.streamStreamJoin _),
+    "q_stream_stream_outer" -> (graft.streaming.EventStreams.streamStreamOuter _),
+    "q_stream_session_window" -> (graft.streaming.EventStreams.sessionWindowStream _),
     "q_range_join" -> (Advanced.rangeJoin _),
     "q_sliding_window" -> (Analytics.slidingWindow _),
     // Advanced: JSON source, as-of join, deterministic order stats
@@ -366,6 +368,8 @@ object SparkEntry {
     "q_stream_static_join" -> graft.streaming.EventStreams.streamStaticJoinSql,
     "q_stream_dedup" -> graft.streaming.EventStreams.streamingDedupSql,
     "q_stream_stream_join" -> graft.streaming.EventStreams.streamStreamJoinSql,
+    "q_stream_stream_outer" -> graft.streaming.EventStreams.streamStreamOuterSql,
+    "q_stream_session_window" -> graft.streaming.EventStreams.sessionWindowStreamSql,
     "q_range_join" -> Advanced.rangeJoinSql,
     "q_sliding_window" -> Analytics.slidingWindowSql,
     "q_json_roundtrip" -> Advanced.jsonRoundtripSql,

@@ -188,9 +188,14 @@ object EventStreams {
 
   /** The raw watermarked view→purchase join over any staged landing zone;
     * split out so tests can drive it over a synthetic two-chunk zone that
-    * forces a cross-micro-batch match. */
+    * forces a cross-micro-batch match. joinType "left_outer" additionally
+    * emits each never-matched view once, with null purchase columns, when
+    * the watermark passes the view's 30-minute match window (state eviction
+    * in the post-data no-data batch). */
   def attributionPairs(s: SparkSession, dir: String,
-      filesPerTrigger: Int = FilesPerTrigger): DataFrame = {
+      filesPerTrigger: Int = FilesPerTrigger,
+      joinType: String = "inner",
+      queryName: String = "graft_stream_attrib"): DataFrame = {
     def reader = s.readStream.schema(stagedSchema)
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(dir)
       .withColumn("ts", timestamp_micros(col("ts_us")))
@@ -205,18 +210,78 @@ object EventStreams {
     val pairs = views.join(purchases,
       col("v_user") === col("p_user") &&
         col("p_ts") >= col("v_ts") &&
-        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
-      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
-        (col("p_us") - col("v_us")).as("delay_us"))
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"), joinType)
+      .select(col("v_user").as("user_id"), col("view_id"), col("v_us"),
+        col("purchase_id"), (col("p_us") - col("v_us")).as("delay_us"))
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val q = pairs.writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName("graft_stream_attrib").start()
+        .format("memory").queryName(queryName).start()
       try q.processAllAvailable() finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", saved)
-    s.table("graft_stream_attrib")
+    s.table(queryName)
   }
+
+  private val WatermarkUs = 3600L * 1000000   // 1 hour (both join sides)
+  private val JoinBoundUs = 1800L * 1000000   // 30-minute match window
+  private val HorizonMarginUs = 60L * 1000000 // keep off the exact boundary
+
+  /** Left-outer watermarked stream-stream join: every view, attributed if a
+    * same-user purchase lands within 30 minutes, emitted with a NULL
+    * purchase once the watermark proves no purchase can still arrive.
+    *
+    * Append-mode outer joins can only emit an unmatched row when the
+    * watermark passes the row's match horizon; at end-of-input the final
+    * watermark stops at max(event time) - 1h, so views younger than
+    * (1h + 30min) have windows that never close and remain in state. The
+    * rollup (and the batch oracle) therefore counts unmatched views only up
+    * to the closable horizon — with a 1-minute safety margin so neither
+    * engine sits on the watermark's exact millisecond boundary. Matched
+    * pairs emit on match and need no horizon.
+    *
+    * The horizon anchors on min(max view ts, max purchase ts), NOT the
+    * corpus max: the global watermark is the minimum across both sides'
+    * event-time columns, and each side only sees its own event type — a
+    * purchase side whose last event lags the corpus max holds the whole
+    * join's watermark back by that lag.
+    *
+    * Scale shape is identical to [[streamStreamJoin]]: per-side state
+    * bounded by (watermark + 30 min) of history, partitioned by user. */
+  def streamStreamOuter(s: SparkSession, d: String): DataFrame = {
+    val dir = stageEvents(s, d)
+    val sink = attributionPairs(s, dir,
+      joinType = "left_outer", queryName = "graft_stream_outer")
+    val sideMaxUs = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
+      .agg(min(col("m"))).head().getLong(0)
+    val horizon = sideMaxUs - WatermarkUs - JoinBoundUs - HorizonMarginUs
+    sink.filter(col("purchase_id").isNotNull || col("v_us") < horizon)
+      .groupBy("user_id")
+      .agg(sum(when(col("purchase_id").isNotNull, 1L).otherwise(0L)).as("matched"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L)).as("unmatched"))
+      .orderBy("user_id")
+  }
+
+  /** Batch equivalent of the left-outer attribution join, restricted to the
+    * same closable horizon (1h watermark + 30min bound + 1min margin). */
+  val streamStreamOuterSql: String =
+    """WITH mx AS (SELECT min(m) AS max_us FROM (
+           SELECT max(epoch_us(ts)) AS m FROM events
+           WHERE event_type IN ('view', 'purchase') GROUP BY event_type)),
+       j AS (SELECT v.user_id AS user_id, epoch_us(v.ts) AS v_us,
+                    p.event_id AS purchase_id
+             FROM events v LEFT JOIN events p
+               ON v.user_id = p.user_id AND p.event_type = 'purchase'
+              AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+             WHERE v.event_type = 'view')
+       SELECT user_id,
+         CAST(sum(CASE WHEN purchase_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+         CAST(sum(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unmatched
+       FROM j, mx
+       WHERE purchase_id IS NOT NULL OR v_us < max_us - 5460000000
+       GROUP BY user_id ORDER BY user_id"""
 
   /** Batch equivalent of the attribution join (DuckDB oracle). */
   val streamStreamJoinSql: String =
@@ -227,6 +292,72 @@ object EventStreams {
         AND v.event_type = 'view' AND p.event_type = 'purchase'
         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
        GROUP BY 1 ORDER BY 1"""
+
+  /** Native session_window streaming aggregation — the built-in path a
+    * production team reaches for before writing a custom sessionizer. The
+    * state store merges overlapping per-event windows [ts, ts+gap) per user;
+    * append mode emits a session once the watermark passes its end.
+    *
+    * Two parity notes vs the batch gaps-and-islands oracle (q_sessionize):
+    *  - Boundary: session_window splits at gap >= 30 min (strict window
+    *    overlap), the batch rule at gap > 30 min. Identical unless adjacent
+    *    same-user events sit EXACTLY 30 min apart — none exist in the corpus
+    *    at any SF (checked to the microsecond), so results are bit-equal.
+    *  - Horizon: at end-of-input the watermark stops 1h short of max event
+    *    time, so sessions whose (last event + gap) lands inside that final
+    *    stretch never close and are never emitted. Both sides therefore
+    *    restrict to sessions whose last event is at least 1h + 30min + 1min
+    *    before the corpus max — the same closable-horizon rule as
+    *    [[streamStreamOuter]]. */
+  def sessionWindowStream(s: SparkSession, d: String): DataFrame = {
+    val dir = stageEvents(s, d)
+    val stream = s.readStream.schema(stagedSchema)
+      .option("maxFilesPerTrigger", FilesPerTrigger).parquet(dir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+    val sessions = stream
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts_us")).as("last_us"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"), col("last_us"))
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = sessions.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("graft_session_window").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    val maxUs = Tables.events(s, d)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val horizon = maxUs - WatermarkUs - JoinBoundUs - HorizonMarginUs
+    s.table("graft_session_window")
+      .filter(col("last_us") < horizon)
+      .select(col("user_id"), col("start_us"), col("n_events"))
+      .orderBy("user_id", "start_us")
+  }
+
+  /** Batch gaps-and-islands oracle restricted to the closable horizon. */
+  val sessionWindowStreamSql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, ts,
+           lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+         FROM events),
+       m AS (
+         SELECT user_id, event_id, ts,
+           CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000
+                THEN 1 ELSE 0 END AS new_sess
+         FROM e),
+       sx AS (
+         SELECT user_id, ts,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+         FROM m)
+       SELECT user_id, epoch_us(min(ts)) AS start_us, count(*) AS n_events
+       FROM sx, (SELECT max(epoch_us(ts)) AS max_us FROM events) mx
+       GROUP BY user_id, sess_id, max_us
+       HAVING max(epoch_us(ts)) < max_us - 5460000000
+       ORDER BY user_id, start_us"""
 
   case class Ev(event_id: Long, user_id: Long, ts_us: Long, event_type: String,
       ts: java.sql.Timestamp)

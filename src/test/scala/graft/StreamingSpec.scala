@@ -84,6 +84,91 @@ class StreamingSpec extends SparkSpec {
       s"expected exactly the cross-batch pair (8,2,4), got ${pairs.mkString(",")}")
   }
 
+  test("left-outer stream-stream join emits unmatched view after watermark closes window") {
+    // chunk 0: user 8's view (matched in chunk 1), user 7's view (never
+    // matched). chunk 1: user 8's purchase 20 min after the view, plus a
+    // marker view+purchase pair 3h later. The markers matter: watermarks are
+    // computed per join side AFTER the event_type filters, so only late view
+    // and purchase events (not clicks) advance them. They push both side
+    // watermarks to t0 + 2h — past user 7's t0+30min match horizon, so the
+    // no-data eviction batch MUST emit user 7's view with a null purchase.
+    import java.nio.file._
+    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_ss_outer")
+    if (Files.exists(base)) {
+      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(base)
+    val hourUs = 3600L * 1000000
+    val t0 = 1700000000L * 1000000
+    import spark.implicits._
+    val chunk0 = Seq(
+      (1L, t0, 7L, "view", 1.0),
+      (2L, t0, 8L, "view", 1.0))
+    val chunk1 = Seq(
+      (3L, t0 + 1200L * 1000000, 8L, "purchase", 5.0),
+      (4L, t0 + 3 * hourUs, 9L, "view", 0.0),
+      (5L, t0 + 3 * hourUs, 9L, "purchase", 0.0))
+    Seq(chunk0, chunk1).zipWithIndex.foreach { case (rows, i) =>
+      val tmp = base.resolve(s"_stage_$i")
+      rows.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = base.resolve(f"chunk_$i%02d.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val rows = EventStreams.attributionPairs(spark, base.toString,
+        filesPerTrigger = 1, joinType = "left_outer", queryName = "graft_ss_outer_t")
+      .select("user_id", "view_id", "purchase_id").collect()
+    val got = rows.map(r =>
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((8L, 2L, 3L), (9L, 4L, 5L), (7L, 1L, -1L)),
+      s"expected matches (8,2,3),(9,4,5) and watermark-evicted null (7,1,null), got ${got}")
+  }
+
+  test("q_stream_stream_outer matches the horizon-filtered batch left join") {
+    val streamed = EventStreams.streamStreamOuter(spark, Sf)
+    assert(streamed.count() > 0)
+    val ev = Tables.events(spark, Sf).cache()
+    // Horizon anchors on min over side maxima — the join's global watermark.
+    val maxUs = ev.filter(col("event_type").isin("view", "purchase"))
+      .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
+      .agg(min(col("m"))).head().getLong(0)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        unix_micros(col("ts")).as("v_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val batch = v.join(p, col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"), "left_outer")
+      .filter(col("purchase_id").isNotNull || col("v_us") < maxUs - 5460000000L)
+      .groupBy(col("v_user").as("user_id"))
+      .agg(sum(when(col("purchase_id").isNotNull, 1L).otherwise(0L)).as("matched"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L)).as("unmatched"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("native session_window stream == horizon-filtered batch sessions") {
+    val streamed = EventStreams.sessionWindowStream(spark, Sf)
+    assert(streamed.count() > 0)
+    val maxUs = Tables.events(spark, Sf)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val batch = Analytics.sessionize(spark, Sf)
+      .filter(unix_micros(col("sess_end")) < maxUs - 5460000000L)
+      .select(col("user_id"), unix_micros(col("sess_start")).as("start_us"),
+        col("n_events"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("stateful streaming sessions match batch gaps-and-islands sessions") {
     val streamed = EventStreams.sessionizeStream(spark, Sf)
       .select(col("user_id"), col("sess_start").as("start_us"), col("n_events"))
