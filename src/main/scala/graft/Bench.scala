@@ -54,8 +54,17 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // Environment self-diagnosis: this host carries ambient co-tenant load
+    // that has inflated round-over-round comparisons by up to 2x. Emitting
+    // the load average and GC time makes a load-skewed run identifiable
+    // from the artifact alone.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val gcMs = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .stream().mapToLong(_.getCollectionTime).sum()
+    val env = s""""env":{"availableProcessors":${Runtime.getRuntime.availableProcessors},""" +
+      s""""systemLoadAverage":${osBean.getSystemLoadAverage},"gcTimeMs":$gcMs}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$env,"sf":"$sfDir"}"""
     println(json)
     // The driver captures a bounded stdout tail; a 79-query JSON line can
     // overrun it. Persist the full line so totals parse reliably.

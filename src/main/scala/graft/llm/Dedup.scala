@@ -308,12 +308,15 @@ object Dedup {
       .withColumn("label", col("doc_id"))
       .localCheckpoint(true)
     // Label sums decrease monotonically and stabilize exactly at the
-    // fixpoint, so they double as a convergence check (one cheap action per
-    // round over the checkpointed frame). Iteration cap is a safety net for
-    // pathological path-shaped components.
+    // fixpoint, so they double as a convergence check. Checking every OTHER
+    // round halves the driver actions: a sum equal across rounds t-2 and t
+    // implies (by monotonicity) round t-1 was already the fixpoint, so the
+    // late detection costs one no-op propagation round, while each skipped
+    // check saves a full scan-and-agg job over the labels. Iteration cap is
+    // a safety net for pathological path-shaped components.
     var prevSum = Long.MaxValue
     var converged = false
-    (1 to 30).foreach { _ =>
+    (1 to 30).foreach { i =>
       if (!converged) {
         val viaNeighbor = edges
           .join(labels, edges("doc_b") === labels("doc_id"))
@@ -325,8 +328,10 @@ object Dedup {
         labels = labels.union(viaNeighbor)
           .groupBy("doc_id").agg(min("label").as("label"))
           .localCheckpoint(true)
-        val s = labels.agg(sum("label")).head().getLong(0)
-        if (s == prevSum) converged = true else prevSum = s
+        if (i % 2 == 0) {
+          val s = labels.agg(sum("label")).head().getLong(0)
+          if (s == prevSum) converged = true else prevSum = s
+        }
       }
     }
     labels

@@ -412,6 +412,13 @@ object Analytics {
         max(col("l_shipdate")).as("last_ship"))
       .orderBy("l_returnflag")
 
+  /** Per-partition materialization audit of the last [[scalableRowNumber]]
+    * call: (accumulator, partition count). The accumulator bumps once per
+    * PARTITION each time the post-shuffle sorted data is computed, so
+    * value == partition count proves the sort ran exactly once (cache hits
+    * on the persisted RDD don't re-run it). SingleScanSpec gates this. */
+  private[graft] var numberingAudit: (org.apache.spark.util.LongAccumulator, Int) = _
+
   /** Scalable deterministic global row-number: per-partition counts + offsets
     * instead of a single-partition window — the 100 TB answer to the
     * reference's W2 (T:294-298). Range-partitions by the order key so
@@ -419,19 +426,29 @@ object Analytics {
     * equal rank(key) regardless of partitioning, so the result is
     * deterministic and oracle-comparable. This IS the numbering path of the
     * flagship factSongplays (oracle-gated against the window formulation);
-    * the extra counts pass collects one int per partition. */
+    * the extra counts pass collects one int per partition.
+    *
+    * The sorted RDD is persisted (MEMORY_AND_DISK) across the counts and
+    * numbering passes: shuffle-file reuse already makes the upstream
+    * scan/join execute once, but without the persist the post-shuffle
+    * sort-within-partitions would run in BOTH passes — a second full sort
+    * of the fact table at scale. The ContextCleaner unpersists the RDD once
+    * the returned frame is released. */
   def scalableRowNumber(df: DataFrame, orderCol: String): DataFrame = {
     val sorted = df.repartitionByRange(col(orderCol)).sortWithinPartitions(orderCol)
     val spark = df.sparkSession
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.catalyst.encoders.{RowEncoder => _}
     val schema = sorted.schema.add(StructField("num", LongType, nullable = false))
-    val counts = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+    val acc = spark.sparkContext.longAccumulator("graft.rowNumber.sortMaterializations")
+    val base = sorted.rdd.mapPartitions { it => acc.add(1); it }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    numberingAudit = (acc, base.getNumPartitions)
+    val counts = base.mapPartitionsWithIndex { case (i, it) =>
       Iterator((i, it.size))
     }.collect().sortBy(_._1)
     val offsets = counts.map(_._2.toLong).scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
-    val out = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+    val out = base.mapPartitionsWithIndex { case (i, it) =>
       var n = bc.value(i)
       it.map { r => n += 1; Row.fromSeq(r.toSeq :+ n) }
     }

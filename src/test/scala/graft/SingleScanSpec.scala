@@ -1,0 +1,35 @@
+package graft
+
+import graft.ops.Analytics
+import org.apache.spark.sql.functions._
+
+/** Gates the single-sort guarantee of Analytics.scalableRowNumber: the
+  * counts pass and the numbering pass must share ONE materialization of the
+  * range-partitioned sort (the persisted RDD), not sort the fact table
+  * twice. The per-partition accumulator bumps on every recomputation of the
+  * post-shuffle data, so value == #partitions proves the second pass was a
+  * cache hit. */
+class SingleScanSpec extends SparkSpec {
+
+  test("scalableRowNumber sorts its input exactly once across both passes") {
+    val df = Tables.orders(spark, Sf).select("o_orderkey", "o_custkey")
+    val numbered = Analytics.scalableRowNumber(df, "o_orderkey")
+    val n = numbered.count() // full evaluation: counts pass + numbering pass
+    assert(n == df.count())
+    val (acc, parts) = Analytics.numberingAudit
+    assert(acc.value == parts,
+      s"sort materialized ${acc.value} partition-passes for $parts partitions " +
+        "— the numbering pass re-ran the sort instead of hitting the persisted RDD")
+  }
+
+  test("flagship numbering stays contiguous under the persisted path") {
+    val df = SparkEntry.entry(spark).cache()
+    val stats = df.agg(min("num"), max("num"), countDistinct("num"), count(lit(1))).head()
+    assert(stats.getInt(0) == 1)
+    assert(stats.getInt(1).toLong == stats.getLong(3))
+    assert(stats.getLong(2) == stats.getLong(3))
+    val (acc, parts) = Analytics.numberingAudit
+    assert(acc.value == parts,
+      s"flagship sort materialized ${acc.value} partition-passes for $parts partitions")
+  }
+}
