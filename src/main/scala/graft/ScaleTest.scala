@@ -12,9 +12,22 @@ import org.apache.spark.sql.functions._
   * clusters and measure a different problem).
   *
   * Usage: runMain graft.ScaleTest [copies]   (default 10)
+  *        runMain graft.ScaleTest docs       (dedup-family 10x experiment)
+  *
+  * The `docs` mode replicates documents 10x with copy-keyed token
+  * substitution (~20% of token TYPES per copy rewritten to a copy-local
+  * form). Substituting by token identity — not position — preserves every
+  * within-copy near-dup pair bit-for-bit (both docs of a pair share tokens,
+  * so they share substitutions and their Jaccard is unchanged), while
+  * cross-copy similarity collapses (a 3-gram shingle survives in two copies
+  * only if all 3 tokens escaped substitution in both: ~0.64^3 ≈ 0.26 shared
+  * shingles → Jaccard ≈ 0.15, far under the 0.5 pairing threshold). The 10x
+  * corpus therefore has 10x the docs, 10x the clusters, and the SAME cluster
+  * size distribution — growth, not artificial duplication.
   */
 object ScaleTest {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("docs")) return docsMain()
     val copies = if (args.nonEmpty) args(0).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -54,6 +67,63 @@ object ScaleTest {
       println(f"$q,${small(q)}%.2f,${big(q)}%.2f,${big(q) / small(q)}%.1f")
     }
     spark.stop()
+  }
+
+  private def docsMain(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val dst = s"${System.getProperty("java.io.tmpdir")}/graft_docs10x"
+    if (!new java.io.File(s"$dst/_built").exists()) {
+      buildDocs(spark, src, dst, 10)
+      new java.io.File(s"$dst/_built").createNewFile()
+    }
+    val subset = Seq(
+      "q_dedup_exact", "q_dedup_fingerprint", "q_dedup_minhash",
+      "q_dedup_simhash", "q_winnow_fps", "q_dedup_winnow",
+      "q_dedup_ngram_jaccard", "q_dedup_clusters")
+    def time(dir: String): Map[String, Double] =
+      subset.map { name =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    time(src) // warm code paths
+    val small = time(src)
+    val big = time(dst)
+    println("query,docs1x_s,docs10x_s,ratio")
+    subset.foreach { q =>
+      println(f"$q,${small(q)}%.2f,${big(q)}%.2f,${big(q) / small(q)}%.1f")
+    }
+    spark.stop()
+  }
+
+  /** documents replicated `copies`x with copy-keyed token substitution —
+    * see the object scaladoc for why this preserves cluster structure. */
+  private def buildDocs(spark: SparkSession, src: String, dst: String,
+      copies: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val dMax = 1000000L
+    val out = (0 until copies).map { i =>
+      if (i == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + i * dMax)
+        .withColumn("text", expr(
+          s"""array_join(transform(split(text, ' '), t ->
+                CASE WHEN pmod(hash(t, $i), 5) = 0 THEN concat(t, '~$i')
+                     ELSE t END), ' ')"""))
+        .withColumn("n_chars", length(col("text")))
+    }.reduce(_ unionByName _)
+    out.repartition(32).write.mode("overwrite").parquet(s"$dst/documents.parquet")
   }
 
   private def build(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {

@@ -434,7 +434,10 @@ object Dedup {
     * shape as the other banded schemes: equi-join on the fingerprint value
     * (df-capped against hot fingerprints), never all-pairs. */
   def winnowPairs(s: SparkSession, d: String): DataFrame = {
-    val fps = winnowFingerprints(s, d)
+    // Cached: the fingerprint derivation (window minima over the positioned
+    // shingle stream) is the expensive part and is consumed three times —
+    // the df aggregate and both sides of the candidate self-join.
+    val fps = winnowFingerprints(s, d).cache()
     val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > ShingleDfCap).select("fp")
     val capped = fps.join(broadcast(hot), Seq("fp"), "left_anti")
