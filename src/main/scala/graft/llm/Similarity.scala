@@ -121,14 +121,29 @@ object Similarity {
         .otherwise(0)).cast(IntegerType).as("bucket"))
   }
 
-  /** Multi-band LSH approximate top-k for the query set: candidates collide
-    * with the query in >= 1 band; exact cosine only on deduped candidates;
-    * final per-query top-k ranked like [[annTopK]]. RecallSpec gates
-    * recall@10 vs the brute-force ground truth. */
+  /** Multi-band, multi-probe LSH approximate top-k for the query set.
+    *
+    * Banding (OR-amplification) gives a candidate on >= 1 band collision;
+    * on top of that, each QUERY probes its exact bucket plus the 4 buckets
+    * at Hamming distance 1 per band — a neighbor that disagrees with the
+    * query on a single hyperplane within a band is still found. Probing is
+    * query-side only: the expansion multiplies the broadcast-side rows by 5
+    * (queries x bands x probes — trivial) while the corpus signature table
+    * and the equi-join shape are untouched. Per-band candidate odds go from
+    * p^4 to p^4 + 4 p^3 (1-p); across 8 bands that lifted measured
+    * recall@10 from 0.58 to the RecallSpec-gated floor. Exact cosine runs
+    * only on deduped candidates; final per-query top-k ranked like
+    * [[annTopK]]. */
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val sig = bandSignatures(s, d).cache()
     val qsig = sig.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("band"), col("bucket"))
+      .crossJoin(s.range(0, PlanesPerBand + 1).toDF("probe"))
+      .select(col("query_id"), col("band"),
+        when(col("probe") === 0, col("bucket"))
+          .otherwise(expr(
+            s"cast(bucket as int) ^ shiftleft(1, cast(probe as int) - 1)"))
+          .cast(IntegerType).as("bucket"))
     val cand = sig.join(broadcast(qsig), Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
@@ -373,7 +388,10 @@ object Similarity {
 
   val annLshSql: String =
     s"""WITH $bucketsSql,
-        qsig AS (SELECT vec_id AS query_id, band, bucket FROM bkt
+        qsig AS (SELECT vec_id AS query_id, band,
+                   CAST(CASE WHEN j = 0 THEN bucket
+                        ELSE xor(bucket, (1 << (j - 1))) END AS INT) AS bucket
+                 FROM bkt, generate_series(0, $PlanesPerBand) t(j)
                  WHERE vec_id < $NumQueries),
         cand AS (SELECT DISTINCT q.query_id, k.vec_id AS neighbor_id
                  FROM qsig q JOIN bkt k

@@ -32,10 +32,12 @@ class RecallSpec extends SparkSpec {
   private def recall(approx: Set[(Long, Long)]): Double =
     (truth intersect approx).size.toDouble / truth.size
 
-  test("banded LSH recall@10 vs brute force") {
+  test("banded multi-probe LSH recall@10 vs brute force") {
     val r = recall(top10(Similarity.annLsh(spark, Sf)))
-    info(f"annLsh recall@10 = $r%.2f (8 bands x 4 planes)")
-    assert(r >= 0.55, f"annLsh recall@10 $r%.2f below measured floor 0.55")
+    info(f"annLsh recall@10 = $r%.2f (8 bands x 4 planes, hamming-1 probes)")
+    // Banding alone measured 0.58; query-side hamming-1 probing took the
+    // measured recall to 1.00 here — floor set with margin for corpus drift.
+    assert(r >= 0.90, f"annLsh recall@10 $r%.2f below measured floor 0.90")
   }
 
   test("multi-probe IVF recall@10 vs brute force") {
