@@ -79,6 +79,10 @@ object SparkEntry {
     "q_ann_lsh" -> (Similarity.annLsh _),
     "q_ann_ivf" -> (Similarity.annIvf _),
     "q_tfidf_top" -> (TextAnalysis.tfidfTop _),
+    "q_pii_scrub" -> (TextAnalysis.piiScrub _),
+    "q_repetition" -> (TextAnalysis.repetition _),
+    "q_contamination" -> (TextAnalysis.contamination _),
+    "q_token_budget" -> (TextAnalysis.tokenBudgetSample _),
     "q_cosine_pairs" -> (Similarity.cosinePairs _),
     "q_text_quality" -> (TextAnalysis.quality _),
     "q_lang_id" -> (TextAnalysis.langId _),
@@ -347,6 +351,10 @@ object SparkEntry {
     "q_ann_lsh" -> Similarity.annLshSql,
     "q_ann_ivf" -> Similarity.annIvfSql,
     "q_tfidf_top" -> TextAnalysis.tfidfTopSql,
+    "q_pii_scrub" -> TextAnalysis.piiScrubSql,
+    "q_repetition" -> TextAnalysis.repetitionSql,
+    "q_contamination" -> TextAnalysis.contaminationSql,
+    "q_token_budget" -> TextAnalysis.tokenBudgetSampleSql,
     "q_cosine_pairs" -> Similarity.cosinePairsSql,
     "q_text_quality" -> TextAnalysis.qualitySql,
     "q_lang_id" -> TextAnalysis.langIdSql,

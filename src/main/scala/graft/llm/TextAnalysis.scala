@@ -157,6 +157,164 @@ object TextAnalysis {
          FROM h)
        SELECT doc_id, lang, rk FROM r WHERE rk <= 20 ORDER BY lang, rk"""
 
+  /** PII scrubbing — the redaction pass every training-data pipeline runs
+    * before anything else. The synthetic corpus contains no PII, so the
+    * query PLANTS it deterministically (an email and a numeric id derived
+    * from doc_id, identical in both engines) and then scrubs it; the oracle
+    * must redact byte-identically for the row to hash-match, which makes
+    * the regex semantics — not just the plumbing — the thing under test.
+    * Patterns are kept in the Java-regex/RE2 common subset; DuckDB needs
+    * the 'g' flag (it replaces first-match-only by default, Spark replaces
+    * all). Pure per-row expressions: zero shuffles, streams at any scale. */
+  def piiScrub(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("dirty", concat(
+        col("text"),
+        lit(" contact user_"), col("doc_id"), lit("@example.com"),
+        lit(" ref "), (col("doc_id") * 7919 % 100000000).cast(StringType)))
+      .select(
+        col("doc_id"),
+        size(expr("regexp_extract_all(dirty, '[a-z0-9_]+@[a-z]+\\\\.[a-z]+', 0)"))
+          .as("n_emails"),
+        size(expr("regexp_extract_all(dirty, '[0-9]{4,}', 0)")).as("n_long_nums"),
+        substring(
+          regexp_replace(
+            regexp_replace(col("dirty"), "[a-z0-9_]+@[a-z]+\\.[a-z]+", "<EMAIL>"),
+            "[0-9]{4,}", "<NUM>"),
+          -40, 40).as("scrub_tail"))
+      .orderBy("doc_id")
+
+  val piiScrubSql: String =
+    """WITH dirty AS (
+         SELECT doc_id,
+           text || ' contact user_' || doc_id || '@example.com ref ' ||
+             CAST(doc_id * 7919 % 100000000 AS VARCHAR) AS dirty
+         FROM documents)
+       SELECT doc_id,
+         CAST(len(regexp_extract_all(dirty, '[a-z0-9_]+@[a-z]+\.[a-z]+')) AS INT) AS n_emails,
+         CAST(len(regexp_extract_all(dirty, '[0-9]{4,}')) AS INT) AS n_long_nums,
+         CASE WHEN length(s) <= 40 THEN s ELSE substr(s, length(s) - 39, 40) END AS scrub_tail
+       FROM (SELECT doc_id, dirty,
+               regexp_replace(regexp_replace(dirty,
+                 '[a-z0-9_]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+                 '[0-9]{4,}', '<NUM>', 'g') AS s
+             FROM dirty)
+       ORDER BY doc_id"""
+
+  /** Intra-document repetition score (the Gopher-style quality signal):
+    * fraction of word-3-grams that are repeats of an earlier 3-gram in the
+    * SAME document. Boilerplate and generator loops light this up while
+    * cross-doc dedup misses them. Pure per-row array expressions. */
+  def repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("grams", expr(
+        """CASE WHEN size(ws) >= 3
+           THEN transform(sequence(0, size(ws) - 3),
+                          i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))
+           ELSE array() END"""))
+      .select(
+        col("doc_id"),
+        size(col("grams")).as("n_grams"),
+        (size(col("grams")) - size(array_distinct(col("grams")))).as("n_dup_grams"),
+        when(size(col("grams")) > 0,
+          (size(col("grams")) - size(array_distinct(col("grams")))).cast(DoubleType)
+            / size(col("grams")))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+      .orderBy("doc_id")
+
+  val repetitionSql: String =
+    """WITH g AS (
+         SELECT doc_id,
+           CASE WHEN len(ws) >= 3
+                THEN list_transform(generate_series(1, len(ws) - 2),
+                                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                ELSE [] END AS grams
+         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+       SELECT doc_id,
+         CAST(len(grams) AS INT) AS n_grams,
+         CAST(len(grams) - len(list_distinct(grams)) AS INT) AS n_dup_grams,
+         CASE WHEN len(grams) > 0
+              THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+              ELSE CAST(0 AS DOUBLE) END AS rep_ratio
+       FROM g ORDER BY doc_id"""
+
+  /** Benchmark-contamination check: which training documents share word-
+    * 3-grams with a held-out eval set? The eval set here is the
+    * [[hashSample]] bucket (a deterministic ~10% of the corpus); its
+    * distinct shingle set is eval-sized — broadcastable at any corpus
+    * scale — so the check is one broadcast semi-join-with-count over the
+    * training side's exploded shingles: corpus-linear, no shuffle of text. */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    def shingles(df: DataFrame) = df
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ws) >= 3
+           THEN array_distinct(transform(sequence(0, size(ws) - 3),
+                          i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])))
+           ELSE array() END""")).as("sh"))
+    val docs = Tables.documents(s, d)
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 7), 16, 10)
+          .cast(LongType) % 10)
+    val evalSh = shingles(docs.filter(col("bucket") === 0))
+      .select("sh").distinct()
+    val train = shingles(docs.filter(col("bucket") =!= 0))
+    train.join(broadcast(evalSh), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_eval_grams"))
+      .orderBy("doc_id")
+  }
+
+  val contaminationSql: String =
+    """WITH b AS (
+         SELECT doc_id, text,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10 AS bucket
+         FROM documents),
+       sh AS (
+         SELECT doc_id, bucket, unnest(list_distinct(
+           CASE WHEN len(ws) >= 3
+                THEN list_transform(generate_series(1, len(ws) - 2),
+                                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                ELSE [] END)) AS sh
+         FROM (SELECT doc_id, bucket, string_split(text, ' ') AS ws FROM b)),
+       ev AS (SELECT DISTINCT sh FROM sh WHERE bucket = 0)
+       SELECT t.doc_id, count(*) AS n_eval_grams
+       FROM sh t JOIN ev ON t.sh = ev.sh
+       WHERE t.bucket <> 0
+       GROUP BY t.doc_id ORDER BY t.doc_id"""
+
+  /** Token-budget sampling: admit documents in deterministic hash-priority
+    * order until a global token budget is spent — how a training mix is cut
+    * to "the first N tokens" reproducibly. The running total goes through
+    * [[graft.ops.Analytics.scalableCumSum]] (range-partition + per-partition
+    * offsets), NOT a single-partition window, so the cut distributes. */
+  val TokenBudget = 5000L
+
+  def tokenBudgetSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 7), 16, 10)
+          .cast(LongType).as("h"),
+        size(split(col("text"), " ")).cast(LongType).as("tokens"))
+    graft.ops.Analytics.scalableCumSum(docs, Seq("h", "doc_id"), "tokens", "cum_tokens")
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select("doc_id", "h", "tokens", "cum_tokens")
+      .orderBy("h", "doc_id")
+  }
+
+  val tokenBudgetSampleSql: String =
+    s"""WITH t AS (
+          SELECT doc_id,
+            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) AS h,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+          FROM documents),
+        c AS (SELECT doc_id, h, tokens,
+                CAST(sum(tokens) OVER (ORDER BY h, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM t)
+        SELECT doc_id, h, tokens, cum_tokens FROM c
+        WHERE cum_tokens <= $TokenBudget ORDER BY h, doc_id"""
+
   /** TF-IDF top term per document — the inverted-index scoring pattern:
     * explode tokens -> per-(doc, term) TF -> per-term DF (one small
     * aggregate) -> score = tf * ln(N/df). The DF side is corpus-vocabulary

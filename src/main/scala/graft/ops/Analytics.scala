@@ -454,4 +454,33 @@ object Analytics {
     }
     spark.createDataFrame(out, schema)
   }
+
+  /** Scalable global running sum of `weightCol` in `orderCols` order — the
+    * weighted sibling of [[scalableRowNumber]] (an unpartitioned
+    * sum-over-window would funnel everything through one task). Same shape:
+    * range-partition on the order columns, one persisted sort, a counts
+    * pass collecting ONE partial sum per partition, then per-partition
+    * running sums seeded by the broadcast offsets. `orderCols` must be a
+    * total order (add a tiebreak column) and `weightCol` must be LongType. */
+  def scalableCumSum(df: DataFrame, orderCols: Seq[String], weightCol: String,
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    val sorted = df.repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val schema = sorted.schema.add(StructField(outCol, LongType, nullable = false))
+    val wIdx = sorted.schema.fieldIndex(weightCol)
+    val base = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partial = base.mapPartitionsWithIndex { case (i, it) =>
+      Iterator((i, it.map(_.getLong(wIdx)).sum))
+    }.collect().sortBy(_._1)
+    val offsets = partial.map(_._2).scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = base.mapPartitionsWithIndex { case (i, it) =>
+      var acc = bc.value(i)
+      it.map { r => acc += r.getLong(wIdx); Row.fromSeq(r.toSeq :+ acc) }
+    }
+    spark.createDataFrame(out, schema)
+  }
 }
