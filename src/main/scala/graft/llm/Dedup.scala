@@ -397,7 +397,14 @@ object Dedup {
     * per task), so the whole selection distributes by doc exactly like the
     * shingle stream; a doc shorter than WinnowW k-grams keeps its global
     * min as the single fingerprint. */
-  def winnowFingerprints(s: SparkSession, d: String): DataFrame = {
+  def winnowFingerprints(s: SparkSession, d: String): DataFrame =
+    winnowFpSet(s, d).orderBy("doc_id", "fp")
+
+  /** The fingerprint SET without the presentation sort — callers that feed
+    * joins use this one: a global orderBy is optimizer-removable in an
+    * uncached plan, but caching would freeze it into the materialized data
+    * (one full range-exchange sort paid for nothing). */
+  private[graft] def winnowFpSet(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = posShingles(s, d)
       .select(col("doc_id"), col("pos"), baseHash(col("sh")).as("h"))
@@ -408,7 +415,6 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(whole))
       .filter(col("pos") <= greatest(col("n") - WinnowW, lit(0)))
       .select("doc_id", "fp").distinct()
-      .orderBy("doc_id", "fp")
   }
 
   /** Shared winnowing CTE chain: positioned shingles -> hashes -> window
@@ -437,7 +443,7 @@ object Dedup {
     // Cached: the fingerprint derivation (window minima over the positioned
     // shingle stream) is the expensive part and is consumed three times —
     // the df aggregate and both sides of the candidate self-join.
-    val fps = winnowFingerprints(s, d).cache()
+    val fps = winnowFpSet(s, d).cache()
     val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > ShingleDfCap).select("fp")
     val capped = fps.join(broadcast(hot), Seq("fp"), "left_anti")
