@@ -84,6 +84,7 @@ object SparkEntry {
     "q_contamination" -> (TextAnalysis.contamination _),
     "q_token_budget" -> (TextAnalysis.tokenBudgetSample _),
     "q_cosine_pairs" -> (Similarity.cosinePairs _),
+    "q_semdedup" -> (Similarity.semDedup _),
     "q_text_quality" -> (TextAnalysis.quality _),
     "q_lang_id" -> (TextAnalysis.langId _),
     "q_token_counts" -> (TextAnalysis.tokenCounts _),
@@ -356,6 +357,7 @@ object SparkEntry {
     "q_contamination" -> TextAnalysis.contaminationSql,
     "q_token_budget" -> TextAnalysis.tokenBudgetSampleSql,
     "q_cosine_pairs" -> Similarity.cosinePairsSql,
+    "q_semdedup" -> Similarity.semDedupSql,
     "q_text_quality" -> TextAnalysis.qualitySql,
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_token_counts" -> TextAnalysis.tokenCountsSql,

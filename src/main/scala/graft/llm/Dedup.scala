@@ -300,12 +300,24 @@ object Dedup {
     * pattern that scales to billions of edges); fixpoint is exact for any
     * iteration count >= the min-node eccentricity (clusters here are tiny;
     * 15 is generous). Oracle: exact transitive closure via WITH RECURSIVE. */
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramJaccardPairs(s, d).select("doc_a", "doc_b").cache()
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    minLabelComponents(ngramJaccardPairs(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("is_keeper"))
+      .orderBy("doc_id")
+
+  /** Min-label propagation over an undirected near-dup pair list (a, b):
+    * returns (id, label) where label = the minimum id reachable through the
+    * pair graph. One equi-join per iteration — the Pregel-lite pattern that
+    * scales to billions of edges. Shared by [[dedupClusters]] (token-level
+    * near-dups) and [[Similarity.semDedup]] (embedding-level near-dups). */
+  private[llm] def minLabelComponents(rawPairs: DataFrame): DataFrame = {
+    val pairs = rawPairs.cache()
     val edges = pairs.union(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+      pairs.select(col("b").as("a"), col("a").as("b"))).cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
       .localCheckpoint(true)
     // Label sums decrease monotonically and stabilize exactly at the
     // fixpoint, so they double as a convergence check. Checking every OTHER
@@ -319,14 +331,14 @@ object Dedup {
     (1 to 30).foreach { i =>
       if (!converged) {
         val viaNeighbor = edges
-          .join(labels, edges("doc_b") === labels("doc_id"))
-          .select(edges("doc_a").as("doc_id"), col("label"))
+          .join(labels, edges("b") === labels("id"))
+          .select(edges("a").as("id"), col("label"))
         // localCheckpoint per iteration: each step references `labels` twice,
         // so an unmaterialized lineage doubles per round (2^n plan blowup);
         // checkpointing truncates the logical plan, the standard move for
         // iterative algorithms on DataFrames.
         labels = labels.union(viaNeighbor)
-          .groupBy("doc_id").agg(min("label").as("label"))
+          .groupBy("id").agg(min("label").as("label"))
           .localCheckpoint(true)
         if (i % 2 == 0) {
           val s = labels.agg(sum("label")).head().getLong(0)
@@ -335,9 +347,6 @@ object Dedup {
       }
     }
     labels
-      .select(col("doc_id"), col("label").as("cluster_id"),
-        (col("doc_id") === col("label")).as("is_keeper"))
-      .orderBy("doc_id")
   }
 
   val dedupClustersSql: String =

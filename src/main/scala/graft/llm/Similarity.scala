@@ -94,6 +94,22 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Semantic deduplication (the SemDeDup recipe): group embeddings whose
+    * cosine exceeds [[PairThreshold]] into connected components and keep one
+    * representative (the min vec_id) per component. Candidates come from the
+    * same banded-LSH blocking as [[cosinePairs]] — never all pairs — and the
+    * grouping is [[Dedup.minLabelComponents]] min-label propagation, so both
+    * stages are the shapes that scale: equi-joins on band keys, one
+    * equi-join per propagation round. Output covers only vectors that have
+    * at least one near-dup (singletons are trivially keepers). Oracle:
+    * exact transitive closure via WITH RECURSIVE over the same pair set. */
+  def semDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.minLabelComponents(
+        cosinePairs(s, d).select(col("vec_a").as("a"), col("vec_b").as("b")))
+      .select(col("id").as("vec_id"), col("label").as("group_id"),
+        (col("id") === col("label")).as("is_keeper"))
+      .orderBy("vec_id")
+
   /** Banded LSH signatures: one row per (vec_id, band) with a 4-bit sign
     * bucket. Plane p (0-based) belongs to band p div 4, bit p mod 4; plane
     * weights w(p,i) = +1 if first md5 hex digit of "p:i" < '8' else -1.
@@ -385,6 +401,30 @@ object Similarity {
                    GROUP BY 1, 2)
         SELECT vec_a, vec_b, cos FROM scored
         WHERE cos >= $PairThreshold ORDER BY vec_a, vec_b"""
+
+  val semDedupSql: String =
+    s"""WITH RECURSIVE $bucketsSql,
+        cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+                 FROM bkt x JOIN bkt y
+                   ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        jp AS (SELECT c.vec_a, c.vec_b
+               FROM cand c
+               JOIN embeddings a ON c.vec_a = a.vec_id
+               JOIN embeddings b ON c.vec_b = b.vec_id,
+                    generate_series(1, 64) t(i)
+               GROUP BY 1, 2
+               HAVING round(sum(CAST(a.embedding[i] * b.embedding[i] AS DOUBLE))
+                 / (sqrt(sum(CAST(a.embedding[i] * a.embedding[i] AS DOUBLE)))
+                    * sqrt(sum(CAST(b.embedding[i] * b.embedding[i] AS DOUBLE)))), 4)
+                 >= $PairThreshold),
+        edges AS (SELECT vec_a AS s, vec_b AS t FROM jp
+                  UNION ALL SELECT vec_b, vec_a FROM jp),
+        nodes AS (SELECT DISTINCT s AS vec_id FROM edges),
+        reach AS (SELECT vec_id, vec_id AS r FROM nodes
+                  UNION
+                  SELECT reach.vec_id, e.t FROM reach JOIN edges e ON reach.r = e.s)
+        SELECT vec_id, min(r) AS group_id, (vec_id = min(r)) AS is_keeper
+        FROM reach GROUP BY vec_id ORDER BY vec_id"""
 
   val annLshSql: String =
     s"""WITH $bucketsSql,
