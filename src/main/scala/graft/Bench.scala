@@ -33,7 +33,13 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
 
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated subset for isolated timing experiments
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=q_json_extract). Absent => full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // A swallowed failure would contribute a near-zero time and make the
       // JSON look healthy — record it loudly instead.
@@ -46,7 +52,9 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // Queries cache() intermediates for intra-query reuse; drop them so 69
       // queries' worth of stale blocks don't squeeze execution memory and
-      // throttle late queries.
+      // throttle late queries. TrackedCaches also frees RDD-level persists
+      // (scalableRowNumber/cumSum) that catalog.clearCache cannot see.
+      TrackedCaches.release()
       spark.catalog.clearCache()
       name -> dt
     }

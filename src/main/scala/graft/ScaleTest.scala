@@ -39,7 +39,11 @@ object ScaleTest {
     spark.sparkContext.setLogLevel("WARN")
 
     val src = "/root/testdata/sf0.1"
-    val dst = s"${System.getProperty("java.io.tmpdir")}/graft_sf1"
+    // The corpus directory embeds the generator parameters (copy count +
+    // key stride): changing either forces a rebuild instead of silently
+    // reusing a corpus built under the old scheme.
+    val dst =
+      s"${System.getProperty("java.io.tmpdir")}/graft_sf1_c${copies}_s1000000"
 
     if (!new java.io.File(s"$dst/_built").exists()) {
       build(spark, src, dst, copies)
@@ -79,7 +83,11 @@ object ScaleTest {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val src = "/root/testdata/sf0.1"
-    val dst = s"${System.getProperty("java.io.tmpdir")}/graft_docs10x"
+    // Parameter-stamped path (copies, substitution mod, doc-id stride):
+    // a change to buildDocs must bump this suffix so a stale cached corpus
+    // can't skew the reported ratios.
+    val dst =
+      s"${System.getProperty("java.io.tmpdir")}/graft_docs10x_c10_m5_d1000000"
     if (!new java.io.File(s"$dst/_built").exists()) {
       buildDocs(spark, src, dst, 10)
       new java.io.File(s"$dst/_built").createNewFile()
@@ -93,6 +101,7 @@ object ScaleTest {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
+        TrackedCaches.release()
         spark.catalog.clearCache()
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap

@@ -118,6 +118,11 @@ object SparkEntry {
     "q_dq_report" -> (graft.ops.Quality.dqReport _),
     "q_scd2" -> (graft.ops.Quality.scd2Build _),
     "q_approx_distinct" -> (Advanced.approxDistinct _),
+    // Sketch-pruned exact operators + iterative graph analytics
+    "q_heavy_hitters" -> (graft.ops.Sketches.heavyHitters _),
+    "q_bloom_join" -> (graft.ops.Sketches.bloomSemiJoin _),
+    "q_approx_quantile" -> (graft.ops.Sketches.approxQuantile _),
+    "q_pagerank" -> (graft.ops.Graph.pageRank _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -394,5 +399,9 @@ object SparkEntry {
     // HLL sketch internals are engine-specific; the portable surface is the
     // exact count + the error-bound boolean, both verified by DuckDB.
     "q_approx_distinct" -> Advanced.approxDistinctSql,
+    "q_heavy_hitters" -> graft.ops.Sketches.heavyHittersSql,
+    "q_bloom_join" -> graft.ops.Sketches.bloomSemiJoinSql,
+    "q_approx_quantile" -> graft.ops.Sketches.approxQuantileSql,
+    "q_pagerank" -> graft.ops.Graph.pageRankSql,
   )
 }

@@ -145,7 +145,7 @@ object Dedup {
 
   /** Candidate pairs from LSH bands + signature-agreement score. */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = signatures(s, d).cache()
+    val sig = graft.TrackedCaches.track(signatures(s, d).cache())
     val rows = NumHashes / Bands
     val bands = (0 until Bands).map { b =>
       val vs = (0 until rows).map(r => col(s"s_${b * rows + r}").as(s"v$r"))
@@ -214,7 +214,7 @@ object Dedup {
     * SimBands 15-bit bands makes the candidate join exact (any pair within
     * hamming 3 shares at least one intact band) — no all-pairs scan. */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sim = simhashes(s, d).cache()
+    val sim = graft.TrackedCaches.track(simhashes(s, d).cache())
     val bandWidth = SimBits / SimBands // 15
     val bands = (0 until SimBands).map { b =>
       sim.select(col("doc_id"), col("simhash"),
@@ -277,7 +277,7 @@ object Dedup {
   }
 
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = cappedShingles(s, d).cache()
+    val sh = graft.TrackedCaches.track(cappedShingles(s, d).cache())
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b,
@@ -314,8 +314,24 @@ object Dedup {
     * near-dups) and [[Similarity.semDedup]] (embedding-level near-dups). */
   private[llm] def minLabelComponents(rawPairs: DataFrame): DataFrame = {
     val pairs = rawPairs.cache()
+    // Size the propagation parallelism to the ACTUAL edge count (the count
+    // also materializes the pair cache): near-dup pair graphs are orders of
+    // magnitude smaller than their corpus, and running each of the ~2·rounds
+    // jobs at full shuffle width schedules hundreds of near-empty tasks. One
+    // partition per ~100k edges (clamped to the session's shuffle width)
+    // keeps the same plan shape at every scale — a billion-edge graph still
+    // fans out to the full width.
+    val nEdges = pairs.count()
+    if (nEdges == 0) {
+      pairs.unpersist(blocking = false)
+      return rawPairs.select(col("a").as("id"), col("a").as("label")).limit(0)
+    }
+    val width = math.max(1, math.min(
+      rawPairs.sparkSession.sessionState.conf.numShufflePartitions,
+      (nEdges / 100000L).toInt + 1))
     val edges = pairs.union(
-      pairs.select(col("b").as("a"), col("a").as("b"))).cache()
+      pairs.select(col("b").as("a"), col("a").as("b")))
+      .repartition(width, col("a")).cache()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
@@ -326,26 +342,51 @@ object Dedup {
     // late detection costs one no-op propagation round, while each skipped
     // check saves a full scan-and-agg job over the labels. Iteration cap is
     // a safety net for pathological path-shaped components.
+    def propagate(ls: DataFrame): DataFrame = {
+      val viaNeighbor = edges
+        .join(ls, edges("b") === ls("id"))
+        .select(edges("a").as("id"), col("label"))
+      // localCheckpoint per iteration: each step references `labels` twice,
+      // so an unmaterialized lineage doubles per round (2^n plan blowup);
+      // checkpointing truncates the logical plan, the standard move for
+      // iterative algorithms on DataFrames.
+      ls.union(viaNeighbor)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+    }
+    // Check cadence is adaptive: under 1M edges the sum job costs less than
+    // one wasted propagation round (near-dup graphs converge in 1-3 rounds),
+    // so check every round; at scale the every-other-round scheme wins.
+    val checkEvery = if (nEdges < 1000000L) 1 else 2
     var prevSum = Long.MaxValue
     var converged = false
-    (1 to 30).foreach { i =>
-      if (!converged) {
-        val viaNeighbor = edges
-          .join(labels, edges("b") === labels("id"))
-          .select(edges("a").as("id"), col("label"))
-        // localCheckpoint per iteration: each step references `labels` twice,
-        // so an unmaterialized lineage doubles per round (2^n plan blowup);
-        // checkpointing truncates the logical plan, the standard move for
-        // iterative algorithms on DataFrames.
-        labels = labels.union(viaNeighbor)
-          .groupBy("id").agg(min("label").as("label"))
-          .localCheckpoint(true)
-        if (i % 2 == 0) {
-          val s = labels.agg(sum("label")).head().getLong(0)
-          if (s == prevSum) converged = true else prevSum = s
-        }
+    val cap = 30
+    var i = 0
+    while (!converged && i < cap) {
+      i += 1
+      labels = propagate(labels)
+      if (i % checkEvery == 0) {
+        val s = labels.agg(sum("label")).head().getLong(0)
+        if (s == prevSum) converged = true else prevSum = s
       }
     }
+    if (!converged) {
+      // Cap exit: a component with diameter > cap would silently ship wrong
+      // cluster ids. Verify the fixpoint with one extra propagation round
+      // and fail loudly if labels are still moving.
+      val next = propagate(labels)
+      val s1 = labels.agg(sum("label")).head().getLong(0)
+      val s2 = next.agg(sum("label")).head().getLong(0)
+      require(s1 == s2,
+        s"minLabelComponents did not converge within $cap rounds " +
+          "(a component's min-label eccentricity exceeds the cap); " +
+          "raise the cap or pre-contract the pathological component")
+      labels = next
+    }
+    // labels is localCheckpoint(true) = already materialized; the pair and
+    // edge caches have no remaining consumers.
+    pairs.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
     labels
   }
 
@@ -452,7 +493,7 @@ object Dedup {
     // Cached: the fingerprint derivation (window minima over the positioned
     // shingle stream) is the expensive part and is consumed three times —
     // the df aggregate and both sides of the candidate self-join.
-    val fps = winnowFpSet(s, d).cache()
+    val fps = graft.TrackedCaches.track(winnowFpSet(s, d).cache())
     val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > ShingleDfCap).select("fp")
     val capped = fps.join(broadcast(hot), Seq("fp"), "left_anti")

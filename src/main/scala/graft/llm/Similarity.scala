@@ -77,7 +77,7 @@ object Similarity {
     * 1-(1-p^4)^8 amplification curve; RecallSpec measures the ANN analog).
     * The exact cosine pass runs only on deduped candidates, never all pairs. */
   def cosinePairs(s: SparkSession, d: String): DataFrame = {
-    val sig = bandSignatures(s, d).cache()
+    val sig = graft.TrackedCaches.track(bandSignatures(s, d).cache())
     val x = sig.as("x"); val y = sig.as("y")
     val cand = x.join(y,
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -151,7 +151,7 @@ object Similarity {
     * only on deduped candidates; final per-query top-k ranked like
     * [[annTopK]]. */
   def annLsh(s: SparkSession, d: String): DataFrame = {
-    val sig = bandSignatures(s, d).cache()
+    val sig = graft.TrackedCaches.track(bandSignatures(s, d).cache())
     val qsig = sig.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("band"), col("bucket"))
       .crossJoin(s.range(0, PlanesPerBand + 1).toDF("probe"))
@@ -274,12 +274,12 @@ object Similarity {
 
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val sx = scaledEmb(s, d).cache()
+    val sx = graft.TrackedCaches.track(scaledEmb(s, d).cache())
     val cents = trainCentroids(sx, seedCentroids(s, d, sx))
-    val cells = assignCells(sx, cents)
+    val cells = graft.TrackedCaches.track(assignCells(sx, cents)
       .join(emb, "vec_id")
       .select(col("vec_id"), col("embedding"), col("cell"))
-      .cache()
+      .cache())
     // Multi-probe routing: each query fans out to its NumProbes nearest
     // cells. Corpus assignment stays unique (argmin), so (query, neighbor)
     // pairs are already distinct — no dedup needed after the cell join.

@@ -416,8 +416,11 @@ object Analytics {
     * call: (accumulator, partition count). The accumulator bumps once per
     * PARTITION each time the post-shuffle sorted data is computed, so
     * value == partition count proves the sort ran exactly once (cache hits
-    * on the persisted RDD don't re-run it). SingleScanSpec gates this. */
-  private[graft] var numberingAudit: (org.apache.spark.util.LongAccumulator, Int) = _
+    * on the persisted RDD don't re-run it). SingleScanSpec gates this.
+    * Thread-local so concurrent queries (parallel specs, multi-threaded
+    * bench) each observe their own call's audit, not the last writer's. */
+  private[graft] val numberingAudit =
+    new ThreadLocal[(org.apache.spark.util.LongAccumulator, Int)]
 
   /** Scalable deterministic global row-number: per-partition counts + offsets
     * instead of a single-partition window — the 100 TB answer to the
@@ -440,9 +443,10 @@ object Analytics {
     import org.apache.spark.sql.Row
     val schema = sorted.schema.add(StructField("num", LongType, nullable = false))
     val acc = spark.sparkContext.longAccumulator("graft.rowNumber.sortMaterializations")
-    val base = sorted.rdd.mapPartitions { it => acc.add(1); it }
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    numberingAudit = (acc, base.getNumPartitions)
+    val base = graft.TrackedCaches.trackRdd(
+      sorted.rdd.mapPartitions { it => acc.add(1); it }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    numberingAudit.set((acc, base.getNumPartitions))
     val counts = base.mapPartitionsWithIndex { case (i, it) =>
       Iterator((i, it.size))
     }.collect().sortBy(_._1)
@@ -470,8 +474,8 @@ object Analytics {
       .sortWithinPartitions(orderCols.map(col): _*)
     val schema = sorted.schema.add(StructField(outCol, LongType, nullable = false))
     val wIdx = sorted.schema.fieldIndex(weightCol)
-    val base = sorted.rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = graft.TrackedCaches.trackRdd(sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val partial = base.mapPartitionsWithIndex { case (i, it) =>
       Iterator((i, it.map(_.getLong(wIdx)).sum))
     }.collect().sortBy(_._1)

@@ -1,0 +1,184 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sketch-backed operators whose OUTPUT is exact: the sketch prunes the
+  * search space; an exact pass over the pruned candidates removes every
+  * approximation before anything leaves the operator. That is the shape
+  * that both scales (the sketch is tiny and mergeable, the exact pass
+  * touches only candidates) and stays oracle-checkable (DuckDB runs the
+  * exact formulation directly).
+  *
+  * Extends the reference's aggregation surface (transform-data.py:85-108's
+  * groupBy aggregates) with the approximate counterparts a 100 TB corpus
+  * needs: global heavy hitters without shuffling every distinct token,
+  * runtime-filtered joins without shipping the full fact table, rank-bounded
+  * quantile sketches.
+  */
+object Sketches {
+
+  /** Misra-Gries heavy-hitters summary over a token stream: at most
+    * [[MgCapacity]] counters; any token with true frequency > n/(capacity+1)
+    * is guaranteed to survive. Merging is the Agarwal et al. (TODS'13,
+    * "Mergeable summaries") scheme: sum counters, then subtract the
+    * (capacity+1)-th largest count and drop the non-positive — the guarantee
+    * is preserved under arbitrary merge trees, so map-side partial
+    * aggregation is sound. The buffer is O(capacity) regardless of input
+    * size: at 100 TB the shuffle carries one ≤256-entry map per partition,
+    * not the billion-token distinct set. */
+  val MgCapacity = 256
+
+  /** Heavy-hitter report threshold: tokens with freq * [[HhK]] > total. Must
+    * satisfy HhK <= MgCapacity + 1 for the sketch guarantee to cover it. */
+  val HhK = 200
+
+  object MisraGries extends Aggregator[String, mutable.Map[String, Long], Map[String, Long]] {
+    override def zero: mutable.Map[String, Long] = mutable.Map.empty
+
+    override def reduce(b: mutable.Map[String, Long], t: String): mutable.Map[String, Long] = {
+      if (b.contains(t) || b.size < MgCapacity) {
+        b.update(t, b.getOrElse(t, 0L) + 1L)
+      } else {
+        // Decrement-all step, lazily: subtract 1 from every counter by
+        // dropping zeros; the incoming token's count stays implicit 0.
+        val dead = b.iterator.collect { case (k, 1L) => k }.toList
+        b.mapValuesInPlace((_, v) => v - 1L)
+        dead.foreach(b.remove)
+      }
+      b
+    }
+
+    override def merge(x: mutable.Map[String, Long], y: mutable.Map[String, Long]): mutable.Map[String, Long] = {
+      y.foreach { case (k, v) => x.update(k, x.getOrElse(k, 0L) + v) }
+      if (x.size > MgCapacity) {
+        val cut = x.values.toArray.sorted(Ordering[Long].reverse)(MgCapacity)
+        val dead = x.iterator.collect { case (k, v) if v <= cut => k }.toList
+        x.mapValuesInPlace((_, v) => v - cut)
+        dead.foreach(x.remove)
+      }
+      x
+    }
+
+    override def finish(b: mutable.Map[String, Long]): Map[String, Long] = b.toMap
+    override def bufferEncoder = org.apache.spark.sql.Encoders.kryo[mutable.Map[String, Long]]
+    override def outputEncoder = org.apache.spark.sql.Encoders.kryo[Map[String, Long]]
+  }
+
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+
+  /** Global heavy-hitter tokens across the document corpus: every token with
+    * frequency > total/[[HhK]], with its EXACT count. Pass 1 runs the
+    * Misra-Gries sketch (map-side combined, ≤256-entry buffers) to get a
+    * candidate superset; pass 2 rescounts ONLY the candidates exactly (the
+    * filter prunes before the shuffle, so the groupBy state is ≤256 keys)
+    * and applies the threshold. No full distinct-token shuffle anywhere.
+    * Oracle: the exact formulation (DuckDB can afford it at sf0.01). */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens(s, d)
+    val sketch = toks.as[String].select(MisraGries.toColumn.name("mg")).head()
+    val candidates = sketch.keys.toSeq
+    val total = toks.agg(count(lit(1)).as("n"))
+    toks.filter(col("token").isin(candidates: _*))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(total))
+      .filter(col("freq") * HhK > col("n"))
+      .select(col("token"), col("freq"))
+      .orderBy(col("freq").desc, col("token"))
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+                      FROM documents),
+        tok AS (SELECT token FROM toks WHERE token <> ''),
+        tot AS (SELECT count(*) AS n FROM tok)
+        SELECT token, count(*) AS freq
+        FROM tok, tot
+        GROUP BY token, n
+        HAVING count(*) * $HhK > n
+        ORDER BY freq DESC, token"""
+
+  /** Account-balance cut for the bloom-join dimension side. */
+  val BloomBalCut = 5000.0
+
+  /** Bloom-filter-prefiltered semi join — the runtime-filter pattern
+    * (Trino/Spark InjectRuntimeFilter) built explicitly: a kilobyte bloom
+    * filter summarizing the selective dimension side prunes the fact table
+    * BEFORE its shuffle, then an exact semi join removes the bloom's false
+    * positives, so the result is exactly the semi join while the shuffle
+    * carries only ~|matches| + fpp·|facts| rows instead of the whole fact
+    * table. At 100 TB the filter is built once (aggregate, kilobytes to the
+    * driver), broadcast, and applied at the scan. */
+  def bloomSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d)
+      .filter(col("c_acctbal") > BloomBalCut)
+      .select("c_custkey")
+    val bf = dim.stat.bloomFilter("c_custkey", 100000L, 0.01)
+    val mightContain = udf((k: Long) => bf.mightContain(k))
+    Tables.orders(s, d)
+      .filter(mightContain(col("o_custkey")))
+      .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val bloomSemiJoinSql: String =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_acctbal > $BloomBalCut)
+        ORDER BY o_orderkey"""
+
+  /** approx_percentile accuracy parameter: rank error <= n/Accuracy. */
+  val QAccuracy = 1000
+
+  /** Quantile sketch with an exactness gate, the [[Advanced.approxDistinct]]
+    * pattern: emit the EXACT median (hash-comparable against DuckDB's
+    * quantile_cont — both interpolate (1-d)·lo + d·hi at pos (n-1)/2, and
+    * d ∈ {0, 0.5} over doubles keeps the arithmetic bit-exact) plus a
+    * boolean proving the approx_percentile sketch landed within its
+    * documented rank bound: the exact rank of the sketch's answer must be
+    * within n/[[QAccuracy]] (+1 for ties) of n/2. A broken sketch turns the
+    * column false and fails the hash gate. */
+  def approxQuantile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val base = li.groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("exact_median"),
+        expr(s"approx_percentile(l_quantity, 0.5, $QAccuracy)").as("approx_v"),
+        count(lit(1)).as("n"))
+    // l_quantity is heavily tied (~50 distinct values), so "the rank of the
+    // sketch's answer" is an INTERVAL [count(<v), count(<=v)]; the sketch is
+    // within bound iff that interval comes within n/Accuracy of n/2.
+    val ranked = li
+      .join(broadcast(base), "l_returnflag")
+      .groupBy(col("l_returnflag"), col("exact_median"), col("n"))
+      .agg(
+        sum(when(col("l_quantity") < col("approx_v"), 1L).otherwise(0L))
+          .as("rank_lt"),
+        sum(when(col("l_quantity") <= col("approx_v"), 1L).otherwise(0L))
+          .as("rank_le"))
+    ranked.select(
+        col("l_returnflag"),
+        col("exact_median"),
+        ((col("rank_lt") - col("n") / 2 <=
+            col("n").cast(DoubleType) / QAccuracy + 1) &&
+          (col("n") / 2 - col("rank_le") <=
+            col("n").cast(DoubleType) / QAccuracy + 1)).as("within_bound"))
+      .orderBy("l_returnflag")
+  }
+
+  val approxQuantileSql: String =
+    """SELECT l_returnflag, median(l_quantity) AS exact_median,
+       true AS within_bound
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+}

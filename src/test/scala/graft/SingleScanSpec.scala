@@ -16,7 +16,13 @@ class SingleScanSpec extends SparkSpec {
     val numbered = Analytics.scalableRowNumber(df, "o_orderkey")
     val n = numbered.count() // full evaluation: counts pass + numbering pass
     assert(n == df.count())
-    val (acc, parts) = Analytics.numberingAudit
+    // The accumulator bumps once per TASK, so retries or speculative
+    // execution would double-count; local mode runs neither (no
+    // speculation, and a task failure fails the job), so == is
+    // deterministic here. On a retrying backend this gate would need
+    // acc.value >= parts plus an RDD storage-info cache-hit check.
+    assume(spark.sparkContext.isLocal)
+    val (acc, parts) = Analytics.numberingAudit.get()
     assert(acc.value == parts,
       s"sort materialized ${acc.value} partition-passes for $parts partitions " +
         "— the numbering pass re-ran the sort instead of hitting the persisted RDD")
@@ -28,7 +34,8 @@ class SingleScanSpec extends SparkSpec {
     assert(stats.getInt(0) == 1)
     assert(stats.getInt(1).toLong == stats.getLong(3))
     assert(stats.getLong(2) == stats.getLong(3))
-    val (acc, parts) = Analytics.numberingAudit
+    assume(spark.sparkContext.isLocal) // see the task-retry note above
+    val (acc, parts) = Analytics.numberingAudit.get()
     assert(acc.value == parts,
       s"flagship sort materialized ${acc.value} partition-passes for $parts partitions")
   }

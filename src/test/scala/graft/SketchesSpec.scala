@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.{Graph, Sketches}
+import org.apache.spark.sql.functions._
+
+/** Sketch-pruned exact operators + integer PageRank. The oracle gate already
+  * hash-checks end results; these specs gate the INTERNAL guarantees the
+  * oracle can't see: the sketch's candidate superset property, the bloom
+  * prefilter's selectivity, and PageRank's mass conservation. */
+class SketchesSpec extends SparkSpec {
+
+  test("Misra-Gries candidates are a superset of the true heavy hitters") {
+    import spark.implicits._
+    val toks = Tables.documents(spark, Sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val sketch = toks.as[String].select(Sketches.MisraGries.toColumn).head()
+    val n = toks.count()
+    val truth = toks.groupBy("token").agg(count(lit(1)).as("f"))
+      .filter(col("f") * Sketches.HhK > n)
+      .collect().map(_.getString(0)).toSet
+    assert(truth.nonEmpty, "test corpus has no heavy hitters — threshold too high")
+    val missed = truth -- sketch.keySet
+    assert(missed.isEmpty, s"sketch (size ${sketch.size}) missed true heavy hitters: $missed")
+  }
+
+  test("heavy hitters report = exact groupBy formulation") {
+    val got = Sketches.heavyHitters(spark, Sf).collect().map(r => (r.getString(0), r.getLong(1)))
+    val toks = Tables.documents(spark, Sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val n = toks.count()
+    val want = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * Sketches.HhK > n)
+      .orderBy(col("freq").desc, col("token"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("bloom prefilter passes all matches and prunes most non-matches") {
+    val dim = Tables.customer(spark, Sf)
+      .filter(col("c_acctbal") > Sketches.BloomBalCut).select("c_custkey")
+    val bf = dim.stat.bloomFilter("c_custkey", 100000L, 0.01)
+    val mc = udf((k: Long) => bf.mightContain(k))
+    val orders = Tables.orders(spark, Sf)
+    val prefiltered = orders.filter(mc(col("o_custkey"))).count()
+    val exact = orders.join(dim, col("o_custkey") === col("c_custkey"), "left_semi").count()
+    val total = orders.count()
+    assert(prefiltered >= exact, "bloom filter dropped a true match (impossible for a correct bloom)")
+    // fpp 1%: the prefilter should pass at most exact + ~3% of non-matches
+    assert(prefiltered <= exact + (total - exact) * 3 / 100 + 10,
+      s"prefilter too loose: $prefiltered passed, $exact true, $total total")
+    assert(Sketches.bloomSemiJoin(spark, Sf).count() == exact)
+  }
+
+  test("PageRank conserves scaled mass within truncation loss and is deterministic") {
+    val r = Graph.pageRank(spark, Sf).cache()
+    val nodes = r.count()
+    val total = r.agg(sum("rank")).head().getLong(0)
+    // Each round: base mass PrBase*nodes + damped share of (conserved modulo
+    // per-node integer-division truncation, bounded by degree per node).
+    val ideal = nodes * (Graph.PrBase + Graph.PrDamp * Graph.PrInit / 100)
+    assert(total <= ideal, s"mass grew: $total > $ideal")
+    assert(total >= ideal * 9 / 10, s"mass lost beyond truncation plausibility: $total vs $ideal")
+    val again = Graph.pageRank(spark, Sf).collect()
+    assert(r.collect().toSeq == again.toSeq, "fixed-iteration integer PageRank must be deterministic")
+    r.unpersist()
+  }
+}
