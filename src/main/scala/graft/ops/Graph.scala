@@ -27,13 +27,16 @@ object Graph {
     * rounds are deterministic and hash-match the oracle's unrolled CTE
     * chain.
     *
-    * Scale shape: each round is ONE equi-join of the rank vector against the
-    * edge list on src plus ONE groupBy dst — the canonical distributed
-    * PageRank step. The edge list is shuffled onto its join key once and
-    * reused (cached + tracked); rank lineage grows linearly (each round
-    * references the previous exactly once), so no checkpoint is needed for
-    * small fixed iteration counts. At 100 TB you'd bucket the edge table by
-    * src so every round co-locates with zero edge shuffle. */
+    * Scale shape: the node set here is dimension-sized (parts + suppliers,
+    * ~21k at sf0.1) while the edge list is fact-sized (~1.2M), so each round
+    * BROADCASTS the per-node contribution vector against the cached edge
+    * list and map-side-combines the groupBy(dst) — the edge list is scanned
+    * from cache, never shuffled, and the only shuffle per round is ≤|nodes|
+    * partial sums. That is the right plan whenever the node vector fits a
+    * broadcast (any graph whose vertex set is dims-scale); for a web-scale
+    * vertex set, flip the hint off and the same code degrades to the
+    * classic shuffle formulation — edges pre-bucketed on src, one shuffle
+    * of the rank vector per round. */
   def pageRank(s: SparkSession, d: String): DataFrame = {
     val e0 = Tables.lineitem(s, d)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
@@ -43,14 +46,13 @@ object Graph {
           concat(lit("s:"), col("sk")).as("dst"))
         .union(e0.select(concat(lit("s:"), col("sk")).as("src"),
           concat(lit("p:"), col("p")).as("dst")))
-        .repartition(col("src"))
         .cache())
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     var pr = deg.select(col("src").as("node"), lit(PrInit).as("pr"))
     (1 to PrIters).foreach { _ =>
-      val contrib = pr.join(deg, pr("node") === deg("src"))
+      val contrib = pr.join(broadcast(deg), pr("node") === deg("src"))
         .select(col("node"), expr("pr div d").as("c"))
-      pr = edges.join(contrib, edges("src") === contrib("node"))
+      pr = edges.join(broadcast(contrib), edges("src") === contrib("node"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
         .select(col("dst").as("node"),
           (lit(PrBase) + expr(s"($PrDamp * m) div 100")).as("pr"))

@@ -71,4 +71,16 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val readSchema = scans.head.requiredSchema.fieldNames.toSet
     assert(readSchema.size < 11, s"expected pruned ReadSchema, got $readSchema")
   }
+
+  test("PageRank rounds broadcast the node vector; edges never sort-merge") {
+    val df = graft.ops.Graph.pageRank(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size == 2 * graft.ops.Graph.PrIters,
+      s"expected 2 broadcast joins per round (deg + contrib), got ${bhj.size}:\n$plan")
+    val smj = collectWithSubqueries(plan) { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty,
+      s"the fact-sized edge list must never be shuffled for a join:\n$plan")
+  }
 }
