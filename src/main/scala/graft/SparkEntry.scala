@@ -123,6 +123,9 @@ object SparkEntry {
     "q_bloom_join" -> (graft.ops.Sketches.bloomSemiJoin _),
     "q_approx_quantile" -> (graft.ops.Sketches.approxQuantile _),
     "q_pagerank" -> (graft.ops.Graph.pageRank _),
+    // Continuous-ingest curation surface
+    "q_dedup_incremental" -> (Dedup.incrementalDedup _),
+    "q_curation_funnel" -> (TextAnalysis.curationFunnel _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -403,5 +406,7 @@ object SparkEntry {
     "q_bloom_join" -> graft.ops.Sketches.bloomSemiJoinSql,
     "q_approx_quantile" -> graft.ops.Sketches.approxQuantileSql,
     "q_pagerank" -> graft.ops.Graph.pageRankSql,
+    "q_dedup_incremental" -> Dedup.incrementalDedupSql,
+    "q_curation_funnel" -> TextAnalysis.curationFunnelSql,
   )
 }

@@ -293,6 +293,55 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental ingest dedup: a NEW batch (doc_id % 5 == 0 — the synthetic
+    * arrival slice) screened against the EXISTING corpus's n-gram shingle
+    * store, the production shape for continuous training-data ingestion —
+    * new data joins the fingerprint index; the corpus is never re-paired
+    * against itself. Candidates come from the same df-capped inverted index
+    * as [[ngramJaccardPairs]] but the self-join is replaced by a
+    * batch-side × corpus-side join, so cost is |batch| × overlap, not
+    * |corpus|². Every batch doc is reported: is_dup + its smallest matching
+    * corpus doc (−1 when none), jaccard >= [[JaccardThreshold]]. */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val sh = graft.TrackedCaches.track(cappedShingles(s, d).cache())
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val batch = sh.filter(col("doc_id") % 5 === 0).as("a")
+    val corpus = sh.filter(col("doc_id") % 5 =!= 0).as("b")
+    val inter = batch.join(corpus, col("a.sh") === col("b.sh"), "inner")
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    val matches = inter
+      .join(sizes.as("na"), col("da") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("db") === col("nb.doc_id"))
+      .filter(col("i").cast(DoubleType) /
+        (col("na.n") + col("nb.n") - col("i")) >= JaccardThreshold)
+      .groupBy(col("da")).agg(min(col("db")).as("dup_src"))
+    Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"))
+      .join(matches, col("doc_id") === col("da"), "left")
+      .select(col("doc_id"), col("dup_src").isNotNull.as("is_dup"),
+        coalesce(col("dup_src"), lit(-1L)).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  val incrementalDedupSql: String =
+    s"""WITH $cappedShinglesSql,
+        sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                  FROM capped a JOIN capped b ON a.sh = b.sh
+                  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+                  GROUP BY 1, 2),
+        m AS (SELECT da, min(db) AS dup_src
+              FROM inter JOIN sizes na ON da = na.doc_id
+                         JOIN sizes nb ON db = nb.doc_id
+              WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= $JaccardThreshold
+              GROUP BY da)
+        SELECT d.doc_id, (m.dup_src IS NOT NULL) AS is_dup,
+               coalesce(m.dup_src, -1) AS dup_of
+        FROM documents d LEFT JOIN m ON d.doc_id = m.da
+        WHERE d.doc_id % 5 = 0
+        ORDER BY d.doc_id"""
+
   /** Connected components over the near-dup pair graph — the dedup DECISION
     * step: each document maps to its cluster (min doc_id reachable through
     * near-dup edges); keepers are cluster representatives. Spark side:

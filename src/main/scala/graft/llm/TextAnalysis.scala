@@ -355,4 +355,80 @@ object TextAnalysis {
          FROM scored)
        SELECT doc_id, term AS top_term, tfidf FROM ranked
        WHERE rk = 1 ORDER BY doc_id"""
+
+  /** Curation funnel: the end-to-end keep/drop report a training-data run
+    * starts from — docs and total tokens surviving each cumulative stage
+    * (ingest → length floor → language gate → exact-dup keeper). ONE corpus
+    * scan computes all per-doc flags; each doc then explodes into the
+    * stages it survives and a single groupBy rolls the funnel up (no
+    * per-stage rescans). The keeper flag joins the md5 digest's min doc_id
+    * back — the same hash-groupBy shape as [[Dedup.exactDedup]]. Stage
+    * predicates reuse [[langId]]'s marker argmax and [[quality]]'s
+    * whitespace tokenization exactly. */
+  val FunnelMinChars = 200
+
+  def curationFunnel(s: SparkSession, d: String): DataFrame = {
+    val en = Seq("the", "a", "and", "of")
+    val es = Seq("el", "la", "y", "de")
+    val de = Seq("der", "die", "das", "und")
+    def hits(ws: Seq[String]) =
+      size(filter(col("ws"), w => array_contains(array(ws.map(lit): _*), w)))
+    val flagged = Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), size(col("ws")).as("nw"),
+        (length(col("text")) >= FunnelMinChars).as("f_len"),
+        (hits(en) >= hits(es) && hits(en) >= hits(de) && hits(en) > 0).as("f_en"),
+        md5(col("text")).as("dg"))
+    val keepers = flagged.groupBy("dg").agg(min("doc_id").as("keep_id"))
+    val staged = flagged.join(keepers, "dg")
+      .withColumn("f_keep", col("doc_id") === col("keep_id"))
+      .select(col("nw"), explode(array(
+        struct(lit(0).as("stage_no"), lit("ingest").as("stage"),
+          lit(true).as("pass")),
+        struct(lit(1).as("stage_no"), lit("min_length").as("stage"),
+          col("f_len").as("pass")),
+        struct(lit(2).as("stage_no"), lit("lang_en").as("stage"),
+          (col("f_len") && col("f_en")).as("pass")),
+        struct(lit(3).as("stage_no"), lit("exact_keeper").as("stage"),
+          (col("f_len") && col("f_en") && col("f_keep")).as("pass"))))
+        .as("s"))
+      .filter(col("s.pass"))
+    staged.groupBy(col("s.stage_no").as("stage_no"), col("s.stage").as("stage"))
+      .agg(count(lit(1)).as("docs"), sum(col("nw").cast(LongType)).as("tokens"))
+      .orderBy("stage_no")
+  }
+
+  val curationFunnelSql: String = {
+    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+                   FROM documents),
+        f AS (SELECT doc_id,
+                CAST(len(ws) AS INT) AS nw,
+                (length(text) >= $FunnelMinChars) AS f_len,
+                (len(list_filter(ws, x -> x IN (${inList(Seq("the", "a", "and", "of"))}))) >=
+                 len(list_filter(ws, x -> x IN (${inList(Seq("el", "la", "y", "de"))})))
+                 AND
+                 len(list_filter(ws, x -> x IN (${inList(Seq("the", "a", "and", "of"))}))) >=
+                 len(list_filter(ws, x -> x IN (${inList(Seq("der", "die", "das", "und"))})))
+                 AND
+                 len(list_filter(ws, x -> x IN (${inList(Seq("the", "a", "and", "of"))}))) > 0)
+                  AS f_en,
+                md5(text) AS dg
+              FROM w),
+        k AS (SELECT dg, min(doc_id) AS keep_id FROM f GROUP BY dg),
+        fl AS (SELECT f.*, (f.doc_id = k.keep_id) AS f_keep
+               FROM f JOIN k ON f.dg = k.dg)
+        SELECT 0 AS stage_no, 'ingest' AS stage, count(*) AS docs,
+               CAST(sum(nw) AS BIGINT) AS tokens FROM fl
+        UNION ALL
+        SELECT 1, 'min_length', count(*), CAST(sum(nw) AS BIGINT)
+        FROM fl WHERE f_len
+        UNION ALL
+        SELECT 2, 'lang_en', count(*), CAST(sum(nw) AS BIGINT)
+        FROM fl WHERE f_len AND f_en
+        UNION ALL
+        SELECT 3, 'exact_keeper', count(*), CAST(sum(nw) AS BIGINT)
+        FROM fl WHERE f_len AND f_en AND f_keep
+        ORDER BY stage_no"""
+  }
 }

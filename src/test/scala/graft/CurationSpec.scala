@@ -1,0 +1,41 @@
+package graft
+
+import graft.llm.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Continuous-ingest curation operators: internal invariants beyond the
+  * oracle hash gate. */
+class CurationSpec extends SparkSpec {
+
+  test("curation funnel is monotone and starts at the full corpus") {
+    val rows = TextAnalysis.curationFunnel(spark, Sf).collect()
+    assert(rows.length == 4)
+    val docs = rows.map(_.getAs[Long]("docs"))
+    val toks = rows.map(_.getAs[Long]("tokens"))
+    assert(docs.head == Tables.documents(spark, Sf).count())
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a },
+      s"docs must shrink through the funnel: ${docs.toSeq}")
+    assert(toks.zip(toks.tail).forall { case (a, b) => b <= a },
+      s"tokens must shrink through the funnel: ${toks.toSeq}")
+  }
+
+  test("incremental dedup covers the whole batch and matches the pair list") {
+    val out = Dedup.incrementalDedup(spark, Sf).cache()
+    val batchN = Tables.documents(spark, Sf)
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(out.count() == batchN, "every batch doc must be reported")
+    // A batch doc is a dup iff the symmetric pair list has a cross-side
+    // pair for it — the incremental path must agree with the batch path.
+    val pairs = Dedup.ngramJaccardPairs(spark, Sf)
+      .select(col("doc_a").as("x"), col("doc_b").as("y"))
+    val sym = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
+      .filter(col("x") % 5 === 0 && col("y") % 5 =!= 0)
+    val expectDups = sym.select("x").distinct().collect().map(_.getLong(0)).toSet
+    val gotDups = out.filter(col("is_dup")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(gotDups == expectDups,
+      s"incremental flags disagree with the pair list: " +
+        s"only-incremental=${gotDups -- expectDups} only-pairs=${expectDups -- gotDups}")
+    out.unpersist()
+  }
+}
