@@ -53,7 +53,8 @@ object ScaleTest {
     val subset = Seq(
       "q1_agg", "q_fact_songplays", "q_groupby_count", "q_window_running",
       "q_sessionize", "q_salted_join", "q_topk", "q_join_left",
-      "q_tumbling_window", "q_asof_join")
+      "q_tumbling_window", "q_asof_join", "q_pagerank", "q_bloom_join",
+      "q_approx_quantile")
 
     def time(dir: String): Map[String, Double] =
       subset.map { name =>
@@ -95,7 +96,8 @@ object ScaleTest {
     val subset = Seq(
       "q_dedup_exact", "q_dedup_fingerprint", "q_dedup_minhash",
       "q_dedup_simhash", "q_winnow_fps", "q_dedup_winnow",
-      "q_dedup_ngram_jaccard", "q_dedup_clusters")
+      "q_dedup_ngram_jaccard", "q_dedup_clusters", "q_dedup_incremental",
+      "q_heavy_hitters", "q_curation_funnel")
     def time(dir: String): Map[String, Double] =
       subset.map { name =>
         val t0 = System.nanoTime()

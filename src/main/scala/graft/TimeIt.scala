@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object TimeIt {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.1"
+    val names = args.toSeq
+    (1 to 3).foreach { round =>
+      names.foreach { n =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sf).write.format("noop").mode("overwrite").save()
+        TrackedCaches.release(); spark.catalog.clearCache()
+        println(f"[timeit] r$round $n ${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -32,32 +32,54 @@ object Graph {
     * BROADCASTS the per-node contribution vector against the cached edge
     * list and map-side-combines the groupBy(dst) — the edge list is scanned
     * from cache, never shuffled, and the only shuffle per round is ≤|nodes|
-    * partial sums. That is the right plan whenever the node vector fits a
-    * broadcast (any graph whose vertex set is dims-scale); for a web-scale
-    * vertex set, flip the hint off and the same code degrades to the
-    * classic shuffle formulation — edges pre-bucketed on src, one shuffle
-    * of the rank vector per round. */
-  def pageRank(s: SparkSession, d: String): DataFrame = {
+    * partial sums. Rounds materialize eagerly (localCheckpoint) so round t's
+    * broadcast build doesn't re-plan rounds 1..t-1. Node ids stay LONGS
+    * throughout the joins (parity-encoded: part p → 2p, supplier s → 2s+1);
+    * the display string ("p:…"/"s:…") is minted only in the final
+    * projection — integer hash joins, no string keys in the hot path. That
+    * is the right plan whenever the node vector fits a broadcast (any graph
+    * whose vertex set is dims-scale); for a web-scale vertex set, flip the
+    * hint off and the same code degrades to the classic shuffle
+    * formulation — edges pre-bucketed on src, one rank-vector shuffle per
+    * round. */
+  /** Parity-encoded long-keyed edge list (cached+tracked) and out-degrees. */
+  private[graft] def prGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e0 = Tables.lineitem(s, d)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
       .distinct()
     val edges = graft.TrackedCaches.track(
-      e0.select(concat(lit("p:"), col("p")).as("src"),
-          concat(lit("s:"), col("sk")).as("dst"))
-        .union(e0.select(concat(lit("s:"), col("sk")).as("src"),
-          concat(lit("p:"), col("p")).as("dst")))
+      e0.select((col("p") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .union(e0.select((col("sk") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
         .cache())
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    var pr = deg.select(col("src").as("node"), lit(PrInit).as("pr"))
+    (edges, edges.groupBy("src").agg(count(lit(1)).as("d")))
+  }
+
+  /** One un-materialized propagation round — the plan PlanShapeSpec audits
+    * (pageRank checkpoints each round, which truncates the visible plan). */
+  private[graft] def prRound(edges: DataFrame, deg: DataFrame, pr: DataFrame): DataFrame = {
+    val contrib = pr.join(broadcast(deg), pr("nid") === deg("src"))
+      .select(col("nid"), expr("pr div d").as("c"))
+    edges.join(broadcast(contrib), edges("src") === contrib("nid"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      .select(col("dst").as("nid"),
+        (lit(PrBase) + expr(s"($PrDamp * m) div 100")).as("pr"))
+  }
+
+  def pageRank(s: SparkSession, d: String): DataFrame = {
+    val (edges, deg) = prGraph(s, d)
+    var pr = deg.select(col("src").as("nid"), lit(PrInit).as("pr"))
     (1 to PrIters).foreach { _ =>
-      val contrib = pr.join(broadcast(deg), pr("node") === deg("src"))
-        .select(col("node"), expr("pr div d").as("c"))
-      pr = edges.join(broadcast(contrib), edges("src") === contrib("node"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-        .select(col("dst").as("node"),
-          (lit(PrBase) + expr(s"($PrDamp * m) div 100")).as("pr"))
+      // Eager per-round materialization (the minLabelComponents discipline):
+      // without it round t's broadcast subtree nests rounds 1..t-1 whole,
+      // and every broadcast build re-plans the full prefix.
+      pr = prRound(edges, deg, pr).localCheckpoint(true)
     }
-    pr.select(col("node"), col("pr").as("rank")).orderBy("node")
+    pr.select(
+        when(col("nid") % 2 === 0, concat(lit("p:"), expr("nid div 2")))
+          .otherwise(concat(lit("s:"), expr("(nid - 1) div 2")))
+          .as("node"),
+        col("pr").as("rank"))
+      .orderBy("node")
   }
 
   val pageRankSql: String = {
@@ -65,21 +87,24 @@ object Graph {
     // HUGEINT -> cast back before the next round's arithmetic.
     def round(prev: String, out: String) =
       s"""$out AS (
-            SELECT e.dst AS node,
-                   $PrBase + ($PrDamp * CAST(sum(r.rank // dg.d) AS BIGINT)) // 100 AS rank
+            SELECT e.dst AS nid,
+                   $PrBase + ($PrDamp * CAST(sum(r.pr // dg.d) AS BIGINT)) // 100 AS pr
             FROM edges e
-            JOIN $prev r ON e.src = r.node
+            JOIN $prev r ON e.src = r.nid
             JOIN deg dg ON e.src = dg.src
             GROUP BY e.dst)"""
     s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
-        edges AS (SELECT 'p:' || p AS src, 's:' || sk AS dst FROM e0
+        edges AS (SELECT p * 2 AS src, sk * 2 + 1 AS dst FROM e0
                   UNION ALL
-                  SELECT 's:' || sk, 'p:' || p FROM e0),
+                  SELECT sk * 2 + 1, p * 2 FROM e0),
         deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
-        r0 AS (SELECT src AS node, CAST($PrInit AS BIGINT) AS rank FROM deg),
+        r0 AS (SELECT src AS nid, CAST($PrInit AS BIGINT) AS pr FROM deg),
         ${round("r0", "r1")},
         ${round("r1", "r2")},
         ${round("r2", "r3")}
-        SELECT node, rank FROM r3 ORDER BY node"""
+        SELECT CASE WHEN nid % 2 = 0 THEN 'p:' || CAST(nid // 2 AS BIGINT)
+                    ELSE 's:' || CAST((nid - 1) // 2 AS BIGINT) END AS node,
+               pr AS rank
+        FROM r3 ORDER BY node"""
   }
 }

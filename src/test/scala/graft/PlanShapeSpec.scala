@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Physical-plan regression gates for the scale claims SCALING.md makes:
   * the fact build must broadcast all three dims (fact side never shuffles
@@ -73,14 +74,20 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("PageRank rounds broadcast the node vector; edges never sort-merge") {
-    val df = graft.ops.Graph.pageRank(spark, Sf)
+    // pageRank checkpoints each round (truncating the visible lineage), so
+    // audit the plan of ONE un-materialized round — the shape every round runs.
+    val (edges, deg) = graft.ops.Graph.prGraph(spark, Sf)
+    val pr0 = deg.select(col("src").as("nid"),
+      lit(graft.ops.Graph.PrInit).as("pr"))
+    val df = graft.ops.Graph.prRound(edges, deg, pr0)
     df.collect()
     val plan = df.queryExecution.executedPlan
     val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
-    assert(bhj.size == 2 * graft.ops.Graph.PrIters,
-      s"expected 2 broadcast joins per round (deg + contrib), got ${bhj.size}:\n$plan")
+    assert(bhj.size == 2,
+      s"expected 2 broadcast joins in a round (deg + contrib), got ${bhj.size}:\n$plan")
     val smj = collectWithSubqueries(plan) { case j: SortMergeJoinExec => j }
     assert(smj.isEmpty,
       s"the fact-sized edge list must never be shuffled for a join:\n$plan")
+    graft.TrackedCaches.release()
   }
 }
