@@ -46,6 +46,9 @@ object SparkEntry {
     "q_set_union" -> (Analytics.setUnion _),
     "q_set_intersect" -> (Analytics.setIntersect _),
     "q_set_except" -> (Analytics.setExcept _),
+    "q_set_except_all" -> (Analytics.setExceptAll _),
+    "q_set_intersect_all" -> (Analytics.setIntersectAll _),
+    "q_join_full" -> (Analytics.joinFull _),
     "q_topk" -> (Analytics.topK _),
     "q_window_lag" -> (Analytics.windowLag _),
     "q_window_running" -> (Analytics.windowRunning _),
@@ -258,6 +261,9 @@ object SparkEntry {
          EXCEPT
          SELECT user_id FROM events WHERE event_type = 'purchase'
          ORDER BY user_id""",
+    "q_set_except_all" -> Analytics.setExceptAllSql,
+    "q_set_intersect_all" -> Analytics.setIntersectAllSql,
+    "q_join_full" -> Analytics.joinFullSql,
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",

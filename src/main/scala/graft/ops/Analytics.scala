@@ -116,6 +116,60 @@ object Analytics {
     usersOf(s, d, "click").except(usersOf(s, d, "purchase"))
       .orderBy("user_id")
 
+  /** FULL OUTER join: per-user click vs purchase activity, both sides
+    * preserved (users with only one kind of event survive with a zero on
+    * the other). Same shuffle shape as the inner join — hash exchanges on
+    * the key; both inputs are pre-aggregated to user cardinality first so
+    * the outer join never carries raw events. */
+  def joinFull(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def cnt(t: String, out: String) = ev.filter(col("event_type") === t)
+      .groupBy("user_id").agg(count(lit(1)).as(out))
+    val c = cnt("click", "clicks")
+    val p = cnt("purchase", "purchases")
+    c.join(p, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("clicks"), lit(0L)).as("clicks"),
+        coalesce(col("purchases"), lit(0L)).as("purchases"))
+      .orderBy("user_id")
+  }
+
+  val joinFullSql: String =
+    """WITH c AS (SELECT user_id, count(*) AS clicks FROM events
+                  WHERE event_type = 'click' GROUP BY user_id),
+        p AS (SELECT user_id, count(*) AS purchases FROM events
+              WHERE event_type = 'purchase' GROUP BY user_id)
+       SELECT coalesce(c.user_id, p.user_id) AS user_id,
+              coalesce(clicks, 0) AS clicks,
+              coalesce(purchases, 0) AS purchases
+       FROM c FULL JOIN p ON c.user_id = p.user_id
+       ORDER BY user_id"""
+
+  /** EXCEPT ALL: multiset difference — each user's click rows minus one row
+    * per purchase row (bag semantics, duplicates significant). Spark plans
+    * this as an aggregate computing per-row multiplicities then a
+    * generator — no join explosion. */
+  def setExceptAll(s: SparkSession, d: String): DataFrame =
+    usersOf(s, d, "click").exceptAll(usersOf(s, d, "purchase"))
+      .orderBy("user_id")
+
+  val setExceptAllSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+       EXCEPT ALL
+       SELECT user_id FROM events WHERE event_type = 'purchase'
+       ORDER BY user_id"""
+
+  /** INTERSECT ALL: multiset intersection (min of the two multiplicities). */
+  def setIntersectAll(s: SparkSession, d: String): DataFrame =
+    usersOf(s, d, "click").intersectAll(usersOf(s, d, "purchase"))
+      .orderBy("user_id")
+
+  val setIntersectAllSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+       INTERSECT ALL
+       SELECT user_id FROM events WHERE event_type = 'purchase'
+       ORDER BY user_id"""
+
   /** Top-k by value with deterministic tie-break — TakeOrderedAndProject, not
     * a global sort: only k rows per partition survive to the driver merge. */
   def topK(s: SparkSession, d: String): DataFrame =
