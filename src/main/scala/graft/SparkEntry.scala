@@ -37,6 +37,7 @@ object SparkEntry {
     "q_partitioned_parquet" -> (Relational.partitionedParquetRoundtrip _),
     // M2 — analytics breadth
     "q1_agg" -> (Analytics.q1Agg _),
+    "q5_shape" -> (Analytics.q5Shape _),
     "q_rollup" -> (Analytics.rollupAgg _),
     "q_cube" -> (Analytics.cubeAgg _),
     "q_grouping_sets" -> (Analytics.groupingSets _),
@@ -261,6 +262,7 @@ object SparkEntry {
          EXCEPT
          SELECT user_id FROM events WHERE event_type = 'purchase'
          ORDER BY user_id""",
+    "q5_shape" -> Analytics.q5ShapeSql,
     "q_set_except_all" -> Analytics.setExceptAllSql,
     "q_set_intersect_all" -> Analytics.setIntersectAllSql,
     "q_join_full" -> Analytics.joinFullSql,

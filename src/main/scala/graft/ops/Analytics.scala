@@ -36,6 +36,56 @@ object Analytics {
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** TPC-H-Q5-shaped 6-way join: revenue per nation for one region and one
+    * order year — the canonical star-with-snowflake join-ordering workload.
+    * Plan: region→nation→supplier fold into a broadcast chain (all
+    * dims-scale), customer joins orders on custkey, lineitem joins on
+    * (orderkey, suppkey + nation equality) — the fact table is filtered by
+    * the broadcast dims BEFORE its aggregation shuffle, and the only big
+    * exchanges are the orders⋈lineitem key shuffles. Revenue sums through
+    * DECIMAL(18,4) (exact, order-independent) and casts to double at the
+    * end — the q1_agg discipline. */
+  def q5Shape(s: SparkSession, d: String): DataFrame = {
+    val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(s, d)
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  val q5ShapeSql: String =
+    """SELECT n_name,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+              AS DOUBLE) AS revenue
+       FROM region
+       JOIN nation   ON n_regionkey = r_regionkey
+       JOIN supplier ON s_nationkey = n_nationkey
+       JOIN lineitem ON l_suppkey = s_suppkey
+       JOIN orders   ON o_orderkey = l_orderkey
+       JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY n_name
+       ORDER BY n_name"""
+
   /** ROLLUP hierarchy totals with explicit grouping_id disambiguation. */
   def rollupAgg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

@@ -73,6 +73,24 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(readSchema.size < 11, s"expected pruned ReadSchema, got $readSchema")
   }
 
+  test("q5 snowflake folds region/nation/supplier into broadcasts; scans prune") {
+    val df = Analytics.q5Shape(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 3,
+      s"region->nation->supplier chain (+AQE-converted sides) must broadcast, got ${bhj.size}:\n$plan")
+    val scans = collectWithSubqueries(plan) { case f: FileSourceScanExec => f }
+    val li = scans.find(_.relation.location.rootPaths.exists(_.toString.contains("lineitem")))
+    assert(li.isDefined)
+    assert(li.get.requiredSchema.fieldNames.toSet ==
+      Set("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+      s"lineitem scan must read only the 4 needed columns, got ${li.get.requiredSchema.fieldNames.toSeq}")
+    val ord = scans.find(_.relation.location.rootPaths.exists(_.toString.contains("orders")))
+    assert(ord.get.metadata.getOrElse("PushedFilters", "[]").contains("o_orderdate"),
+      "order-date range must push into the orders scan")
+  }
+
   test("PageRank rounds broadcast the node vector; edges never sort-merge") {
     // pageRank checkpoints each round (truncating the visible lineage), so
     // audit the plan of ONE un-materialized round — the shape every round runs.
