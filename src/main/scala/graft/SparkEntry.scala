@@ -122,6 +122,7 @@ object SparkEntry {
     "q_topk_per_key" -> (Advanced.topKPerKeyQuery _),
     "q_dq_report" -> (graft.ops.Quality.dqReport _),
     "q_scd2" -> (graft.ops.Quality.scd2Build _),
+    "q_merge_upsert" -> (graft.ops.Quality.mergeUpsert _),
     "q_approx_distinct" -> (Advanced.approxDistinct _),
     // Sketch-pruned exact operators + iterative graph analytics
     "q_heavy_hitters" -> (graft.ops.Sketches.heavyHitters _),
@@ -409,6 +410,7 @@ object SparkEntry {
     "q_topk_per_key" -> Advanced.topKPerKeySql,
     "q_dq_report" -> graft.ops.Quality.dqReportSql,
     "q_scd2" -> graft.ops.Quality.scd2BuildSql,
+    "q_merge_upsert" -> graft.ops.Quality.mergeUpsertSql,
     // HLL sketch internals are engine-specific; the portable surface is the
     // exact count + the error-bound boolean, both verified by DuckDB.
     "q_approx_distinct" -> Advanced.approxDistinctSql,

@@ -165,4 +165,58 @@ object Quality {
        SELECT c_custkey, c_name, 'PREMIUM', 2, true
        FROM customer WHERE c_acctbal > 9000
        ORDER BY c_custkey, version"""
+
+  /** MERGE INTO / CDC-apply: a deterministic change batch (updates for
+    * custkey % 10 == 0, deletes for % 10 == 1, inserts above the current
+    * max key) applied to the customer base table in ONE full-outer join —
+    * matched+U rewrites the row, matched+D drops it, unmatched-source
+    * inserts, unmatched-base passes through. This is the upsert kernel
+    * under every lakehouse MERGE: at 100 TB both sides shuffle on the merge
+    * key once (or zero times if the base is bucketed on it), and the change
+    * batch is typically small enough that AQE flips the join to broadcast.
+    * Oracle: the same three-way CASE as portable SQL. */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    // Balances as integer cents throughout (the varianceAgg discipline):
+    // double round() tie-breaking is engine-specific; integer +/div is not.
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100, 0).cast(LongType).as("cents"))
+    val changes = base
+      .filter(col("c_custkey") % 10 <= 1)
+      .select(col("c_custkey").as("k"),
+        when(col("c_custkey") % 10 === 0, "U").otherwise("D").as("op"),
+        (col("cents") + 10000L).as("new_cents"))
+      .unionByName(base.filter(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") + 3000000L).as("k"), lit("I").as("op"),
+          expr("cents div 2").as("new_cents")))
+    base.join(changes, col("c_custkey") === col("k"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(
+        coalesce(col("c_custkey"), col("k")).as("custkey"),
+        when(col("op") === "U" || col("op") === "I", col("new_cents"))
+          .otherwise(col("cents")).as("acctbal_cents"),
+        coalesce(col("op"), lit("=")).as("applied_op"))
+      .orderBy("custkey")
+  }
+
+  val mergeUpsertSql: String =
+    """WITH base AS (
+         SELECT c_custkey,
+                CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+         FROM customer),
+       changes AS (
+         SELECT c_custkey AS k,
+                CASE WHEN c_custkey % 10 = 0 THEN 'U' ELSE 'D' END AS op,
+                cents + 10000 AS new_cents
+         FROM base WHERE c_custkey % 10 <= 1
+         UNION ALL
+         SELECT c_custkey + 3000000, 'I', cents // 2
+         FROM base WHERE c_custkey % 97 = 0)
+       SELECT coalesce(c_custkey, k) AS custkey,
+              CASE WHEN op IN ('U', 'I') THEN new_cents ELSE cents END
+                AS acctbal_cents,
+              coalesce(op, '=') AS applied_op
+       FROM base FULL JOIN changes ON c_custkey = k
+       WHERE coalesce(op, '') <> 'D'
+       ORDER BY custkey"""
 }

@@ -447,7 +447,7 @@ object EventStreams {
       .option("checkpointLocation", s"$base/ckpt")
       .start()
     try q.processAllAvailable() finally q.stop()
-    val flushed = s.read.parquet(s"$base/out").cache()
+    val flushed = graft.TrackedCaches.track(s.read.parquet(s"$base/out").cache())
     // Windows still open at the watermark when input ends are never flushed
     // (up to two trailing hours for a 1h watermark over 1h windows);
     // complete exactly the MISSING hours from the staged batch. The flushed
