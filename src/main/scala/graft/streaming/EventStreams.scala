@@ -430,9 +430,10 @@ object EventStreams {
     * from the staged events — asserting precisely which rows a correct
     * append sink must have flushed. Oracle: the same hourly rollup minus
     * the unclosed tail hour, unioned with that tail computed batch-side. */
-  def streamFileSink(s: SparkSession, d: String): DataFrame = {
-    val dir = stageEvents(s, d)
-    val base = java.nio.file.Files.createTempDirectory("graft_filesink").toString
+  /** One run of the file-sink query against an existing base dir (restart =
+    * call again with the SAME base: the checkpoint's file-commit log makes
+    * replay exactly-once — StreamingSpec gates that). */
+  private[graft] def runFileSinkOnce(s: SparkSession, dir: String, base: String): Unit = {
     val stream = s.readStream.schema(stagedSchema)
       .option("maxFilesPerTrigger", FilesPerTrigger).parquet(dir)
       .withColumn("ts", timestamp_micros(col("ts_us")))
@@ -447,6 +448,12 @@ object EventStreams {
       .option("checkpointLocation", s"$base/ckpt")
       .start()
     try q.processAllAvailable() finally q.stop()
+  }
+
+  def streamFileSink(s: SparkSession, d: String): DataFrame = {
+    val dir = stageEvents(s, d)
+    val base = java.nio.file.Files.createTempDirectory("graft_filesink").toString
+    runFileSinkOnce(s, dir, base)
     val flushed = graft.TrackedCaches.track(s.read.parquet(s"$base/out").cache())
     // Windows still open at the watermark when input ends are never flushed
     // (up to two trailing hours for a 1h watermark over 1h windows);

@@ -186,4 +186,22 @@ class StreamingSpec extends SparkSpec {
       .select("user_id").distinct().count(),
       s"too few sessions emitted: $emitted of $total")
   }
+
+  test("file sink restart over the same checkpoint is exactly-once (no re-emission)") {
+    val dir = EventStreams.stageEvents(spark, Sf)
+    val base = java.nio.file.Files.createTempDirectory("graft_filesink_spec").toString
+    EventStreams.runFileSinkOnce(spark, dir, base)
+    val first = spark.read.parquet(s"$base/out")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).sorted.toSeq
+    assert(first.nonEmpty, "first run must flush at least one closed window")
+    assert(first.map(_._1).distinct.size == first.size,
+      "append sink emitted a window twice within one run")
+    // Restart against the same checkpoint + path with no new input: the
+    // file-commit log must replay nothing and duplicate nothing.
+    EventStreams.runFileSinkOnce(spark, dir, base)
+    val second = spark.read.parquet(s"$base/out")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).sorted.toSeq
+    assert(second == first,
+      s"restart changed the sink contents: ${second.size} rows vs ${first.size}")
+  }
 }
