@@ -97,6 +97,7 @@ object SparkEntry {
       TextAnalysis.stratifiedSample(s, d)),
     "q_media_meta" -> (Multimodal.mediaMeta _),
     "q_media_features" -> (Multimodal.mediaFeatures _),
+    "q_media_frames" -> (Multimodal.mediaFrames _),
     // Execution control, generators, custom aggregator, streaming
     "q_cached_fanout" -> (Execution.cachedFanout _),
     "q_surrogate_ids" -> (Execution.surrogateIds _),
@@ -383,6 +384,7 @@ object SparkEntry {
     "q_stratified_sample" -> TextAnalysis.stratifiedSampleSql,
     "q_media_meta" -> Multimodal.mediaMetaSql,
     "q_media_features" -> Multimodal.mediaFeaturesSql,
+    "q_media_frames" -> Multimodal.mediaFramesSql,
     "q_cached_fanout" -> Execution.cachedFanoutSql,
     "q_surrogate_ids" -> Execution.surrogateIdsSql,
     "q_pivot" -> Execution.pivotCountsSql,

@@ -119,4 +119,56 @@ object Multimodal {
        round(CAST(list_aggregate(list_transform(string_split(text, ''), x -> ord(x)), 'sum') AS DOUBLE)
              / length(text), 4) AS brightness
        FROM documents ORDER BY doc_id"""
+
+  /** Frame sampling + stride-2 resize over "video" payloads — the decode
+    * step is the documented stub (the payload's UTF-8 bytes stand in for a
+    * raw width×height frame sequence); every piece of the Spark plumbing is
+    * real: per-video frame geometry, every-2nd-frame sampling via a
+    * generated sequence (bounded, no row explosion beyond sampled frames),
+    * per-frame byte slicing, and a half-resolution downsample that
+    * reassembles every 2nd row INSIDE one `transform` expression — array
+    * functions, no UDF, no shuffle except the presentation sort. A real
+    * codec swaps into the substring step without touching the plan shape. */
+  def mediaFrames(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 2) // the mediaTable "video" slice
+      .select(col("doc_id"),
+        (col("n_chars") % 64 + 1).cast(IntegerType).as("width"),
+        (col("doc_id") % 48 + 1).cast(IntegerType).as("height"),
+        col("text"), col("n_chars"))
+      .withColumn("fs", col("width") * col("height"))
+      .withColumn("nf", expr("n_chars div fs"))
+      .filter(col("nf") >= 1)
+      .select(col("doc_id"), col("width"), col("height"), col("fs"), col("text"),
+        explode(expr("sequence(0, cast(least(nf - 1, 6) as int), 2)"))
+          .as("frame_no"))
+      .withColumn("off", col("frame_no") * col("fs"))
+      .select(
+        col("doc_id"), col("frame_no"),
+        md5(expr("substring(text, off + 1, fs)")).as("frame_md5"),
+        md5(expr(
+          """array_join(transform(sequence(0, height - 1, 2),
+               r -> substring(text, off + r * width + 1, width)), '')"""))
+          .as("half_res_md5"))
+      .orderBy("doc_id", "frame_no")
+
+  val mediaFramesSql: String =
+    """WITH v AS (SELECT doc_id,
+                    CAST(n_chars % 64 + 1 AS INT) AS w,
+                    CAST(doc_id % 48 + 1 AS INT) AS h,
+                    text, n_chars
+                  FROM documents WHERE doc_id % 3 = 2),
+        f AS (SELECT doc_id, w, h, text, w * h AS fs,
+                     n_chars // (w * h) AS nf
+              FROM v WHERE n_chars // (w * h) >= 1),
+        e AS (SELECT doc_id, w, h, text, fs,
+                     unnest(generate_series(0, CAST(least(nf - 1, 6) AS INT), 2))
+                       AS frame_no
+              FROM f)
+        SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+               md5(substring(text, frame_no * fs + 1, fs)) AS frame_md5,
+               md5(array_to_string(list_transform(generate_series(0, h - 1, 2),
+                     r -> substring(text, frame_no * fs + CAST(r AS INT) * w + 1, w)),
+                   '')) AS half_res_md5
+        FROM e ORDER BY doc_id, frame_no"""
 }
