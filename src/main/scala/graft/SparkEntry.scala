@@ -53,6 +53,7 @@ object SparkEntry {
     "q_topk" -> (Analytics.topK _),
     "q_window_lag" -> (Analytics.windowLag _),
     "q_window_running" -> (Analytics.windowRunning _),
+    "q_window_range_frame" -> (Analytics.windowRangeFrame _),
     "q_window_rank" -> (Analytics.windowRank _),
     "q_window_distribution" -> (Analytics.windowDistribution _),
     "q_window_first_last" -> (Analytics.windowFirstLast _),
@@ -285,6 +286,7 @@ object SparkEntry {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
          FROM lineitem
          ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, running_qty""",
+    "q_window_range_frame" -> Analytics.windowRangeFrameSql,
     "q_window_rank" ->
       """SELECT c_custkey, c_nationkey, c_acctbal,
          CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT) AS bal_rank,

@@ -254,6 +254,38 @@ object Analytics {
       .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "running_qty")
   }
 
+  /** RANGE-frame window: per-user trailing-1-hour event count and value sum.
+    * RANGE (unlike ROWS) bounds the frame by ORDER-key DISTANCE — all peers
+    * at the same timestamp share one frame, so the result is deterministic
+    * under ties without a tie-break column. The order key is epoch seconds
+    * (numeric RANGE offsets are engine-portable; interval frames are not).
+    * Same shuffle shape as any partitioned window: one exchange on
+    * user_id, per-key sorted state, a sliding frame bounded by wall-clock
+    * density rather than row count. */
+  def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(s, d)
+      .withColumn("ts_s", expr("unix_micros(ts) div 1000000"))
+      .withColumn("trail_cnt", count(lit(1)).over(w))
+      .withColumn("trail_sum",
+        sum(dec(col("value"))).over(w).cast(DoubleType))
+      .select("event_id", "user_id", "ts_s", "trail_cnt", "trail_sum")
+      .orderBy("user_id", "ts_s", "event_id")
+  }
+
+  val windowRangeFrameSql: String =
+    """SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         count(*) OVER w AS trail_cnt,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS trail_sum
+       FROM events
+       WINDOW w AS (PARTITION BY user_id
+                    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+       ORDER BY user_id, ts_s, event_id"""
+
   /** RANK / DENSE_RANK per nation (ties share rank — deterministic without a
     * tie-break because rank is order-stable under equal keys). */
   def windowRank(s: SparkSession, d: String): DataFrame = {
