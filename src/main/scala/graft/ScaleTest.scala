@@ -54,7 +54,8 @@ object ScaleTest {
       "q1_agg", "q_fact_songplays", "q_groupby_count", "q_window_running",
       "q_sessionize", "q_salted_join", "q_topk", "q_join_left",
       "q_tumbling_window", "q_asof_join", "q_pagerank", "q_bloom_join",
-      "q_approx_quantile")
+      "q_approx_quantile", "q5_shape", "q_merge_upsert",
+      "q_window_range_frame")
 
     def time(dir: String): Map[String, Double] =
       subset.map { name =>
