@@ -105,6 +105,7 @@ object SparkEntry {
     "q_pivot" -> (Execution.pivotCounts _),
     "q_explode_words" -> (Execution.explodeTopWords _),
     "q_variance_agg" -> (Execution.varianceAgg _),
+    "q_compaction" -> (Execution.compaction _),
     "q_stream_tumbling" -> (graft.streaming.EventStreams.tumblingWindowStream _),
     "q_stream_static_join" -> (graft.streaming.EventStreams.streamStaticJoin _),
     "q_stream_dedup" -> (graft.streaming.EventStreams.streamingDedup _),
@@ -392,6 +393,7 @@ object SparkEntry {
     "q_pivot" -> Execution.pivotCountsSql,
     "q_explode_words" -> Execution.explodeTopWordsSql,
     "q_variance_agg" -> Execution.varianceAggSql,
+    "q_compaction" -> Execution.compactionSql,
     // streaming complete-mode window agg == the batch tumbling window
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS win_start, count(*) AS cnt,

@@ -144,4 +144,41 @@ object Execution {
                 / (CAST(n AS DOUBLE) - 1.0) / 10000.0 AS bal_variance,
               n
        FROM a ORDER BY c_nationkey"""
+
+  /** Small-file COMPACTION — the lakehouse OPTIMIZE shape. A deliberately
+    * fragmented copy of events (64-way repartition → 64 tiny parquet files,
+    * the classic streaming-ingest pathology) is compacted by a plain
+    * repartition-to-target write; a require() gates the ≥8× file-count
+    * reduction, and the RESULT is aggregated from the COMPACTED files, so
+    * the oracle hash gate proves the rewrite lost nothing. At 100 TB the
+    * same two knobs (repartition width, maxRecordsPerFile) size output
+    * files to the table's read pattern; the rewrite is one shuffle-free
+    * coalescing pass per partition of the fragmented input. */
+  def compaction(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    def nFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100, 0).cast(LongType).as("cents"))
+      .repartition(64)
+      .write.parquet(s"$base/frag")
+    val frag = nFiles(s"$base/frag")
+    s.read.parquet(s"$base/frag")
+      .coalesce(4)
+      .write.parquet(s"$base/opt")
+    val opt = nFiles(s"$base/opt")
+    require(frag >= 32 && opt * 8 <= frag,
+      s"compaction must cut the file count >= 8x, got $frag -> $opt")
+    s.read.parquet(s"$base/opt")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+      .orderBy("event_type")
+  }
+
+  val compactionSql: String =
+    """SELECT event_type, count(*) AS cnt,
+              CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                AS sum_cents
+       FROM events GROUP BY event_type ORDER BY event_type"""
 }
