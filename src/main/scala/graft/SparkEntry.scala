@@ -118,6 +118,7 @@ object SparkEntry {
     // Advanced: JSON source, as-of join, deterministic order stats
     "q_json_roundtrip" -> (Advanced.jsonRoundtrip _),
     "q_asof_join" -> (Advanced.asofJoin _),
+    "q_asof_native" -> (Advanced.asofNative _),
     "q_median" -> (Advanced.median _),
     "q_corr" -> (Advanced.corr2 _),
     "q_salted_join" -> (Advanced.saltedJoin _),
@@ -409,6 +410,7 @@ object SparkEntry {
     "q_sliding_window" -> Analytics.slidingWindowSql,
     "q_json_roundtrip" -> Advanced.jsonRoundtripSql,
     "q_asof_join" -> Advanced.asofJoinSql,
+    "q_asof_native" -> Advanced.asofJoinSql,
     "q_median" -> Advanced.medianSql,
     "q_corr" -> Advanced.corr2Sql,
     "q_salted_join" -> Advanced.saltedJoinSql,

@@ -63,6 +63,29 @@ object Advanced {
       .orderBy("event_id")
   }
 
+  /** The SAME as-of enrichment through the custom [[graft.plans.LastBefore]]
+    * operator instead of a window: one exchange + sort (identical to the
+    * window's requirements) but O(1) state per key in a single forward scan,
+    * where WindowExec buffers each key's whole row group. Oracle: identical
+    * to [[asofJoin]] — the two formulations must hash-match. */
+  def asofNative(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("is_click", col("event_type") === "click")
+    graft.plans.LastBefore.lastBefore(ev,
+        keyNames = Seq("user_id"), orderNames = Seq("ts_us", "event_id"),
+        condCol = "is_click", valueCol = "ts_us", outName = "prev_click_us")
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"), col("ts_us").as("purchase_us"),
+        col("prev_click_us"),
+        ((col("ts_us") - col("prev_click_us")) / lit(1000000L))
+          .cast(LongType).as("gap_s"))
+      .orderBy("event_id")
+  }
+
   val asofJoinSql: String =
     """WITH ev AS (
          SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
