@@ -55,7 +55,7 @@ object ScaleTest {
       "q_sessionize", "q_salted_join", "q_topk", "q_join_left",
       "q_tumbling_window", "q_asof_join", "q_pagerank", "q_bloom_join",
       "q_approx_quantile", "q5_shape", "q_merge_upsert",
-      "q_window_range_frame")
+      "q_window_range_frame", "q_asof_native")
 
     def time(dir: String): Map[String, Double] =
       subset.map { name =>
