@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.ops.{Advanced, Analytics, Execution, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -88,6 +88,8 @@ object SparkEntry {
     "q_repetition" -> (TextAnalysis.repetition _),
     "q_contamination" -> (TextAnalysis.contamination _),
     "q_token_budget" -> (TextAnalysis.tokenBudgetSample _),
+    "q_seq_pack" -> (Packing.seqPack _),
+    "q_doc_chunks" -> (Packing.docChunks _),
     "q_cosine_pairs" -> (Similarity.cosinePairs _),
     "q_semdedup" -> (Similarity.semDedup _),
     "q_text_quality" -> (TextAnalysis.quality _),
@@ -379,6 +381,8 @@ object SparkEntry {
     "q_repetition" -> TextAnalysis.repetitionSql,
     "q_contamination" -> TextAnalysis.contaminationSql,
     "q_token_budget" -> TextAnalysis.tokenBudgetSampleSql,
+    "q_seq_pack" -> Packing.seqPackSql,
+    "q_doc_chunks" -> Packing.docChunksSql,
     "q_cosine_pairs" -> Similarity.cosinePairsSql,
     "q_semdedup" -> Similarity.semDedupSql,
     "q_text_quality" -> TextAnalysis.qualitySql,
