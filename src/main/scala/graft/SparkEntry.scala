@@ -34,6 +34,7 @@ object SparkEntry {
     "q_distinct_flags" -> (Relational.distinctFlags _),
     "q_global_count" -> (Relational.globalCount _),
     "q_csv_roundtrip" -> (Relational.csvRoundtrip _),
+    "q_orc_roundtrip" -> (Relational.orcRoundtrip _),
     "q_partitioned_parquet" -> (Relational.partitionedParquetRoundtrip _),
     // M2 — analytics breadth
     "q1_agg" -> (Analytics.q1Agg _),
@@ -211,6 +212,13 @@ object SparkEntry {
       "SELECT count(*) AS cnt FROM lineitem",
     "q_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_orc_roundtrip" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+         max(o_orderdate) AS last_order
+         FROM orders GROUP BY o_orderstatus, o_orderpriority
+         ORDER BY o_orderstatus, o_orderpriority""",
     "q_partitioned_parquet" ->
       """SELECT event_type, count(*) AS cnt FROM events
          WHERE year(ts) = 2024 AND month(ts) = 1

@@ -202,4 +202,22 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("event_type")
   }
+
+  /** ORC sink + read-back — format breadth alongside CSV/JSON/parquet.
+    * Writes orders to ORC (long/string/double/timestamp all through the
+    * ORC writer), reads it back, and aggregates. The oracle runs the same
+    * aggregate over the ORIGINAL parquet, so a hash match proves the
+    * round-trip preserved every column feeding the aggregate — keys,
+    * prices (as exact cents), and timestamps. */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_orders"
+    Tables.orders(s, d).write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+        sum(round(col("o_totalprice") * 100, 0).cast(LongType)).as("cents"),
+        max("o_orderdate").as("last_order"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
 }
