@@ -116,6 +116,7 @@ object SparkEntry {
     "q_stream_stream_outer" -> (graft.streaming.EventStreams.streamStreamOuter _),
     "q_stream_session_window" -> (graft.streaming.EventStreams.sessionWindowStream _),
     "q_stream_file_sink" -> (graft.streaming.EventStreams.streamFileSink _),
+    "q_stream_cdc_apply" -> (graft.streaming.EventStreams.streamCdcApply _),
     "q_range_join" -> (Advanced.rangeJoin _),
     "q_sliding_window" -> (Analytics.slidingWindow _),
     // Advanced: JSON source, as-of join, deterministic order stats
@@ -418,6 +419,7 @@ object SparkEntry {
     "q_stream_stream_outer" -> graft.streaming.EventStreams.streamStreamOuterSql,
     "q_stream_session_window" -> graft.streaming.EventStreams.sessionWindowStreamSql,
     "q_stream_file_sink" -> graft.streaming.EventStreams.streamFileSinkSql,
+    "q_stream_cdc_apply" -> graft.streaming.EventStreams.streamCdcApplySql,
     "q_range_join" -> Advanced.rangeJoinSql,
     "q_sliding_window" -> Analytics.slidingWindowSql,
     "q_json_roundtrip" -> Advanced.jsonRoundtripSql,

@@ -204,4 +204,28 @@ class StreamingSpec extends SparkSpec {
     assert(second == first,
       s"restart changed the sink contents: ${second.size} rows vs ${first.size}")
   }
+
+  test("CDC apply: state versions grow monotonically to the batch rollup") {
+    val finalState = EventStreams.streamCdcApply(spark, Sf).cache()
+    // the run leaves its versioned state chain on disk — audit it
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_cdc")
+    import scala.jdk.CollectionConverters._
+    val versions = java.nio.file.Files.list(base).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("v"))
+      .map(_.drop(1).toInt).toSeq.sorted
+    assert(versions.size >= 2, s"expected >= 2 state versions, got $versions")
+    val totals = versions.map { v =>
+      spark.read.parquet(base.resolve(s"v$v").toString)
+        .agg(sum("n_events")).head().getLong(0)
+    }
+    assert(totals == totals.sorted,
+      s"per-version event totals not monotone: $totals")
+    assert(totals.distinct.size == totals.size,
+      s"a merge round absorbed no events (stalled chain): $totals")
+    val batchTotal = Tables.events(spark, Sf).count()
+    assert(totals.last == batchTotal,
+      s"final state covers ${totals.last} events, corpus has $batchTotal")
+    finalState.unpersist()
+  }
 }
