@@ -35,6 +35,7 @@ object SparkEntry {
     "q_global_count" -> (Relational.globalCount _),
     "q_csv_roundtrip" -> (Relational.csvRoundtrip _),
     "q_orc_roundtrip" -> (Relational.orcRoundtrip _),
+    "q_zorder_layout" -> (graft.ops.Layout.zOrderLayout _),
     "q_partitioned_parquet" -> (Relational.partitionedParquetRoundtrip _),
     // M2 — analytics breadth
     "q1_agg" -> (Analytics.q1Agg _),
@@ -220,6 +221,7 @@ object SparkEntry {
          max(o_orderdate) AS last_order
          FROM orders GROUP BY o_orderstatus, o_orderpriority
          ORDER BY o_orderstatus, o_orderpriority""",
+    "q_zorder_layout" -> graft.ops.Layout.zOrderLayoutSql,
     "q_partitioned_parquet" ->
       """SELECT event_type, count(*) AS cnt FROM events
          WHERE year(ts) = 2024 AND month(ts) = 1
