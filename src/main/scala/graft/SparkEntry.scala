@@ -79,6 +79,8 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
     "q_winnow_fps" -> (Dedup.winnowFingerprints _),
     "q_dedup_winnow" -> (Dedup.winnowPairs _),
+    "q_cdc_chunks" -> (Dedup.cdcChunkMap _),
+    "q_cdc_shared" -> (Dedup.cdcSharedChunks _),
     "q_dedup_clusters" -> (Dedup.dedupClusters _),
     "q_vec_quantize" -> (Similarity.quantizeVectors _),
     "q_dq_detect" -> (graft.ops.Quality.dqDetect _),
@@ -381,6 +383,8 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql,
     "q_winnow_fps" -> Dedup.winnowFingerprintsSql,
     "q_dedup_winnow" -> Dedup.winnowPairsSql,
+    "q_cdc_chunks" -> Dedup.cdcChunkMapSql,
+    "q_cdc_shared" -> Dedup.cdcSharedChunksSql,
     "q_dedup_clusters" -> Dedup.dedupClustersSql,
     "q_vec_quantize" -> Similarity.quantizeVectorsSql,
     "q_dq_detect" -> graft.ops.Quality.dqDetectSql,

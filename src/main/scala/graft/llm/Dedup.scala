@@ -562,4 +562,107 @@ object Dedup {
         FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
         ORDER BY doc_a, doc_b"""
+
+  /** Boundary modulus for content-defined chunking: a chunk break lands
+    * before token i when the hash of the 3 tokens ending at i-1 is
+    * 0 mod this — expected chunk length = modulus + the 3-token minimum. */
+  val CdcModulus = 16L
+
+  /** Content-defined chunking — the rsync/LBFS/restic dedup primitive:
+    * chunk boundaries are decided by a rolling hash of the LOCAL tokens,
+    * so an edit moves only the boundaries inside its own chunk; every
+    * chunk after it re-aligns and keeps its fingerprint (a fixed-stride
+    * chunker would shift every downstream chunk). That content-locality is
+    * what makes delta storage and shared-chunk dedup work.
+    *
+    * Entirely array higher-order functions inside one projection — the
+    * chunking itself is a shuffle-free map pass at any corpus scale; only
+    * the presentation sort exchanges. Chunk ids, starts, and fingerprints
+    * are derived per document. */
+  private def cdcChunks(s: SparkSession, d: String): DataFrame =
+    cdcChunksOf(Tables.documents(s, d))
+
+  /** CDC chunker over any (doc_id, text) frame — split out so specs can
+    * chunk edited copies and assert the content-locality property. */
+  private[graft] def cdcChunksOf(docs: DataFrame): DataFrame = {
+    // greatest() keeps element_at indices valid even when the i >= 4 guard
+    // is false (no guaranteed short-circuit inside codegen'd lambdas), and
+    // the sequence runs from 1 so it can never be descending for short docs.
+    val boundaryHash =
+      s"""cast(conv(substring(md5(concat_ws(' ',
+            element_at(ws, cast(greatest(i - 3, 1L) as int)),
+            element_at(ws, cast(greatest(i - 2, 1L) as int)),
+            element_at(ws, cast(greatest(i - 1, 1L) as int)))), 1, 7), 16, 10)
+          as bigint)"""
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")).cast(LongType))
+      // chunk START positions: 1, every boundary, and the n+1 sentinel
+      .withColumn("bounds", expr(
+        s"""concat(array(1L),
+              filter(sequence(1L, n),
+                i -> i >= 4 and $boundaryHash % $CdcModulus = 0),
+              array(n + 1))"""))
+      .select(col("doc_id"), col("ws"), col("bounds"),
+        explode(expr("sequence(0L, cast(size(bounds) - 2 as bigint))")).as("chunk_id"))
+      .withColumn("tok_start", expr("element_at(bounds, cast(chunk_id + 1 as int))"))
+      .withColumn("n_toks",
+        expr("element_at(bounds, cast(chunk_id + 2 as int))") - col("tok_start"))
+      .select(col("doc_id"), col("chunk_id"), col("tok_start"), col("n_toks"),
+        md5(expr("concat_ws(' ', slice(ws, cast(tok_start as int), cast(n_toks as int)))"))
+          .as("chunk_hash"))
+  }
+
+  /** The per-document chunk map (tok_start is 1-based). */
+  def cdcChunkMap(s: SparkSession, d: String): DataFrame =
+    cdcChunks(s, d).orderBy("doc_id", "chunk_id")
+
+  /** Chunks shared across the corpus — the delta-storage estimate: every
+    * chunk_hash held by more than one (doc, position) would be stored
+    * once instead of n_copies times. One groupBy on the 32-hex hash. */
+  def cdcSharedChunks(s: SparkSession, d: String): DataFrame =
+    cdcChunks(s, d).groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("n_copies").desc, col("chunk_hash"))
+
+  /** Shared CTE: positions via the constant-range trick (memory: DuckDB
+    * v1.0 generate_series cannot lateral-join a column bound), boundary
+    * flags from lagged tokens, chunk ids as a running boundary count. */
+  private val cdcChunksSql: String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       p AS (SELECT doc_id, i, ws[i] AS tok, len(ws) AS n
+             FROM w CROSS JOIN generate_series(1, 300) g(i)
+             WHERE i <= len(ws)),
+       b AS (SELECT doc_id, i, tok,
+               CASE WHEN i >= 4 AND
+                 CAST('0x' || substr(md5(
+                     lag(tok, 3) OVER w2 || ' ' ||
+                     lag(tok, 2) OVER w2 || ' ' ||
+                     lag(tok, 1) OVER w2), 1, 7) AS BIGINT)
+                   % $CdcModulus = 0
+               THEN 1 ELSE 0 END AS bnd
+             FROM p WINDOW w2 AS (PARTITION BY doc_id ORDER BY i)),
+       c AS (SELECT doc_id, i, tok,
+               sum(bnd) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS UNBOUNDED PRECEDING) AS chunk_id
+             FROM b),
+       chunks AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                    CAST(min(i) AS BIGINT) AS tok_start,
+                    CAST(count(*) AS BIGINT) AS n_toks,
+                    md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_hash
+                  FROM c GROUP BY doc_id, chunk_id)"""
+
+  val cdcChunkMapSql: String =
+    s"""WITH $cdcChunksSql
+        SELECT doc_id, chunk_id, tok_start, n_toks, chunk_hash
+        FROM chunks ORDER BY doc_id, chunk_id"""
+
+  val cdcSharedChunksSql: String =
+    s"""WITH $cdcChunksSql
+        SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_copies,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM chunks GROUP BY chunk_hash HAVING count(*) > 1
+        ORDER BY n_copies DESC, chunk_hash"""
 }

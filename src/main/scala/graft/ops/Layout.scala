@@ -73,7 +73,7 @@ object Layout {
     * window. Selective on BOTH dimensions, so only a multi-dimensional
     * layout prunes it well. */
   private[graft] def slice2d(df: DataFrame): DataFrame =
-    df.filter(col("user_id").between(100, 119)
+    df.filter(col("user_id").between(4, 13)
         && col("ts") >= lit("2024-01-10 00:00:00").cast(TimestampType)
         && col("ts") < lit("2024-01-20 00:00:00").cast(TimestampType))
 
@@ -98,7 +98,7 @@ object Layout {
                 AS sum_cents,
               min(user_id) AS min_user, max(user_id) AS max_user
        FROM events
-       WHERE user_id BETWEEN 100 AND 119
+       WHERE user_id BETWEEN 4 AND 13
          AND ts >= TIMESTAMP '2024-01-10 00:00:00'
          AND ts < TIMESTAMP '2024-01-20 00:00:00'
        GROUP BY event_type ORDER BY event_type"""
