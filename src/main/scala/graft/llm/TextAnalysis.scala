@@ -431,4 +431,77 @@ object TextAnalysis {
         FROM fl WHERE f_len AND f_en AND f_keep
         ORDER BY stage_no"""
   }
+
+  /** Target token shares for the training-mix rebalance — the knob a data
+    * team turns ("40% English, 15% each of the rest"). Shared with the
+    * SQL mirror via a generated CASE. */
+  val MixTargets: Seq[(String, Double)] =
+    Seq("en" -> 0.40, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+
+  /** Training-mix rebalance by downsampling: find the largest total token
+    * budget K such that every language can fill its target share WITHOUT
+    * upsampling (K = min over langs of tokens/target), then keep each
+    * language's documents at rate target*K/tokens via the deterministic
+    * md5 hash — the reproducible mix cut. Reports per language the plan
+    * (keep_rate) AND the realized sample (kept docs/tokens, achieved
+    * share). All aggregates are language-arity (5 rows) — every join here
+    * is a broadcast; the only full-corpus passes are the two scans. */
+  def mixtureRebalance(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("toks"),
+        (conv(substring(md5(col("doc_id").cast(StringType)), 1, 7), 16, 10)
+          .cast(LongType) % 1000000L).as("h"))
+    import s.implicits._
+    val targets = MixTargets.toDF("lang", "target_share")
+    val cur = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"))
+      .join(broadcast(targets), "lang")
+    val k = cur.agg(min(col("tokens") / col("target_share")).as("k"))
+    val rates = cur.crossJoin(broadcast(k))
+      .withColumn("keep_rate",
+        least(lit(1.0), col("target_share") * col("k") / col("tokens")))
+    val kept = docs
+      .join(broadcast(rates.select("lang", "keep_rate")), "lang")
+      .filter(col("h") < floor(col("keep_rate") * 1000000L))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("kept_docs"), sum("toks").as("kept_tokens"))
+    val keptTot = kept.agg(sum("kept_tokens").as("kt"))
+    rates.join(kept, "lang").crossJoin(broadcast(keptTot))
+      .select(col("lang"), col("n_docs"), col("tokens"), col("target_share"),
+        col("keep_rate"), col("kept_docs"), col("kept_tokens"),
+        (col("kept_tokens").cast(DoubleType) / col("kt")).as("achieved_share"))
+      .orderBy("lang")
+  }
+
+  val mixtureRebalanceSql: String = {
+    val cases = MixTargets.map { case (l, w) => s"WHEN '$l' THEN $w" }
+      .mkString(" ")
+    s"""WITH docs AS (
+          SELECT doc_id, lang,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+              % 1000000 AS h
+          FROM documents),
+        cur AS (SELECT lang, count(*) AS n_docs,
+                  CAST(sum(toks) AS BIGINT) AS tokens,
+                  CAST(CASE lang $cases END AS DOUBLE) AS target_share
+                FROM docs GROUP BY lang),
+        k AS (SELECT min(tokens / target_share) AS k FROM cur),
+        rates AS (SELECT cur.*,
+                    least(CAST(1.0 AS DOUBLE), target_share * k.k / tokens)
+                      AS keep_rate
+                  FROM cur, k),
+        kept AS (SELECT d.lang, count(*) AS kept_docs,
+                   CAST(sum(d.toks) AS BIGINT) AS kept_tokens
+                 FROM docs d JOIN rates r USING (lang)
+                 WHERE d.h < floor(r.keep_rate * 1000000)
+                 GROUP BY d.lang),
+        kt AS (SELECT CAST(sum(kept_tokens) AS BIGINT) AS kt FROM kept)
+        SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs, r.tokens,
+          r.target_share, r.keep_rate,
+          CAST(p.kept_docs AS BIGINT) AS kept_docs, p.kept_tokens,
+          CAST(p.kept_tokens AS DOUBLE) / kt.kt AS achieved_share
+        FROM rates r JOIN kept p USING (lang), kt ORDER BY r.lang"""
+  }
 }
