@@ -98,7 +98,9 @@ object ScaleTest {
       "q_dedup_exact", "q_dedup_fingerprint", "q_dedup_minhash",
       "q_dedup_simhash", "q_winnow_fps", "q_dedup_winnow",
       "q_dedup_ngram_jaccard", "q_dedup_clusters", "q_dedup_incremental",
-      "q_heavy_hitters", "q_curation_funnel")
+      "q_heavy_hitters", "q_curation_funnel",
+      "q_seq_pack", "q_doc_chunks", "q_cdc_chunks", "q_cdc_shared",
+      "q_mixture_rebalance")
     def time(dir: String): Map[String, Double] =
       subset.map { name =>
         val t0 = System.nanoTime()

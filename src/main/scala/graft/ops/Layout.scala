@@ -44,11 +44,6 @@ object Layout {
     * stats are tight in that key. */
   private[graft] def writeLayout(s: SparkSession, d: String,
       layout: String): String = {
-    // Spark's default parquet timestamp encoding is INT96, which carries NO
-    // row-group min/max stats — a time predicate can never prune it. INT64
-    // micros is what every stats-aware layout needs (and what the rest of
-    // the ecosystem reads).
-    s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val base = java.nio.file.Files.createTempDirectory(s"graft_zorder_$layout")
       .toString
     val ev = zEvents(s, d).drop("hour_idx", "z")
@@ -65,7 +60,21 @@ object Layout {
         .sortWithinPartitions("ts")
       case _ => ev.repartition(128) // round-robin: stats span everything
     }
-    arranged.write.mode("overwrite").parquet(base)
+    // Spark's default parquet timestamp encoding is INT96, which carries NO
+    // row-group min/max stats — a time predicate can never prune it. INT64
+    // micros is what every stats-aware layout needs. The conf is session
+    // scoped, so restore it after the write: leaking it changes how every
+    // LATER query in the session serializes timestamps (a leaked
+    // TIMESTAMP_MICROS turned six unrelated verify dumps into
+    // timestamptz and failed the type gate).
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "TIMESTAMP_MICROS")
+    try arranged.write.mode("overwrite").parquet(base)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
     base
   }
 
