@@ -97,6 +97,7 @@ object SparkEntry {
     "q_doc_chunks" -> (Packing.docChunks _),
     "q_cosine_pairs" -> (Similarity.cosinePairs _),
     "q_semdedup" -> (Similarity.semDedup _),
+    "q_diverse_sample" -> (Similarity.diverseSample _),
     "q_text_quality" -> (TextAnalysis.quality _),
     "q_lang_id" -> (TextAnalysis.langId _),
     "q_token_counts" -> (TextAnalysis.tokenCounts _),
@@ -402,6 +403,7 @@ object SparkEntry {
     "q_doc_chunks" -> Packing.docChunksSql,
     "q_cosine_pairs" -> Similarity.cosinePairsSql,
     "q_semdedup" -> Similarity.semDedupSql,
+    "q_diverse_sample" -> Similarity.diverseSampleSql,
     "q_text_quality" -> TextAnalysis.qualitySql,
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_token_counts" -> TextAnalysis.tokenCountsSql,

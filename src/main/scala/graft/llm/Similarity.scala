@@ -294,12 +294,11 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
-  val annIvfSql: String = {
-    // One block per k-means iteration: exact integer distances -> argmin
-    // (ties on cent_id) -> re-quantized means. Mirrors the Spark side 1:1.
-    def iter(t: Int): String = {
-      val prev = s"cent${t - 1}"
-      s"""d$t AS (SELECT x.vec_id, c.cent_id, sum((x.v - c.c) * (x.v - c.c)) AS d
+  // One block per k-means iteration: exact integer distances -> argmin
+  // (ties on cent_id) -> re-quantized means. Mirrors the Spark side 1:1.
+  private def kmIterSql(t: Int): String = {
+    val prev = s"cent${t - 1}"
+    s"""d$t AS (SELECT x.vec_id, c.cent_id, sum((x.v - c.c) * (x.v - c.c)) AS d
                 FROM sx x JOIN $prev c ON x.i = c.i GROUP BY 1, 2),
         a$t AS (SELECT vec_id, cent_id FROM (
                   SELECT vec_id, cent_id,
@@ -308,8 +307,13 @@ object Similarity {
         cent$t AS (SELECT a.cent_id, x.i,
                      CAST(floor(CAST(sum(x.v) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
                    FROM a$t a JOIN sx x ON a.vec_id = x.vec_id GROUP BY 1, 2)"""
-    }
-    s"""WITH sx AS (SELECT vec_id, i,
+  }
+
+  /** Shared CTE chain: scaled integer embeddings -> seeded + trained
+    * centroids -> final nearest-cell assignment (`cells`, `dfin`). Reused
+    * by [[annIvfSql]] and [[diverseSampleSql]]. */
+  private val kmeansCellsSql: String =
+    s"""sx AS (SELECT vec_id, i,
               CAST(floor(CAST(embedding[i] AS DOUBLE) * $ScaleQ + 0.5) AS BIGINT) AS v
             FROM embeddings, generate_series(1, 64) t(i)),
         seeds AS (SELECT vec_id, CAST(rk - 1 AS INT) AS cent_id FROM (
@@ -318,13 +322,16 @@ object Similarity {
                     FROM embeddings) WHERE rk <= $NumCentroids),
         cent0 AS (SELECT s.cent_id, x.i, x.v AS c
                   FROM seeds s JOIN sx x ON x.vec_id = s.vec_id),
-        ${(1 to KmIters).map(iter).mkString(",\n        ")},
+        ${(1 to KmIters).map(kmIterSql).mkString(",\n        ")},
         dfin AS (SELECT x.vec_id, c.cent_id, sum((x.v - c.c) * (x.v - c.c)) AS d
                  FROM sx x JOIN cent$KmIters c ON x.i = c.i GROUP BY 1, 2),
         cells AS (SELECT vec_id, cent_id AS cell FROM (
                     SELECT vec_id, cent_id,
                       row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rk
-                    FROM dfin) WHERE rk = 1),
+                    FROM dfin) WHERE rk = 1)"""
+
+  val annIvfSql: String = {
+    s"""WITH $kmeansCellsSql,
         probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM (
                      SELECT vec_id, cent_id,
                        row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rk
@@ -340,6 +347,38 @@ object Similarity {
              generate_series(1, 64) t(i)
         GROUP BY 1, 2 ORDER BY query_id, neighbor_id"""
   }
+
+  /** Vectors kept per semantic cell by the diversity sampler. */
+  val DiverseK = 25
+
+  /** Cluster-balanced diversity sample: cap every trained k-means cell at
+    * [[DiverseK]] vectors, chosen by deterministic md5 priority — the
+    * "spread the training mix across embedding space" cut (dense regions
+    * are truncated, sparse regions survive whole). Reuses the exact
+    * integer k-means of [[annIvf]] and selects per-cell survivors with the
+    * [[graft.plans.TopKPerKey]] physical operator: bounded heaps, at most
+    * DiverseK rows per cell per partition shuffled — never a global sort,
+    * never a full per-cell materialization. */
+  def diverseSample(s: SparkSession, d: String): DataFrame = {
+    val sx = graft.TrackedCaches.track(scaledEmb(s, d).cache())
+    val cents = trainCentroids(sx, seedCentroids(s, d, sx))
+    val pri = assignCells(sx, cents)
+      .withColumn("hk", md5(col("vec_id").cast(StringType)))
+    graft.plans.TopKPerKey.topKPerKey(pri, DiverseK, Seq("cell"),
+      Seq("hk" -> true, "vec_id" -> true))
+      .select(col("cell"), col("vec_id"), col("hk"))
+      .orderBy("cell", "hk", "vec_id")
+  }
+
+  val diverseSampleSql: String =
+    s"""WITH $kmeansCellsSql,
+        pri AS (SELECT cell, vec_id, md5(CAST(vec_id AS VARCHAR)) AS hk
+                FROM cells),
+        r AS (SELECT cell, vec_id, hk,
+                row_number() OVER (PARTITION BY cell ORDER BY hk, vec_id) AS rk
+              FROM pri)
+        SELECT cell, vec_id, hk FROM r WHERE rk <= $DiverseK
+        ORDER BY cell, hk, vec_id"""
 
   /** Scalar int8 quantization of embeddings — the storage-side companion of
     * ANN (4x smaller vectors, SIMD-friendly distance kernels downstream).
