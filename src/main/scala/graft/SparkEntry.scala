@@ -136,6 +136,7 @@ object SparkEntry {
     "q_dq_report" -> (graft.ops.Quality.dqReport _),
     "q_scd2" -> (graft.ops.Quality.scd2Build _),
     "q_merge_upsert" -> (graft.ops.Quality.mergeUpsert _),
+    "q_skew_report" -> (graft.ops.Quality.skewReport _),
     "q_approx_distinct" -> (Advanced.approxDistinct _),
     // Sketch-pruned exact operators + iterative graph analytics
     "q_heavy_hitters" -> (graft.ops.Sketches.heavyHitters _),
@@ -443,6 +444,7 @@ object SparkEntry {
     "q_dq_report" -> graft.ops.Quality.dqReportSql,
     "q_scd2" -> graft.ops.Quality.scd2BuildSql,
     "q_merge_upsert" -> graft.ops.Quality.mergeUpsertSql,
+    "q_skew_report" -> graft.ops.Quality.skewReportSql,
     // HLL sketch internals are engine-specific; the portable surface is the
     // exact count + the error-bound boolean, both verified by DuckDB.
     "q_approx_distinct" -> Advanced.approxDistinctSql,

@@ -219,4 +219,44 @@ object Quality {
        FROM base FULL JOIN changes ON c_custkey = k
        WHERE coalesce(op, '') <> 'D'
        ORDER BY custkey"""
+
+  /** Key-skew diagnostic — what a data engineer runs BEFORE picking a join
+    * strategy or salt factor: per-key group sizes of the fact table's join
+    * key, reduced to the decision numbers (hottest-key share, top-10
+    * share, and the salt factor that levels the hottest key to average
+    * load). One shuffle for the key histogram; the top-10 is a
+    * TakeOrdered, never a global sort; everything else is scalar. The
+    * recommended salt is what [[graft.ops.Advanced.saltedJoin]] consumes. */
+  def skewReport(s: SparkSession, d: String): DataFrame = {
+    val sizes = graft.TrackedCaches.track(
+      Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("sz")).cache())
+    val top10 = sizes.orderBy(col("sz").desc, col("user_id")).limit(10)
+      .agg(sum("sz").as("top10_rows"))
+    sizes.agg(count(lit(1)).as("n_keys"), sum("sz").as("total_rows"),
+        max("sz").as("max_sz"))
+      .crossJoin(broadcast(top10))
+      .select(col("n_keys"), col("total_rows"), col("max_sz"),
+        (col("total_rows").cast(DoubleType) / col("n_keys")).as("avg_sz"),
+        (col("max_sz").cast(DoubleType) / col("total_rows")).as("top1_share"),
+        (col("top10_rows").cast(DoubleType) / col("total_rows"))
+          .as("top10_share"),
+        ceil(col("max_sz") * col("n_keys") / col("total_rows"))
+          .cast(LongType).as("rec_salt"))
+  }
+
+  val skewReportSql: String =
+    """WITH sz AS (SELECT user_id, count(*) AS sz FROM events GROUP BY user_id),
+       t10 AS (SELECT CAST(sum(sz) AS BIGINT) AS top10_rows FROM (
+                 SELECT sz FROM sz ORDER BY sz DESC, user_id LIMIT 10)),
+       a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(sz) AS BIGINT) AS total_rows,
+               CAST(max(sz) AS BIGINT) AS max_sz
+             FROM sz)
+       SELECT n_keys, total_rows, max_sz,
+         CAST(total_rows AS DOUBLE) / n_keys AS avg_sz,
+         CAST(max_sz AS DOUBLE) / total_rows AS top1_share,
+         CAST(top10_rows AS DOUBLE) / total_rows AS top10_share,
+         CAST(ceil(max_sz * n_keys / total_rows) AS BIGINT) AS rec_salt
+       FROM a, t10"""
 }
