@@ -21,7 +21,13 @@ import org.apache.spark.sql.SparkSession
   * Each query is forced through the `noop` sink so every output column is
   * actually materialized (a bare count() would let Catalyst prune the
   * computed columns and under-measure); queries run in sorted name order
-  * for run-to-run comparability.
+  * for run-to-run comparability. Each query is timed BEST-OF-2 (plus an
+  * adaptive third run when the two disagree >2x) with caches released
+  * between runs (co-tenant-load immunity — see the comment at the timing
+  * loop); the JSON carries the kept min per query plus all raw run times
+  * (`runsPerQuery`), the kept run's GC delta (`gcMsPerQuery`), and its
+  * process-CPU delta (`cpuMsPerQuery`) — wall inflated while CPU flat is
+  * the signature of ambient-load starvation, not a plan regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,6 +39,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -54,6 +61,28 @@ object Bench {
     // the directory is absent or for streaming queries.
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     val warmupOk = new java.io.File(warmupDir).isDirectory && warmupDir != sfDir
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcNowMs(): Long = {
+      var t = 0L
+      gcBeans.forEach(b => t += b.getCollectionTime)
+      t
+    }
+    // Process CPU time (ns) — the co-tenant-starvation detector: a query's
+    // CPU spend is load-invariant (same work either way), so a row whose
+    // wall time is inflated but whose cpuMs matches a clean run was starved
+    // of cores by ambient load, not slowed by a plan regression.
+    val procBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // Load immunity: this host carries ambient co-tenant load that has twice
+    // produced false regression scares (rounds 2 and 5 — r5's driver bench
+    // read 418 s where a clean re-run of the same queries measured ~7x less).
+    // Each query is therefore timed BEST-OF-2: a co-tenant spike long enough
+    // to corrupt both back-to-back runs is far rarer than one corrupting a
+    // single shot. Caches are released between the runs, so run 2 re-does all
+    // the work — min() picks the less-disturbed measurement, not a cached
+    // replay. Per-run GC deltas are emitted alongside so a residual spike is
+    // attributable per row from the artifact alone (a query whose kept run
+    // carries hundreds of ms of GC was squeezed; its min is an upper bound).
     val results = selected.map { case (name, fn) =>
       if (warmupOk && !name.startsWith("q_stream")) {
         try fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
@@ -61,26 +90,47 @@ object Bench {
         TrackedCaches.release()
         spark.catalog.clearCache()
       }
-      val t0 = System.nanoTime()
       // A swallowed failure would contribute a near-zero time and make the
       // JSON look healthy — record it loudly instead.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          errors += name
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      def timedRun(): (Double, Long, Long) = {
+        val g0 = gcNowMs()
+        val c0 = procBean.getProcessCpuTime
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch {
+          case e: Throwable =>
+            if (!errors.contains(name)) errors += name
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Queries cache() intermediates for intra-query reuse; drop them so
+        // 118 queries' worth of stale blocks don't squeeze execution memory
+        // and throttle late queries (and so the second timed run measures
+        // real work). TrackedCaches also frees RDD-level persists
+        // (scalableRowNumber/cumSum) that catalog.clearCache cannot see.
+        TrackedCaches.release()
+        spark.catalog.clearCache()
+        (dt, gcNowMs() - g0, (procBean.getProcessCpuTime - c0) / 1000000)
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Queries cache() intermediates for intra-query reuse; drop them so 69
-      // queries' worth of stale blocks don't squeeze execution memory and
-      // throttle late queries. TrackedCaches also frees RDD-level persists
-      // (scalableRowNumber/cumSum) that catalog.clearCache cannot see.
-      TrackedCaches.release()
-      spark.catalog.clearCache()
-      name -> dt
+      var runs = List(timedRun(), timedRun())
+      // The two runs disagreeing by >2x (plus a floor so sub-second queries
+      // don't trigger it) means a load spike hit one of them; one more run
+      // sharpens the min. A SUSTAINED spike inflating all runs equally is
+      // caught by cpuMs instead: wall grows, CPU spend doesn't.
+      val ts = runs.map(_._1)
+      if (ts.max > 2 * ts.min && ts.max - ts.min > 1.0) runs :+= timedRun()
+      val kept = runs.minBy(_._1)
+      (name, kept._1, kept._2, kept._3, runs.map(_._1))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val gcs = results.map { case (k, _, g, _, _) => "\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val cpus_ = results.map { case (k, _, _, c, _) => "\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val runs = results.map { case (k, _, _, _, rs) =>
+      "\"" + k + "\":" + rs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // Environment self-diagnosis: this host carries ambient co-tenant load
@@ -93,7 +143,9 @@ object Bench {
     val env = s""""env":{"availableProcessors":${Runtime.getRuntime.availableProcessors},""" +
       s""""systemLoadAverage":${osBean.getSystemLoadAverage},"gcTimeMs":$gcMs}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$env,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""gcMsPerQuery":$gcs,"cpuMsPerQuery":$cpus_,"runsPerQuery":$runs,""" +
+        s""""errors":$errs,$env,"sf":"$sfDir"}"""
     println(json)
     // The driver captures a bounded stdout tail; a 79-query JSON line can
     // overrun it. Persist the full line so totals parse reliably.

@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleTest [copies]   (default 10)
   *        runMain graft.ScaleTest docs       (dedup-family 10x experiment)
+  *        runMain graft.ScaleTest streams    (streaming-family 10x experiment)
+  *
+  * The `streams` mode replicates events (and customers, for the stream-static
+  * join) 10x with consistent key offsets — 10x the events in the SAME time
+  * span, i.e. 10x stream throughput at constant watermark lag: state-store
+  * row counts and micro-batch input sizes grow 10x while the micro-batch
+  * COUNT stays fixed (FilesPerTrigger over the same chunk layout), isolating
+  * how per-event state cost scales from trigger-scheduling fixed cost. Each
+  * scale's landing zone is staged BEFORE its timing loop so ingest is not
+  * billed to the first query.
   *
   * The `docs` mode replicates documents 10x with copy-keyed token
   * substitution (~20% of token TYPES per copy rewritten to a copy-local
@@ -28,6 +38,7 @@ import org.apache.spark.sql.functions._
 object ScaleTest {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("docs")) return docsMain()
+    if (args.headOption.contains("streams")) return streamsMain()
     val copies = if (args.nonEmpty) args(0).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -118,6 +129,70 @@ object ScaleTest {
       println(f"$q,${small(q)}%.2f,${big(q)}%.2f,${big(q) / small(q)}%.1f")
     }
     spark.stop()
+  }
+
+  /** Streaming-family 10x experiment — see the object scaladoc. */
+  private def streamsMain(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    // Parameter-stamped path (copies, key stride) — same rebuild discipline
+    // as the other modes.
+    val dst =
+      s"${System.getProperty("java.io.tmpdir")}/graft_events10x_c10_s1000000"
+    if (!new java.io.File(s"$dst/_built").exists()) {
+      buildStreams(spark, src, dst, 10)
+      new java.io.File(s"$dst/_built").createNewFile()
+    }
+    val subset = Seq(
+      "q_stream_tumbling", "q_stream_static_join", "q_stream_dedup",
+      "q_stream_stream_join", "q_stream_session_window",
+      "q_stream_file_sink", "q_stream_cdc_apply")
+    def time(dir: String): Map[String, Double] =
+      subset.map { name =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        TrackedCaches.release()
+        spark.catalog.clearCache()
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    // The shared landing zone is keyed by source dir and re-staged on a
+    // switch, so run each scale's whole loop against a pre-staged zone;
+    // the first small() also warms the streaming machinery's code paths.
+    graft.streaming.EventStreams.stageEvents(spark, src)
+    time(src) // warm
+    val small = time(src)
+    graft.streaming.EventStreams.stageEvents(spark, dst)
+    val big = time(dst)
+    println("query,events1x_s,events10x_s,ratio")
+    subset.foreach { q =>
+      println(f"$q,${small(q)}%.2f,${big(q)}%.2f,${big(q) / small(q)}%.1f")
+    }
+    spark.stop()
+  }
+
+  /** events (+ customers for the stream-static join) replicated `copies`x
+    * with consistent key offsets: 10x events in the same time span. */
+  private def buildStreams(spark: SparkSession, src: String, dst: String,
+      copies: Int): Unit = {
+    val cMax = 1000000L
+    def copyUnion(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(i => f(df, i)).reduce(_ unionByName _)
+    val ev = Tables.events(spark, src)
+    copyUnion(ev, (df, i) => df
+      .withColumn("event_id", col("event_id") + i * cMax)
+      .withColumn("user_id", col("user_id") + i * cMax))
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    copyUnion(cust, (df, i) => df.withColumn("c_custkey", col("c_custkey") + i * cMax))
+      .write.mode("overwrite").parquet(s"$dst/customer.parquet")
   }
 
   /** documents replicated `copies`x with copy-keyed token substitution —

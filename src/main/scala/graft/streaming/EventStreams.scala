@@ -39,7 +39,15 @@ object EventStreams {
     * event-time order (a random split would make later micro-batches almost
     * entirely late w.r.t. the watermark and they would be dropped — exactly
     * what a production landing zone avoids by being append-ordered). */
-  def stageEvents(s: SparkSession, d: String, nFiles: Int = 4): String = {
+  /** Serializes stage-or-reuse decisions: the marker check plus the wipe/
+    * write below are not atomic, so two suites staging concurrently in one
+    * JVM could each see "not staged" and double-stage (or worse, one deletes
+    * the tree while the other's readStream lists it). All staging for this
+    * JVM goes through this lock; cross-JVM is not a concern (driver and sbt
+    * each run single-JVM). */
+  private val stageLock = new Object
+
+  def stageEvents(s: SparkSession, d: String, nFiles: Int = 4): String = stageLock.synchronized {
     import java.nio.file._
     val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_events")
     // Staging is keyed by source dir: a landing zone is written once and
@@ -442,12 +450,21 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("win_start"), col("cnt"))
-    val q = agg.writeStream.outputMode(OutputMode.Append())
-      .format("parquet")
-      .option("path", s"$base/out")
-      .option("checkpointLocation", s"$base/ckpt")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    // Size the state store to the stream like every sibling stateful query
+    // (see streamingDedup): at the session's 32 partitions each micro-batch
+    // pays 4x the state-store/commit-log fixed cost AND the sink writes a
+    // parquet file per partition per batch. The partitioning bakes into the
+    // checkpoint, so restarts (same base) see the same 8. Restored after.
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = agg.writeStream.outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
   def streamFileSink(s: SparkSession, d: String): DataFrame = {

@@ -70,6 +70,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(rows(2).getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("shipped query q_vec_quantize reaches the SelfCosine rewrite") {
+    // The rule must not be demonstration-only surface: the quantizer's
+    // self_cos sanity column is written as FloatCosine(x, x) and must be
+    // strength-reduced in the optimized plan of the session Verify/Bench run
+    // (this suite's session installs the same extensions they do).
+    val df = graft.llm.Similarity.quantizeVectors(spark, "/root/testdata/sf0.001")
+    val optimized = df.queryExecution.optimizedPlan
+    // Traverse the WHOLE plan: the query ends in orderBy, so the expression
+    // lives in a Project below the root Sort.
+    val rewritten = optimized.collect {
+      case p if p.expressions.exists(_.exists(_.isInstanceOf[SelfCosine])) => p
+    }.nonEmpty
+    assert(rewritten, s"SelfCosine not reached by q_vec_quantize: $optimized")
+    assert(df.filter(col("self_cos") =!= 1.0).count() == 0,
+      "every corpus embedding is finite and non-zero, so self_cos must be 1.0")
+  }
+
   test("rule preserves results vs unrewritten session on real embeddings") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(20)
     val viaRule = emb.select(

@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared session per suite (spark_guide.md): local[4], UTC, small shuffle. */
+/** Shared session per suite (spark_guide.md): local[4], UTC, small shuffle.
+  * GraftExtensions installed like the shipped Verify/Bench sessions, so specs
+  * exercise the same optimizer surface the driver runs (CosineSelfRule,
+  * SQL-registered float_cosine). */
 trait SparkSpec extends AnyFunSuite {
   val Sf = "/root/testdata/sf0.001"
   lazy val spark: SparkSession = SparkSession.builder()
@@ -13,5 +16,6 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
 }
