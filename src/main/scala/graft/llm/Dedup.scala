@@ -55,15 +55,21 @@ object Dedup {
   // Corpus text is clean single-space-separated lowercase words, so plain
   // split(' ') == DuckDB string_split(' ') with no regex-dialect hazards.
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, sh). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** Distinct word-3-gram shingles of any (doc_id, text, ...) frame —
+    * exposed so the streaming ingest filter can shingle a micro-batch with
+    * the exact arithmetic the corpus index was built with. */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), explode(array_distinct(expr(
         """CASE WHEN size(ws) >= 3
            THEN transform(sequence(0, size(ws) - 3),
                           i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))
            ELSE array() END"""))).as("sh"))
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, sh). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(Tables.documents(s, d))
 
   /** 28-bit base hash of a shingle: first 7 hex chars of md5. */
   private def baseHash(c: Column): Column =
@@ -132,25 +138,38 @@ object Dedup {
   def shingleHashes(s: SparkSession, d: String): DataFrame =
     shingles(s, d).withColumn("h", baseHash(col("sh"))).select("doc_id", "h")
 
-  /** Per-doc MinHash signature: NumHashes min-of-affine-permutation columns.
-    * (graft.functions.MinHashSigAgg computes the same signature as a single
-    * TypedImperativeAggregate sketch buffer — spec-checked equivalent.) */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
-    val h = shingleHashes(s, d)
+  /** MinHash signature of any (doc_id, text, ...) frame — the micro-batch
+    * kernel of the streaming ingest filter. Docs under 3 words produce no
+    * shingles and therefore no signature row (they can't near-dup). */
+  private[graft] def signaturesOf(docs: DataFrame): DataFrame = {
+    val h = shinglesOf(docs).withColumn("h", baseHash(col("sh")))
+      .select("doc_id", "h")
     val mins = (0 until NumHashes).map { i =>
       min((lit(HashA(i)) * col("h") + lit(HashB(i))) % lit(Prime)).as(s"s_$i")
     }
     h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** Per-doc MinHash signature: NumHashes min-of-affine-permutation columns.
+    * (graft.functions.MinHashSigAgg computes the same signature as a single
+    * TypedImperativeAggregate sketch buffer — spec-checked equivalent.) */
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    signaturesOf(Tables.documents(s, d))
+
+  /** LSH band rows (doc_id, v0..v{rows-1}, band) of a signature frame. */
+  private[graft] def bandRows(sig: DataFrame): DataFrame = {
+    val rows = NumHashes / Bands
+    (0 until Bands).map { b =>
+      val vs = (0 until rows).map(r => col(s"s_${b * rows + r}").as(s"v$r"))
+      sig.select((col("doc_id") +: vs) :+ lit(b).as("band"): _*)
+    }.reduce(_ union _)
+  }
+
   /** Candidate pairs from LSH bands + signature-agreement score. */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sig = graft.TrackedCaches.track(signatures(s, d).cache())
     val rows = NumHashes / Bands
-    val bands = (0 until Bands).map { b =>
-      val vs = (0 until rows).map(r => col(s"s_${b * rows + r}").as(s"v$r"))
-      sig.select((col("doc_id") +: vs) :+ lit(b).as("band"): _*)
-    }.reduce(_ union _)
+    val bands = bandRows(sig)
     val x = bands.as("x"); val y = bands.as("y")
     val joinCond = col("x.band") === col("y.band") &&
       (0 until rows).map(r => col(s"x.v$r") === col(s"y.v$r")).reduce(_ && _) &&

@@ -1,0 +1,202 @@
+package graft.streaming
+
+import graft.Tables
+import graft.llm.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming ingest near-dup filter — the continuous-arrival twin of
+  * [[graft.llm.Dedup.incrementalDedup]] (SURVEY.md §2.9 extension x the
+  * dedup family).
+  *
+  * A production training-data pipeline doesn't dedup a frozen corpus once;
+  * new documents arrive continuously and each must be screened against the
+  * EXISTING corpus before admission. This query runs that shape end to end:
+  * the arriving slice (doc_id % 5 == 0, the same synthetic arrival split as
+  * the batch incremental query) lands as a file stream; each micro-batch is
+  * screened in `foreachBatch` against a cached corpus index — exact dup via
+  * content digest, near-dup via the MinHash-LSH band join — and per-doc
+  * verdicts are written to a versioned sink (overwrite-by-batchId, the same
+  * idempotent-replay discipline as [[EventStreams.streamCdcApply]]).
+  *
+  * Semantics: verdicts are against the PRE-EXISTING corpus only —
+  * arrival-vs-arrival duplicates are the post-ingest batch pass's job
+  * ([[graft.llm.Dedup.minhashPairs]]). That choice makes the result
+  * micro-batch-partitioning-invariant (each doc's verdict depends only on
+  * the static corpus), which is what lets a batch DuckDB oracle gate the
+  * streaming run bit-for-bit.
+  *
+  * Scale shape (100 TB): the corpus index is built ONCE (signatures +
+  * band rows + digest table, all doc-scale, cached — in production:
+  * persisted and bucketed on the band key) and each micro-batch pays
+  * |batch| x band-collision work, never |corpus|^2, never corpus re-scan.
+  * All joins are equi-joins on compact keys (band tuple, digest); signature
+  * computation per batch is the same map-side-combining groupBy(doc) the
+  * batch dedup family uses.
+  */
+object DocStreams {
+
+  private val stageLock = new Object
+
+  /** Streaming-source schema for the staged arrival slice. */
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** Stage the arriving doc slice (doc_id % 5 == 0) as an mtime-ordered
+    * landing zone of contiguous doc_id ranges — the same staged-chunk
+    * discipline as [[EventStreams.stageEvents]], keyed by source dir. */
+  def stageDocs(s: SparkSession, d: String, nFiles: Int = 4): String = stageLock.synchronized {
+    import java.nio.file._
+    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_docs")
+    val marker = base.resolve(s"_staged_${d.replaceAll("[^a-zA-Z0-9.]", "_")}")
+    if (Files.exists(marker)) return base.toString
+    if (Files.exists(base)) {
+      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(base)
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text")).cache()
+    val Array(lo, hi) = docs.agg(min("doc_id"), max("doc_id")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val span = (hi - lo) / nFiles + 1
+    (0 until nFiles).foreach { i =>
+      val tmp = base.resolve(s"_stage_$i")
+      docs.filter(col("doc_id") >= lo + i * span && col("doc_id") < lo + (i + 1) * span)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = base.resolve(f"chunk_$i%02d.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    docs.unpersist()
+    Files.createFile(marker)
+    base.toString
+  }
+
+  /** Per-doc admission verdict for every arriving doc: exact dup (identical
+    * text exists in the corpus), near-dup source (smallest corpus doc
+    * sharing an LSH band with >= MinhashMatchThreshold/NumHashes signature
+    * agreement; -1 when none). */
+  def streamIngestDedup(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file._
+    val dir = stageDocs(s, d)
+    val corpus = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+    // The standing corpus index, built once and reused by every micro-batch:
+    // band rows + signatures for the near-dup join, digests for exact dup.
+    val rows = Dedup.NumHashes / Dedup.Bands
+    val corpusSig = graft.TrackedCaches.track(
+      Dedup.signaturesOf(corpus).cache())
+    val corpusBands = Dedup.bandRows(corpusSig)
+      .toDF(("db" +: (0 until rows).map(r => s"w$r")) :+ "band": _*)
+    val corpusDigests = graft.TrackedCaches.track(
+      corpus.select(md5(col("text")).as("digest"), col("doc_id"))
+        .groupBy("digest").agg(min("doc_id").as("exact_src")).cache())
+
+    val outBase = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_ingest")
+    if (Files.exists(outBase)) {
+      Files.walk(outBase).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(outBase)
+    @volatile var latest = -1L
+    val stream = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 2).parquet(dir)
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        val bsig = Dedup.signaturesOf(batch).cache()
+        val bbands = Dedup.bandRows(bsig)
+        // Band-key equi-join, batch x corpus — identical arithmetic to the
+        // batch minhashPairs candidate join, restricted to the arrival side.
+        val cand = bbands.join(corpusBands,
+            bbands("band") === corpusBands("band") &&
+              (0 until rows)
+                .map(r => col(s"v$r") === col(s"w$r")).reduce(_ && _))
+          .select(col("doc_id").as("da"), col("db")).distinct()
+        val nEq = (0 until Dedup.NumHashes)
+          .map(i => when(col(s"a.s_$i") === col(s"b.s_$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        val near = cand
+          .join(bsig.as("a"), col("da") === col("a.doc_id"))
+          .join(corpusSig.as("b"), col("db") === col("b.doc_id"))
+          .filter(nEq >= Dedup.MinhashMatchThreshold)
+          .groupBy("da").agg(min("db").as("near_src"))
+        batch.select(col("doc_id"), md5(col("text")).as("digest"))
+          .join(corpusDigests, Seq("digest"), "left")
+          .join(near, col("doc_id") === col("da"), "left")
+          .select(col("doc_id"),
+            col("exact_src").isNotNull.as("is_exact_dup"),
+            coalesce(col("near_src"), lit(-1L)).as("near_dup_of"))
+          .write.mode("overwrite")
+          .parquet(outBase.resolve(s"v$batchId").toString)
+        bsig.unpersist()
+        latest = batchId
+        ()
+    }
+    // Batch work inside foreachBatch inherits the session's shuffle
+    // partitioning; size it to the micro-batch like the sibling streaming
+    // queries (micro-batches are arrival-slice-scale, not corpus-scale).
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val qs = q.start()
+      try qs.processAllAvailable() finally qs.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    require(latest >= 1, s"ingest dedup ran ${latest + 1} micro-batches — " +
+      "need >= 2 for the screening to actually be incremental")
+    s.read.parquet((0L to latest).map(b => outBase.resolve(s"v$b").toString): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Batch oracle: the same digest + MinHash-band arithmetic over the same
+    * arrival/corpus split — valid because verdicts only depend on the static
+    * corpus, so micro-batch chunking cannot change them. */
+  val streamIngestDedupSql: String = {
+    val rows = Dedup.NumHashes / Dedup.Bands
+    val minCols = (0 until Dedup.NumHashes).map { i =>
+      s"min((${Dedup.HashA(i)} * h + ${Dedup.HashB(i)}) % ${Dedup.Prime}) AS s_$i"
+    }.mkString(", ")
+    val bandSelects = (0 until Dedup.Bands).map { b =>
+      val vs = (0 until rows).map(r => s"s_${b * rows + r} AS v$r").mkString(", ")
+      s"SELECT doc_id, $vs, $b AS band FROM sig"
+    }.mkString(" UNION ALL ")
+    val joinVs = (0 until rows).map(r => s"x.v$r = y.v$r").mkString(" AND ")
+    val nEq = (0 until Dedup.NumHashes)
+      .map(i => s"CASE WHEN a.s_$i = b.s_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+               FROM words, generate_series(1, ${Dedup.MaxWords}) t(i) WHERE i <= len(ws) - 2),
+        h AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT) AS h FROM sh),
+        sig AS (SELECT doc_id, $minCols FROM h GROUP BY doc_id),
+        bands AS ($bandSelects),
+        cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+                 FROM bands x JOIN bands y
+                 ON x.band = y.band AND $joinVs
+                 WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0),
+        near AS (SELECT da, min(db) AS near_src
+                 FROM cand c JOIN sig a ON c.da = a.doc_id
+                             JOIN sig b ON c.db = b.doc_id
+                 WHERE $nEq >= ${Dedup.MinhashMatchThreshold}
+                 GROUP BY da),
+        ex AS (SELECT d.doc_id, min(c.doc_id) AS exact_src
+               FROM documents d JOIN documents c
+                 ON md5(d.text) = md5(c.text) AND c.doc_id % 5 <> 0
+               WHERE d.doc_id % 5 = 0 GROUP BY d.doc_id)
+        SELECT d.doc_id,
+          ex.exact_src IS NOT NULL AS is_exact_dup,
+          coalesce(n.near_src, CAST(-1 AS BIGINT)) AS near_dup_of
+        FROM documents d
+        LEFT JOIN ex ON d.doc_id = ex.doc_id
+        LEFT JOIN near n ON d.doc_id = n.da
+        WHERE d.doc_id % 5 = 0
+        ORDER BY d.doc_id"""
+  }
+}

@@ -205,6 +205,73 @@ class StreamingSpec extends SparkSpec {
       s"restart changed the sink contents: ${second.size} rows vs ${first.size}")
   }
 
+  test("streaming ingest dedup == batch-computed verdicts over the same split") {
+    import graft.llm.Dedup
+    val streamed = graft.streaming.DocStreams.streamIngestDedup(spark, Sf)
+    // Independent batch formulation from the same kernels: band-collision
+    // candidates restricted to arrival x corpus, signature-agreement gate,
+    // digest join for exact dups.
+    val docs = Tables.documents(spark, Sf)
+    val sig = Dedup.signaturesOf(docs).cache()
+    val bands = Dedup.bandRows(sig)
+    val x = bands.as("x"); val y = bands.as("y")
+    val rows = Dedup.NumHashes / Dedup.Bands
+    val cand = x.join(y, col("x.band") === col("y.band") &&
+        (0 until rows).map(r => col(s"x.v$r") === col(s"y.v$r")).reduce(_ && _) &&
+        col("x.doc_id") % 5 === 0 && col("y.doc_id") % 5 =!= 0)
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db")).distinct()
+    val nEq = (0 until Dedup.NumHashes)
+      .map(i => when(col(s"a.s_$i") === col(s"b.s_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val near = cand.join(sig.as("a"), col("da") === col("a.doc_id"))
+      .join(sig.as("b"), col("db") === col("b.doc_id"))
+      .filter(nEq >= Dedup.MinhashMatchThreshold)
+      .groupBy("da").agg(min("db").as("near_src"))
+    val dg = docs.select(col("doc_id"), md5(col("text")).as("dg"))
+    val ex = dg.filter(col("doc_id") % 5 === 0).as("l")
+      .join(dg.filter(col("doc_id") % 5 =!= 0).as("r"), col("l.dg") === col("r.dg"))
+      .groupBy(col("l.doc_id").as("de")).agg(min(col("r.doc_id")).as("exact_src"))
+    val batch = docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+      .join(ex, col("doc_id") === col("de"), "left")
+      .join(near, col("doc_id") === col("da"), "left")
+      .select(col("doc_id"), col("exact_src").isNotNull.as("is_exact_dup"),
+        coalesce(col("near_src"), lit(-1L)).as("near_dup_of"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    sig.unpersist()
+    graft.TrackedCaches.release()
+  }
+
+  test("streaming ingest dedup flags a planted exact corpus twin") {
+    import java.nio.file._
+    // The real corpus has no identical-text pair spanning the arrival split
+    // at test SF, so the digest path would be vacuously all-false — plant
+    // one. Arrival ids {0,5,10,15,20} keep every staged doc_id range
+    // non-empty; doc 0's text is byte-identical to corpus doc 7 (exact dup
+    // => also a near-dup with full signature agreement), doc 20 has two
+    // words (no shingles => no near-dup candidates, exercises the
+    // no-signature edge).
+    val base = Files.createTempDirectory("graft_ingest_synth").toString
+    val mk = (id: Long, text: String) => (id, text)
+    val uniq = (id: Long) =>
+      (0 until 12).map(w => s"w${id}x$w").mkString(" ")
+    val docsSeq =
+      Seq(mk(0, uniq(7)), mk(5, uniq(5)), mk(10, uniq(10)), mk(15, uniq(15)),
+        mk(20, "two words")) ++
+        (1 to 24).filter(_ % 5 != 0).map(i => mk(i, uniq(i)))
+    import spark.implicits._
+    docsSeq.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val out = graft.streaming.DocStreams.streamIngestDedup(spark, base)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(out(0) == ((true, 7L)), s"doc 0 must flag corpus twin 7, got ${out(0)}")
+    assert(out(20) == ((false, -1L)), "a 2-word doc has no shingles, no verdicts")
+    assert(Seq(5L, 10L, 15L).forall(i => out(i) == ((false, -1L))),
+      "unique arrival docs must pass the filter")
+    graft.TrackedCaches.release()
+  }
+
   test("CDC apply: state versions grow monotonically to the batch rollup") {
     val finalState = EventStreams.streamCdcApply(spark, Sf).cache()
     // the run leaves its versioned state chain on disk — audit it
