@@ -66,12 +66,16 @@ object DocStreams {
       val tmp = base.resolve(s"_stage_$i")
       docs.filter(col("doc_id") >= lo + i * span && col("doc_id") < lo + (i + 1) * span)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      // A sparse doc_id space can leave a range empty (no part file) —
+      // skip it rather than stage a zero-row chunk or throw.
       val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
-        .findFirst().get()
-      val dst = base.resolve(f"chunk_$i%02d.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst,
-        attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+        .findFirst()
+      if (part.isPresent) {
+        val dst = base.resolve(f"chunk_$i%02d.parquet")
+        Files.move(part.get(), dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst,
+          attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
       Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
     }
