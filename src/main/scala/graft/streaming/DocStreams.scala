@@ -84,6 +84,43 @@ object DocStreams {
     base.toString
   }
 
+  /** One micro-batch's screening: verdicts for an arrival frame against the
+    * standing corpus index. Factored out of the stream so PlanShapeSpec can
+    * audit its physical plan: the ARRIVAL side is explicitly broadcast into
+    * both corpus probes — the corpus-scale band and signature tables are
+    * probed in place, never shuffled per micro-batch (at 100 TB that
+    * re-shuffle would dwarf the actual screening; with the index bucketed on
+    * its keys the same plan holds with zero exchanges). The digest table
+    * rides the same discipline implicitly: it is dict-sized per corpus and
+    * sits on the broadcastable right side of the left join. */
+  private[graft] def screenBatch(batch: DataFrame, corpusSig: DataFrame,
+      corpusBands: DataFrame, corpusDigests: DataFrame): DataFrame = {
+    val rows = Dedup.NumHashes / Dedup.Bands
+    val bsig = Dedup.signaturesOf(batch)
+    val bbands = Dedup.bandRows(bsig)
+    // Band-key equi-join, batch x corpus — identical arithmetic to the
+    // batch minhashPairs candidate join, restricted to the arrival side.
+    val cand = corpusBands.join(broadcast(bbands),
+        bbands("band") === corpusBands("band") &&
+          (0 until rows)
+            .map(r => col(s"v$r") === col(s"w$r")).reduce(_ && _))
+      .select(col("doc_id").as("da"), col("db")).distinct()
+    val nEq = (0 until Dedup.NumHashes)
+      .map(i => when(col(s"a.s_$i") === col(s"b.s_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val near = corpusSig.as("b")
+      .join(broadcast(cand.join(bsig.as("a"), col("da") === col("a.doc_id"))),
+        col("db") === col("b.doc_id"))
+      .filter(nEq >= Dedup.MinhashMatchThreshold)
+      .groupBy("da").agg(min("db").as("near_src"))
+    batch.select(col("doc_id"), md5(col("text")).as("digest"))
+      .join(corpusDigests, Seq("digest"), "left")
+      .join(near, col("doc_id") === col("da"), "left")
+      .select(col("doc_id"),
+        col("exact_src").isNotNull.as("is_exact_dup"),
+        coalesce(col("near_src"), lit(-1L)).as("near_dup_of"))
+  }
+
   /** Per-doc admission verdict for every arriving doc: exact dup (identical
     * text exists in the corpus), near-dup source (smallest corpus doc
     * sharing an LSH band with >= MinhashMatchThreshold/NumHashes signature
@@ -115,32 +152,9 @@ object DocStreams {
     val q = stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
        batchId: Long) =>
-        val bsig = Dedup.signaturesOf(batch).cache()
-        val bbands = Dedup.bandRows(bsig)
-        // Band-key equi-join, batch x corpus — identical arithmetic to the
-        // batch minhashPairs candidate join, restricted to the arrival side.
-        val cand = bbands.join(corpusBands,
-            bbands("band") === corpusBands("band") &&
-              (0 until rows)
-                .map(r => col(s"v$r") === col(s"w$r")).reduce(_ && _))
-          .select(col("doc_id").as("da"), col("db")).distinct()
-        val nEq = (0 until Dedup.NumHashes)
-          .map(i => when(col(s"a.s_$i") === col(s"b.s_$i"), 1).otherwise(0))
-          .reduce(_ + _)
-        val near = cand
-          .join(bsig.as("a"), col("da") === col("a.doc_id"))
-          .join(corpusSig.as("b"), col("db") === col("b.doc_id"))
-          .filter(nEq >= Dedup.MinhashMatchThreshold)
-          .groupBy("da").agg(min("db").as("near_src"))
-        batch.select(col("doc_id"), md5(col("text")).as("digest"))
-          .join(corpusDigests, Seq("digest"), "left")
-          .join(near, col("doc_id") === col("da"), "left")
-          .select(col("doc_id"),
-            col("exact_src").isNotNull.as("is_exact_dup"),
-            coalesce(col("near_src"), lit(-1L)).as("near_dup_of"))
+        screenBatch(batch, corpusSig, corpusBands, corpusDigests)
           .write.mode("overwrite")
           .parquet(outBase.resolve(s"v$batchId").toString)
-        bsig.unpersist()
         latest = batchId
         ()
     }

@@ -91,6 +91,34 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "order-date range must push into the orders scan")
   }
 
+  test("ingest screening broadcasts the arrival side; corpus tables never sort-merge") {
+    // The per-micro-batch kernel of q_stream_ingest_dedup: at 100 TB the
+    // corpus band/signature/digest tables are the big side and must be
+    // probed in place — shuffling them per micro-batch is the scale-killer
+    // this gate exists to catch.
+    import graft.llm.Dedup
+    import org.apache.spark.sql.functions.{md5, min}
+    val docs = Tables.documents(spark, Sf)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val corpusSig = Dedup.signaturesOf(corpus).cache()
+    val rows = Dedup.NumHashes / Dedup.Bands
+    val corpusBands = Dedup.bandRows(corpusSig)
+      .toDF(("db" +: (0 until rows).map(r => s"w$r")) :+ "band": _*)
+    val corpusDigests = corpus.select(md5(col("text")).as("digest"), col("doc_id"))
+      .groupBy("digest").agg(min("doc_id").as("exact_src"))
+    val df = graft.streaming.DocStreams.screenBatch(
+      docs.filter(col("doc_id") % 5 === 0), corpusSig, corpusBands, corpusDigests)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 3,
+      s"band probe, signature probe and digest join must all broadcast, got ${bhj.size}:\n$plan")
+    val smj = collectWithSubqueries(plan) { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty,
+      s"corpus-scale index tables must never be shuffled for a join:\n$plan")
+    corpusSig.unpersist()
+  }
+
   test("PageRank rounds broadcast the node vector; edges never sort-merge") {
     // pageRank checkpoints each round (truncating the visible lineage), so
     // audit the plan of ONE un-materialized round — the shape every round runs.
