@@ -180,21 +180,27 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
-  val NumCentroids = 8
+  // k=16 with nprobe=10 scans the same corpus fraction (10/16 = 62.5%) as
+  // the earlier k=8/nprobe=5 but with finer cell geometry, and measured
+  // recall@10 rose 0.74 -> 0.86 on the random test corpus (RecallSpec).
+  // Finer cells waste less of the probe budget on far corners of a coarse
+  // cell — the standard IVF sizing trade (more, smaller lists) at identical
+  // candidate volume.
+  val NumCentroids = 16
   // 3 iterations measured BEST for recall on the random test corpus (0.74
-  // vs 0.70 at 4 iters): more convergence only sharpens boundaries that are
-  // noise on uniform data. Real clustered embeddings reward more iterations;
-  // this stays a config constant, not a tuned magic number.
+  // vs 0.70 at 4 iters, k=8): more convergence only sharpens boundaries
+  // that are noise on uniform data. Real clustered embeddings reward more
+  // iterations; this stays a config constant, not a tuned magic number.
   val KmIters = 3
   // Multi-probe: each query searches its NumProbes nearest centroid cells.
   // nprobe=1 misses neighbors just across a cell boundary; probing the
   // nearest cells keeps the equi-join shape (NumProbes probe rows per
-  // query). Measured recall@10 on the random corpus (the adversarial case —
-  // see RecallSpec): 0.42 at nprobe=2, 0.56 at 3, and the RecallSpec-gated
-  // floor at 5. The probe fan-out multiplies only the broadcast query side;
-  // candidate volume grows as nprobe/k of the corpus per query, the knob a
-  // production deployment tunes against its recall target.
-  val NumProbes = 5
+  // query). Measured recall@10 ladder on the random corpus (the adversarial
+  // case — see RecallSpec): 0.42/0.56/0.74 at nprobe 2/3/5 with k=8; 0.86
+  // at nprobe=10 with k=16. The probe fan-out multiplies only the broadcast
+  // query side; candidate volume grows as nprobe/k of the corpus per query,
+  // the knob a production deployment tunes against its recall target.
+  val NumProbes = 10
   /** Fixed-point scale for k-means arithmetic: embeddings quantize to
     * integers at 1e-6 resolution so EVERY training step is exact integer
     * math — sums are order-independent and the DuckDB oracle reproduces the
