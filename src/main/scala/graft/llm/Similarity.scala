@@ -361,8 +361,10 @@ object Similarity {
         GROUP BY 1, 2 ORDER BY query_id, neighbor_id"""
   }
 
-  /** Vectors kept per semantic cell by the diversity sampler. */
-  val DiverseK = 25
+  /** Vectors kept per semantic cell by the diversity sampler. Halved when
+    * NumCentroids doubled to 16 so the total cap (NumCentroids x DiverseK)
+    * — and with it the demonstrated selectivity of the cut — stayed put. */
+  val DiverseK = 12
 
   /** Cluster-balanced diversity sample: cap every trained k-means cell at
     * [[DiverseK]] vectors, chosen by deterministic md5 priority — the
