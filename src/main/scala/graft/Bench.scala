@@ -24,10 +24,12 @@ import org.apache.spark.sql.SparkSession
   * for run-to-run comparability. Each query is timed BEST-OF-2 (plus an
   * adaptive third run when the two disagree >2x) with caches released
   * between runs (co-tenant-load immunity — see the comment at the timing
-  * loop); the JSON carries the kept min per query plus all raw run times
-  * (`runsPerQuery`), the kept run's GC delta (`gcMsPerQuery`), and its
-  * process-CPU delta (`cpuMsPerQuery`) — wall inflated while CPU flat is
-  * the signature of ambient-load starvation, not a plan regression.
+  * loop). The contract JSON (kept min per query) prints LAST; a separate
+  * diagnostics line before it carries all raw run times (`runsPerQuery`),
+  * per-query GC deltas (`gcMsPerQuery`), and per-query process-CPU deltas
+  * (`cpuMsPerQuery`) — wall inflated while CPU flat is the signature of
+  * ambient-load starvation, not a plan regression. /tmp/graft_bench.json
+  * gets the merged object.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -142,15 +144,20 @@ object Bench {
       .stream().mapToLong(_.getCollectionTime).sum()
     val env = s""""env":{"availableProcessors":${Runtime.getRuntime.availableProcessors},""" +
       s""""systemLoadAverage":${osBean.getSystemLoadAverage},"gcTimeMs":$gcMs}"""
+    // The driver captures a BOUNDED stdout tail (last N bytes). The contract
+    // line must therefore go LAST and stay lean — the per-run diagnostics
+    // (3 maps, ~3x the contract size) would otherwise push the queries map
+    // out of the captured tail. Diagnostics are printed as their own line
+    // first (truncating its head loses nothing structural) and the merged
+    // JSON is persisted whole to /tmp/graft_bench.json.
+    val diag =
+      s"""{"gcMsPerQuery":$gcs,"cpuMsPerQuery":$cpus_,"runsPerQuery":$runs}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""gcMsPerQuery":$gcs,"cpuMsPerQuery":$cpus_,"runsPerQuery":$runs,""" +
-        s""""errors":$errs,$env,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$env,"sf":"$sfDir"}"""
+    println(diag)
     println(json)
-    // The driver captures a bounded stdout tail; a 79-query JSON line can
-    // overrun it. Persist the full line so totals parse reliably.
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
-      (json + "\n").getBytes("UTF-8"))
+      (json.dropRight(1) + "," + diag.drop(1) + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
