@@ -146,6 +146,7 @@ object SparkEntry {
     "q_pagerank" -> (graft.ops.Graph.pageRank _),
     // Continuous-ingest curation surface
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
+    "q_dup_ngram_fraction" -> (Dedup.dupNgramFraction _),
     "q_curation_funnel" -> (TextAnalysis.curationFunnel _),
   )
 
@@ -455,6 +456,7 @@ object SparkEntry {
     "q_approx_quantile" -> graft.ops.Sketches.approxQuantileSql,
     "q_pagerank" -> graft.ops.Graph.pageRankSql,
     "q_dedup_incremental" -> Dedup.incrementalDedupSql,
+    "q_dup_ngram_fraction" -> Dedup.dupNgramFractionSql,
     "q_curation_funnel" -> TextAnalysis.curationFunnelSql,
   )
 }

@@ -361,6 +361,68 @@ object Dedup {
         WHERE d.doc_id % 5 = 0
         ORDER BY d.doc_id"""
 
+  /** Window width for the duplicated-text-fraction signal: long enough that
+    * a shared window means real copied text (the classic memorization-span
+    * width from the exact-substring dedup literature), short enough that the
+    * corpus's ~100-word docs carry a meaningful number of windows. */
+  val DupN = 13
+
+  /** Corpus-duplicated text fraction per document — the "how much of this
+    * doc exists elsewhere" QUALITY signal that complements the pairwise
+    * dedup family: for every [[DupN]]-word window (every position, not
+    * distinct — a doc repeating a corpus-duplicated phrase is worse, not
+    * better), count the windows whose text occurs in ANY other document,
+    * and report the duplicated fraction. Distinct from q_repetition
+    * (within-doc redundancy) and the Jaccard/MinHash pair finders (pairwise
+    * verdicts): this is the per-doc aggregate used to score and filter.
+    *
+    * Scale shape: window stream -> md5 key -> map-side-combined
+    * count-distinct df -> one equi-join back on the key. A corpus-hot
+    * window with df = f costs f joined rows — LINEAR in occurrences (it is
+    * an aggregation join, not a pair join), so no df cap is needed, unlike
+    * the f² candidate joins. */
+  def dupNgramFraction(s: SparkSession, d: String): DataFrame = {
+    val w = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val g = w.select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(ws) >= $DupN
+            THEN transform(sequence(0, size(ws) - $DupN),
+                           i -> array_join(slice(ws, i + 1, $DupN), ' '))
+            ELSE array() END""")).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+    val df_ = g.groupBy("h").agg(countDistinct("doc_id").as("df"))
+    val dup = g.join(df_.filter(col("df") > 1), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    w.select(col("doc_id"),
+        greatest(size(col("ws")) - (DupN - 1), lit(0))
+          .cast(LongType).as("n_grams"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(col("n_grams") > 0,
+          round(coalesce(col("n_dup"), lit(0L)).cast(DoubleType) / col("n_grams"), 4))
+          .otherwise(lit(0.0)).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val dupNgramFractionSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        g AS (SELECT doc_id, md5(array_to_string(ws[i:i+${DupN - 1}], ' ')) AS h
+              FROM w, generate_series(1, $MaxWords) t(i)
+              WHERE i <= len(ws) - ${DupN - 1}),
+        df AS (SELECT h, count(DISTINCT doc_id) AS df FROM g GROUP BY h),
+        dup AS (SELECT g.doc_id, count(*) AS n_dup
+                FROM g JOIN df ON g.h = df.h AND df.df > 1 GROUP BY g.doc_id)
+        SELECT w.doc_id,
+          CAST(greatest(len(ws) - ${DupN - 1}, 0) AS BIGINT) AS n_grams,
+          CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup,
+          CASE WHEN len(ws) - ${DupN - 1} > 0
+               THEN round(CAST(coalesce(dup.n_dup, 0) AS DOUBLE)
+                          / (len(ws) - ${DupN - 1}), 4)
+               ELSE 0.0 END AS dup_frac
+        FROM w LEFT JOIN dup ON w.doc_id = dup.doc_id
+        ORDER BY w.doc_id"""
+
   /** Connected components over the near-dup pair graph — the dedup DECISION
     * step: each document maps to its cluster (min doc_id reachable through
     * near-dup edges); keepers are cluster representatives. Spark side:

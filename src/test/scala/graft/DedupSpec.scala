@@ -42,6 +42,26 @@ class DedupSpec extends SparkSpec {
     assert(fps.count() == 0, "permuted doc produced a different fingerprint")
   }
 
+  test("duplicated-text fraction is bounded and exactly 1.0 for identical twins") {
+    val frac = Dedup.dupNgramFraction(spark, Sf).cache()
+    assert(frac.filter(col("dup_frac") < 0 || col("dup_frac") > 1).count() == 0)
+    // A doc whose full text occurs verbatim in another doc shares EVERY
+    // 13-word window with it, so its duplicated fraction must be exactly 1.
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), md5(col("text")).as("dg"),
+        size(split(col("text"), " ")).as("nw"))
+    val twins = docs.as("a").join(docs.as("b"),
+        col("a.dg") === col("b.dg") && col("a.doc_id") =!= col("b.doc_id"))
+      .filter(col("a.nw") >= Dedup.DupN)
+      .select(col("a.doc_id").as("doc_id")).distinct()
+    val n = twins.count()
+    if (n > 0) {
+      assert(twins.join(frac, "doc_id").filter(col("dup_frac") =!= 1.0).count() == 0,
+        s"all $n identical twins must have dup_frac == 1.0")
+    }
+    frac.unpersist()
+  }
+
   test("minhash pair scores are bounded by the signature length") {
     val df = Dedup.minhashPairs(spark, Sf)
     val bad = df.filter(col("n_sig_eq") < Dedup.MinhashMatchThreshold ||
