@@ -272,6 +272,26 @@ class StreamingSpec extends SparkSpec {
     graft.TrackedCaches.release()
   }
 
+  test("streaming ingest dedup handles a sparse doc_id space (single-batch zone)") {
+    import java.nio.file._
+    // Arrival ids {0, 1000000} land in only 2 of the 4 staged ranges (the
+    // middle ranges are empty and skipped) -> one micro-batch. The
+    // incrementality gate must not reject that; verdicts must still be
+    // right (doc 1000000 has an exact corpus twin, doc 0 is unique).
+    val base = Files.createTempDirectory("graft_ingest_sparse").toString
+    val uniq = (id: Long) => (0 until 15).map(w => s"s${id}w$w").mkString(" ")
+    import spark.implicits._
+    (Seq((0L, uniq(0)), (1000000L, uniq(3))) ++
+        (1L to 3L).map(i => (i, uniq(i))))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val out = graft.streaming.DocStreams.streamIngestDedup(spark, base)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(out(1000000L) == ((true, 3L)), s"sparse twin must flag, got ${out(1000000L)}")
+    assert(out(0L) == ((false, -1L)))
+    graft.TrackedCaches.release()
+  }
+
   test("CDC apply: state versions grow monotonically to the batch rollup") {
     val finalState = EventStreams.streamCdcApply(spark, Sf).cache()
     // the run leaves its versioned state chain on disk — audit it
