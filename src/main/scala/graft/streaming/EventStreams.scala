@@ -71,12 +71,16 @@ object EventStreams {
       val tmp = base.resolve(s"_stage_$i")
       ev.filter(col("ts_us") >= lo + i * span && col("ts_us") < lo + (i + 1) * span)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      // An event-time gap spanning a whole range leaves it empty (no part
+      // file) — skip it rather than throw (same guard as DocStreams).
       val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
-        .findFirst().get()
-      val dst = base.resolve(f"chunk_$i%02d.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst,
-        attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+        .findFirst()
+      if (part.isPresent) {
+        val dst = base.resolve(f"chunk_$i%02d.parquet")
+        Files.move(part.get(), dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst,
+          attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
       Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
     }
