@@ -474,6 +474,76 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Laplace smoothing pseudo-count for the bigram LM. */
+  val LmAlpha = 1.0
+
+  /** Self-trained bigram language-model perplexity per document — the
+    * CCNet-style fluency signal (a doc whose word transitions are improbable
+    * under the corpus LM is boilerplate, spam, or noise; perplexity buckets
+    * are the classic keep/drop axis next to [[quality]]'s surface ratios).
+    * No external model: the LM IS the corpus's own bigram counts, so the
+    * whole pipeline stays inside the engine.
+    *
+    * Shape: one explode pass builds the (doc, w1, w2) bigram relation; the
+    * LM is two aggregates over it (bigram counts and left-context counts —
+    * both vocabulary-arity, partial-aggregated map-side); scoring joins the
+    * bigrams back on their keys. Both LM sides are vocab²-bounded, tiny here
+    * and broadcast by AQE; at web-corpus vocabularies they stay plain
+    * equi-joins on (w1, w2) — never a cross product, never a driver path
+    * (the only collect is the scalar vocabulary size, which is the smoothing
+    * denominator). P(w2|w1) = (c2 + α) / (c1 + α·V), α = [[LmAlpha]].
+    *
+    * Determinism across engines: each bigram's log-prob is rounded to 6
+    * decimals (ln is libm-dependent in the last ulp — same discipline as
+    * [[tfidfTop]]), then summed as DECIMAL(20,6) so the per-doc sum is exact
+    * and addition-order-free; the final avg/perplexity round once more after
+    * the single double division/exp. */
+  def lmPerplexity(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    // sequence(0, size-2) runs DESCENDING for a 1-token doc (Spark infers
+    // step -1) — guard to the ≥2-token docs the oracle's range() also keeps.
+    val bigrams = toks.where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val vocab = toks.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bigrams.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("logp", round(log(
+        (col("c2") + lit(LmAlpha)) / (col("c1") + lit(LmAlpha * vocab))), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(IntegerType).as("n_bigrams"),
+        sum(col("logp").cast(DecimalType(20, 6))).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("slp").cast(DoubleType) / col("n_bigrams"), 6).as("avg_logprob"),
+        round(exp(-round(col("slp").cast(DoubleType) / col("n_bigrams"), 6)), 6)
+          .as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  val lmPerplexitySql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        big AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                FROM toks, unnest(range(1, len(t))) AS u(i)),
+        v AS (SELECT count(DISTINCT w) AS v
+              FROM (SELECT unnest(t) AS w FROM toks)),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+        lp AS (SELECT b.doc_id,
+                 round(ln((c2.c2 + $LmAlpha) / (c1.c1 + $LmAlpha * v.v)), 6) AS logp
+               FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v),
+        agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+                  sum(CAST(logp AS DECIMAL(20, 6))) AS slp
+                FROM lp GROUP BY 1)
+        SELECT doc_id, n_bigrams,
+          round(CAST(slp AS DOUBLE) / n_bigrams, 6) AS avg_logprob,
+          round(exp(-round(CAST(slp AS DOUBLE) / n_bigrams, 6)), 6) AS ppl
+        FROM agg ORDER BY doc_id"""
+
   val mixtureRebalanceSql: String = {
     val cases = MixTargets.map { case (l, w) => s"WHEN '$l' THEN $w" }
       .mkString(" ")

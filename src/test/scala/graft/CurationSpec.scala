@@ -19,6 +19,26 @@ class CurationSpec extends SparkSpec {
       s"tokens must shrink through the funnel: ${toks.toSeq}")
   }
 
+  test("LM perplexity covers the corpus and scores duplicates identically") {
+    val out = TextAnalysis.lmPerplexity(spark, Sf).cache()
+    val docs = Tables.documents(spark, Sf)
+      .filter(size(split(col("text"), " ")) >= 2)
+    assert(out.count() == docs.count(), "every ≥2-token doc must be scored")
+    // The LM is a pure function of text, so exact duplicates must score
+    // bit-identically (the property that makes ppl a safe dedup-stable key).
+    val perDigest = docs.select(col("doc_id"), md5(col("text")).as("dg"))
+      .join(out, "doc_id")
+      .groupBy("dg").agg(countDistinct(col("ppl")).as("n"))
+      .filter(col("n") > 1)
+    assert(perDigest.count() == 0, "duplicate texts diverged in ppl")
+    // Scores are genuine log-probabilities of a smoothed model: avg < 0,
+    // ppl = exp(-avg) within the documented 6-decimal rounding.
+    val bad = out.filter(col("avg_logprob") >= 0 ||
+      abs(col("ppl") - exp(-col("avg_logprob"))) > 1e-4)
+    assert(bad.count() == 0, "ppl/avg_logprob inconsistency")
+    out.unpersist()
+  }
+
   test("incremental dedup covers the whole batch and matches the pair list") {
     val out = Dedup.incrementalDedup(spark, Sf).cache()
     val batchN = Tables.documents(spark, Sf)
