@@ -484,14 +484,18 @@ object TextAnalysis {
     * No external model: the LM IS the corpus's own bigram counts, so the
     * whole pipeline stays inside the engine.
     *
-    * Shape: one explode pass builds the (doc, w1, w2) bigram relation; the
-    * LM is two aggregates over it (bigram counts and left-context counts —
-    * both vocabulary-arity, partial-aggregated map-side); scoring joins the
-    * bigrams back on their keys. Both LM sides are vocab²-bounded, tiny here
-    * and broadcast by AQE; at web-corpus vocabularies they stay plain
-    * equi-joins on (w1, w2) — never a cross product, never a driver path
-    * (the only collect is the scalar vocabulary size, which is the smoothing
-    * denominator). P(w2|w1) = (c2 + α) / (c1 + α·V), α = [[LmAlpha]].
+    * Shape: exactly TWO corpus passes. Pass one explodes the (doc, w1, w2)
+    * bigram relation and aggregates it to the model table c2(w1, w2, count)
+    * — vocab²-bounded, partial-aggregated map-side. The left-context counts
+    * c1(w1) and the vocabulary size V are then derived FROM c2 (a sum and a
+    * distinct over the model table, not the corpus), so the model costs one
+    * shuffle total. Pass two re-explodes and joins the bigrams against the
+    * model on its keys. The model sides are broadcast — c1 is vocab-arity
+    * and c2 vocab²-bounded (sub-GB for any language-bounded vocabulary; for
+    * an open web vocabulary drop the hints and the identical plan runs as a
+    * shuffle equi-join on (w1, w2)). Never a cross product, never a driver
+    * data path. P(w2|w1) = (c2 + α) / (c1 + α·V), α = [[LmAlpha]], with V =
+    * distinct tokens participating in bigrams (derived from c2's key set).
     *
     * Determinism across engines: each bigram's log-prob is rounded to 6
     * decimals (ln is libm-dependent in the last ulp — same discipline as
@@ -508,11 +512,14 @@ object TextAnalysis {
         "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val vocab = toks.select(explode(col("t")).as("w"))
+    // Model table: cached (and release-tracked) so the c1/V derivations and
+    // the scoring join share one corpus aggregation.
+    val c2 = graft.TrackedCaches.track(
+      bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2")).cache())
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val vocab = c2.select(col("w1").as("w")).union(c2.select(col("w2").as("w")))
       .agg(countDistinct(col("w"))).head().getLong(0)
-    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
-    bigrams.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+    bigrams.join(broadcast(c2), Seq("w1", "w2")).join(broadcast(c1), Seq("w1"))
       .withColumn("logp", round(log(
         (col("c2") + lit(LmAlpha)) / (col("c1") + lit(LmAlpha * vocab))), 6))
       .groupBy("doc_id")
@@ -529,10 +536,10 @@ object TextAnalysis {
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         big AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
                 FROM toks, unnest(range(1, len(t))) AS u(i)),
-        v AS (SELECT count(DISTINCT w) AS v
-              FROM (SELECT unnest(t) AS w FROM toks)),
         c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
-        c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+        c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        v AS (SELECT count(DISTINCT w) AS v
+              FROM (SELECT w1 AS w FROM c2 UNION ALL SELECT w2 FROM c2)),
         lp AS (SELECT b.doc_id,
                  round(ln((c2.c2 + $LmAlpha) / (c1.c1 + $LmAlpha * v.v)), 6) AS logp
                FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v),
