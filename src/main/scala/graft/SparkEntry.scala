@@ -94,6 +94,7 @@ object SparkEntry {
     "q_token_budget" -> (TextAnalysis.tokenBudgetSample _),
     "q_mixture_rebalance" -> (TextAnalysis.mixtureRebalance _),
     "q_lm_perplexity" -> (TextAnalysis.lmPerplexity _),
+    "q_ppl_buckets" -> (TextAnalysis.pplBuckets _),
     "q_seq_pack" -> (Packing.seqPack _),
     "q_doc_chunks" -> (Packing.docChunks _),
     "q_cosine_pairs" -> (Similarity.cosinePairs _),
@@ -404,6 +405,7 @@ object SparkEntry {
     "q_token_budget" -> TextAnalysis.tokenBudgetSampleSql,
     "q_mixture_rebalance" -> TextAnalysis.mixtureRebalanceSql,
     "q_lm_perplexity" -> TextAnalysis.lmPerplexitySql,
+    "q_ppl_buckets" -> TextAnalysis.pplBucketsSql,
     "q_seq_pack" -> Packing.seqPackSql,
     "q_doc_chunks" -> Packing.docChunksSql,
     "q_cosine_pairs" -> Similarity.cosinePairsSql,

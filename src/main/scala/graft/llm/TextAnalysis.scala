@@ -551,6 +551,62 @@ object TextAnalysis {
           round(exp(-round(CAST(slp AS DOUBLE) / n_bigrams, 6)), 6) AS ppl
         FROM agg ORDER BY doc_id"""
 
+  /** CCNet-style perplexity bucketing: split each language's documents into
+    * head / middle / tail terciles by bigram-LM perplexity and report the
+    * per-(lang, bucket) doc/token mass — the partitioning a curation run
+    * actually acts on (keep head, subsample middle, drop tail).
+    *
+    * Scale shape: [[lmPerplexity]] supplies doc-arity scores; the tercile
+    * cutoffs are ONE language-arity aggregate broadcast back for a single
+    * comparison pass — never an ntile/window over the corpus (a per-language
+    * total order would be the classic 100 TB sort bottleneck). The exact
+    * `percentile` here buffers each language's scores in its aggregation
+    * group, which is fine at oracle scale; the production swap is
+    * `approx_percentile` with the same plan shape (cutoffs are read once,
+    * so sketch error moves bucket BOUNDARIES, not the pipeline shape).
+    * avg_ppl sums already-rounded doubles as DECIMAL(20,6), so every output
+    * is bit-stable across engines (same discipline as [[lmPerplexity]]). */
+  def pplBuckets(s: SparkSession, d: String): DataFrame = {
+    val scores = lmPerplexity(s, d)
+      .join(Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast(LongType).as("toks")), "doc_id")
+    val cuts = scores.groupBy("lang").agg(
+      expr("percentile(ppl, array(1.0D/3, 2.0D/3))").getItem(0).as("c_low"),
+      expr("percentile(ppl, array(1.0D/3, 2.0D/3))").getItem(1).as("c_high"))
+    scores.join(broadcast(cuts), "lang")
+      .withColumn("bucket",
+        when(col("ppl") <= col("c_low"), "0_head")
+          .when(col("ppl") <= col("c_high"), "1_middle")
+          .otherwise("2_tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        sum("toks").as("tokens"),
+        sum(col("ppl").cast(DecimalType(20, 6))).as("sppl"))
+      .select(col("lang"), col("bucket"), col("n_docs"), col("tokens"),
+        round(col("sppl").cast(DoubleType) / col("n_docs"), 6).as("avg_ppl"))
+      .orderBy("lang", "bucket")
+  }
+
+  val pplBucketsSql: String =
+    s"""WITH scores0 AS ($lmPerplexitySql),
+        scores AS (SELECT s.doc_id, s.ppl, d.lang,
+                     CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks
+                   FROM scores0 s JOIN documents d USING (doc_id)),
+        cuts AS (SELECT lang, quantile_cont(ppl, 1.0/3) AS c_low,
+                   quantile_cont(ppl, 2.0/3) AS c_high
+                 FROM scores GROUP BY lang),
+        b AS (SELECT s.lang, s.toks, s.ppl,
+                CASE WHEN s.ppl <= c.c_low THEN '0_head'
+                     WHEN s.ppl <= c.c_high THEN '1_middle'
+                     ELSE '2_tail' END AS bucket
+              FROM scores s JOIN cuts c USING (lang))
+        SELECT lang, bucket, CAST(count(*) AS INT) AS n_docs,
+          CAST(sum(toks) AS BIGINT) AS tokens,
+          round(CAST(sum(CAST(ppl AS DECIMAL(20, 6))) AS DOUBLE) / count(*), 6)
+            AS avg_ppl
+        FROM b GROUP BY 1, 2 ORDER BY lang, bucket"""
+
   val mixtureRebalanceSql: String = {
     val cases = MixTargets.map { case (l, w) => s"WHEN '$l' THEN $w" }
       .mkString(" ")

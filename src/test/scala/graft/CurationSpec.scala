@@ -39,6 +39,30 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("perplexity buckets partition each language with monotone mean ppl") {
+    val out = TextAnalysis.pplBuckets(spark, Sf).cache()
+    val perLang = out.groupBy("lang")
+      .agg(sum(col("n_docs").cast("long")).as("n"),
+        count(lit(1)).as("buckets")).collect()
+    val docsPerLang = Tables.documents(spark, Sf)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { r =>
+      assert(r.getAs[Long]("buckets") == 3, s"${r.getString(0)}: need 3 terciles")
+      assert(r.getAs[Long]("n") == docsPerLang(r.getString(0)),
+        s"${r.getString(0)}: buckets must partition the language")
+    }
+    // Bucket labels sort head < middle < tail; mean ppl must follow.
+    val rows = out.orderBy("lang", "bucket").collect()
+    rows.grouped(3).foreach { g =>
+      val ppls = g.map(_.getAs[Double]("avg_ppl"))
+      assert(ppls(0) <= ppls(1) && ppls(1) <= ppls(2),
+        s"${g.head.getString(0)}: tercile means not monotone: ${ppls.toSeq}")
+    }
+    out.unpersist()
+  }
+
   test("incremental dedup covers the whole batch and matches the pair list") {
     val out = Dedup.incrementalDedup(spark, Sf).cache()
     val batchN = Tables.documents(spark, Sf)
