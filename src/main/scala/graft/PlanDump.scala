@@ -64,7 +64,12 @@ object PlanDump {
       "(LayoutSpec measures the row-group skip)."),
     "q_cdc_chunks" -> ("Content-defined chunking. Expect a single scan -> " +
       "project (array HOFs) -> generate/explode pipeline with ONE exchange " +
-      "total: the presentation sort. Chunking itself must be map-only."))
+      "total: the presentation sort. Chunking itself must be map-only."),
+    "q_lm_perplexity" -> ("Bigram-LM scoring stage. Expect: the bigram " +
+      "explode stream joined against BROADCAST model sides (vocab2-bounded " +
+      "c2, vocab-arity c1 — both derived from the cached model aggregate, " +
+      "not fresh corpus scans), then one map-side-combined per-doc " +
+      "aggregate. No window, no cross join; exactly two corpus passes."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
