@@ -95,6 +95,7 @@ object SparkEntry {
     "q_mixture_rebalance" -> (TextAnalysis.mixtureRebalance _),
     "q_lm_perplexity" -> (TextAnalysis.lmPerplexity _),
     "q_ppl_buckets" -> (TextAnalysis.pplBuckets _),
+    "q_source_scorecard" -> (TextAnalysis.sourceScorecard _),
     "q_seq_pack" -> (Packing.seqPack _),
     "q_doc_chunks" -> (Packing.docChunks _),
     "q_cosine_pairs" -> (Similarity.cosinePairs _),
@@ -406,6 +407,7 @@ object SparkEntry {
     "q_mixture_rebalance" -> TextAnalysis.mixtureRebalanceSql,
     "q_lm_perplexity" -> TextAnalysis.lmPerplexitySql,
     "q_ppl_buckets" -> TextAnalysis.pplBucketsSql,
+    "q_source_scorecard" -> TextAnalysis.sourceScorecardSql,
     "q_seq_pack" -> Packing.seqPackSql,
     "q_doc_chunks" -> Packing.docChunksSql,
     "q_cosine_pairs" -> Similarity.cosinePairsSql,

@@ -607,6 +607,66 @@ object TextAnalysis {
             AS avg_ppl
         FROM b GROUP BY 1, 2 ORDER BY lang, bucket"""
 
+  /** Per-source curation scorecard — the decision table a data team ranks
+    * crawl sources by: document/token mass, exact-duplicate rate (non-keeper
+    * share of corpus-wide md5 groups, the [[curationFunnel]] keeper rule),
+    * mean type-token ratio, and mean bigram-LM perplexity. One row per
+    * source; every aggregate is source-arity.
+    *
+    * Scale shape: one feature pass over documents, the digest→keeper
+    * equi-join (shuffle carries (digest, id) only), a doc-arity left join
+    * onto [[lmPerplexity]]'s scores, then a single source-keyed rollup.
+    * Means follow the round-6 + DECIMAL-sum discipline so they are
+    * addition-order-free; avg_ppl divides by the non-null score count, so
+    * sub-bigram docs (no score) don't skew it. */
+  def sourceScorecard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), col("source"), md5(col("text")).as("dg"),
+        size(col("ws")).cast(LongType).as("toks"),
+        round(size(array_distinct(col("ws"))).cast(DoubleType) / size(col("ws")), 6)
+          .as("ttr"))
+    val keep = docs.groupBy("dg").agg(min("doc_id").as("keep_id"))
+    docs.join(keep, "dg")
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+      .join(lmPerplexity(s, d).select("doc_id", "ppl"), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_docs"),
+        sum("toks").as("tokens"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).cast(IntegerType).as("dup_docs"),
+        sum(col("ttr").cast(DecimalType(20, 6))).as("sttr"),
+        sum(col("ppl").cast(DecimalType(20, 6))).as("sppl"),
+        count(col("ppl")).as("nppl"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("dup_docs"),
+        round(col("dup_docs").cast(DoubleType) / col("n_docs"), 6).as("dup_rate"),
+        round(col("sttr").cast(DoubleType) / col("n_docs"), 6).as("avg_ttr"),
+        round(col("sppl").cast(DoubleType) / col("nppl"), 6).as("avg_ppl"))
+      .orderBy("source")
+  }
+
+  val sourceScorecardSql: String =
+    s"""WITH scores0 AS ($lmPerplexitySql),
+        docs AS (SELECT doc_id, source, md5(text) AS dg,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                   round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS ttr
+                 FROM documents),
+        k AS (SELECT dg, min(doc_id) AS keep_id FROM docs GROUP BY 1),
+        f AS (SELECT d.*, (d.doc_id <> k.keep_id) AS is_dup
+              FROM docs d JOIN k USING (dg)),
+        j AS (SELECT f.*, s.ppl FROM f LEFT JOIN scores0 s USING (doc_id))
+        SELECT source, CAST(count(*) AS INT) AS n_docs,
+          CAST(sum(toks) AS BIGINT) AS tokens,
+          CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS INT) AS dup_docs,
+          round(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 6) AS dup_rate,
+          round(CAST(sum(CAST(ttr AS DECIMAL(20, 6))) AS DOUBLE) / count(*), 6)
+            AS avg_ttr,
+          round(CAST(sum(CAST(ppl AS DECIMAL(20, 6))) AS DOUBLE) / count(ppl), 6)
+            AS avg_ppl
+        FROM j GROUP BY 1 ORDER BY source"""
+
   val mixtureRebalanceSql: String = {
     val cases = MixTargets.map { case (l, w) => s"WHEN '$l' THEN $w" }
       .mkString(" ")

@@ -63,6 +63,24 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("source scorecard partitions the corpus and agrees with exact dedup") {
+    val out = TextAnalysis.sourceScorecard(spark, Sf).cache()
+    val docs = Tables.documents(spark, Sf)
+    assert(out.count() == docs.select("source").distinct().count())
+    assert(out.agg(sum(col("n_docs").cast("long"))).head().getLong(0)
+      == docs.count(), "scorecard rows must partition the corpus")
+    // Independent cross-check: the per-source dup counts must roll up to the
+    // exact-dedup query's corpus-wide non-keeper total.
+    val dupTotal = Dedup.exactDedup(spark, Sf)
+      .agg(sum(col("n_copies") - 1)).head().getLong(0)
+    assert(out.agg(sum(col("dup_docs").cast("long"))).head().getLong(0)
+      == dupTotal, "dup_docs must sum to the exact-dedup non-keeper count")
+    val bad = out.filter(col("dup_rate") < 0 || col("dup_rate") >= 1 ||
+      col("avg_ttr") <= 0 || col("avg_ttr") > 1 || col("avg_ppl") <= 1)
+    assert(bad.count() == 0, "scorecard columns out of range")
+    out.unpersist()
+  }
+
   test("incremental dedup covers the whole batch and matches the pair list") {
     val out = Dedup.incrementalDedup(spark, Sf).cache()
     val batchN = Tables.documents(spark, Sf)
