@@ -111,7 +111,8 @@ object ScaleTest {
       "q_dedup_ngram_jaccard", "q_dedup_clusters", "q_dedup_incremental",
       "q_heavy_hitters", "q_curation_funnel",
       "q_seq_pack", "q_doc_chunks", "q_cdc_chunks", "q_cdc_shared",
-      "q_mixture_rebalance", "q_dup_ngram_fraction", "q_lm_perplexity")
+      "q_mixture_rebalance", "q_dup_ngram_fraction", "q_lm_perplexity",
+      "q_ppl_buckets", "q_source_scorecard")
     def time(dir: String): Map[String, Double] =
       subset.map { name =>
         val t0 = System.nanoTime()
