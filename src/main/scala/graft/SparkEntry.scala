@@ -126,6 +126,7 @@ object SparkEntry {
     "q_stream_file_sink" -> (graft.streaming.EventStreams.streamFileSink _),
     "q_stream_cdc_apply" -> (graft.streaming.EventStreams.streamCdcApply _),
     "q_stream_ingest_dedup" -> (graft.streaming.DocStreams.streamIngestDedup _),
+    "q_stream_quality_gate" -> (graft.streaming.DocStreams.streamQualityGate _),
     "q_range_join" -> (Advanced.rangeJoin _),
     "q_sliding_window" -> (Analytics.slidingWindow _),
     // Advanced: JSON source, as-of join, deterministic order stats
@@ -440,6 +441,7 @@ object SparkEntry {
     "q_stream_file_sink" -> graft.streaming.EventStreams.streamFileSinkSql,
     "q_stream_cdc_apply" -> graft.streaming.EventStreams.streamCdcApplySql,
     "q_stream_ingest_dedup" -> graft.streaming.DocStreams.streamIngestDedupSql,
+    "q_stream_quality_gate" -> graft.streaming.DocStreams.streamQualityGateSql,
     "q_range_join" -> Advanced.rangeJoinSql,
     "q_sliding_window" -> Analytics.slidingWindowSql,
     "q_json_roundtrip" -> Advanced.jsonRoundtripSql,

@@ -503,25 +503,46 @@ object TextAnalysis {
     * and addition-order-free; the final avg/perplexity round once more after
     * the single double division/exp. */
   def lmPerplexity(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-    // sequence(0, size-2) runs DESCENDING for a 1-token doc (Spark infers
-    // step -1) — guard to the ≥2-token docs the oracle's range() also keeps.
-    val bigrams = toks.where(size(col("t")) >= 2)
+    val bigrams = bigramsOf(Tables.documents(s, d).select("doc_id", "text"))
+    val (c2, c1, vocab) = bigramModel(bigrams)
+    scorePpl(bigrams, c2, c1, vocab).orderBy("doc_id")
+  }
+
+  /** The (doc_id, w1, w2) bigram relation of a doc frame — one explode pass.
+    * sequence(0, size-2) runs DESCENDING for a 1-token doc (Spark infers
+    * step -1), so the guard keeps the ≥2-token docs the oracles' range()
+    * also keeps. */
+  private[graft] def bigramsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    // Model table: cached (and release-tracked) so the c1/V derivations and
-    // the scoring join share one corpus aggregation.
+
+  /** Bigram model of a corpus: the cached (and release-tracked) count table
+    * c2(w1, w2, c2) plus its derived marginals — left-context counts c1 and
+    * the vocabulary size — so the whole model costs ONE corpus aggregation. */
+  private[graft] def bigramModel(bigrams: DataFrame): (DataFrame, DataFrame, Long) = {
     val c2 = graft.TrackedCaches.track(
       bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2")).cache())
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
     val vocab = c2.select(col("w1").as("w")).union(c2.select(col("w2").as("w")))
       .agg(countDistinct(col("w"))).head().getLong(0)
-    bigrams.join(broadcast(c2), Seq("w1", "w2")).join(broadcast(c1), Seq("w1"))
+    (c2, c1, vocab)
+  }
+
+  /** Per-doc (n_bigrams, avg_logprob, ppl) of a bigram stream against a
+    * model. LEFT joins + coalesce(…, 0) so bigrams UNSEEN by the model fall
+    * back to the pure Laplace floor α/(αV) — a no-op when scoring the
+    * training corpus itself, load-bearing when screening new arrivals. */
+  private[graft] def scorePpl(bigrams: DataFrame, c2: DataFrame,
+      c1: DataFrame, vocab: Long): DataFrame =
+    bigrams.join(broadcast(c2), Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
       .withColumn("logp", round(log(
-        (col("c2") + lit(LmAlpha)) / (col("c1") + lit(LmAlpha * vocab))), 6))
+        (coalesce(col("c2"), lit(0L)) + lit(LmAlpha)) /
+          (coalesce(col("c1"), lit(0L)) + lit(LmAlpha * vocab))), 6))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast(IntegerType).as("n_bigrams"),
         sum(col("logp").cast(DecimalType(20, 6))).as("slp"))
@@ -529,8 +550,6 @@ object TextAnalysis {
         round(col("slp").cast(DoubleType) / col("n_bigrams"), 6).as("avg_logprob"),
         round(exp(-round(col("slp").cast(DoubleType) / col("n_bigrams"), 6)), 6)
           .as("ppl"))
-      .orderBy("doc_id")
-  }
 
   val lmPerplexitySql: String =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

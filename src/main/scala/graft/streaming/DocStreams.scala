@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Tables
-import graft.llm.Dedup
+import graft.llm.{Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -179,6 +179,95 @@ object DocStreams {
     s.read.parquet((0L to latest).map(b => outBase.resolve(s"v$b").toString): _*)
       .orderBy("doc_id")
   }
+
+  /** Admission ceiling for [[streamQualityGate]]: arrivals scoring above
+    * this perplexity under the corpus LM are rejected. Sits at the corpus
+    * median (~29.6 at sf0.01) so both verdicts are exercised. */
+  val PplAdmitMax = 29.5
+
+  /** Streaming LM quality gate — the continuous-arrival twin of
+    * [[TextAnalysis.lmPerplexity]], the way [[streamIngestDedup]] twins the
+    * batch dedup: the standing corpus (doc_id % 5 != 0) trains the bigram
+    * model ONCE; each arriving micro-batch is scored against the broadcast
+    * model tables and admitted iff ppl <= [[PplAdmitMax]]. Bigrams the
+    * corpus never saw take the Laplace floor (the left-join path of
+    * [[TextAnalysis.scorePpl]]) — exactly how a production gate handles
+    * out-of-distribution text.
+    *
+    * Verdicts depend only on the static model, so they are micro-batch-
+    * partitioning-invariant and a batch DuckDB oracle gates the streaming
+    * run bit-for-bit (the [[streamIngestDedup]] argument). Per micro-batch
+    * cost is |batch| x model-probe work (model sides broadcast); the corpus
+    * is never re-scanned after training. */
+  def streamQualityGate(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file._
+    val dir = stageDocs(s, d)
+    val corpus = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+    val (c2, c1, vocab) =
+      TextAnalysis.bigramModel(TextAnalysis.bigramsOf(corpus.select("doc_id", "text")))
+    val outBase = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_gate")
+    if (Files.exists(outBase)) {
+      Files.walk(outBase).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(outBase)
+    @volatile var latest = -1L
+    val stream = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 2).parquet(dir)
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        TextAnalysis.scorePpl(TextAnalysis.bigramsOf(batch.toDF()), c2, c1, vocab)
+          .withColumn("admit", col("ppl") <= lit(PplAdmitMax))
+          .write.mode("overwrite")
+          .parquet(outBase.resolve(s"v$batchId").toString)
+        latest = batchId
+        ()
+    }
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val qs = q.start()
+      try qs.processAllAvailable() finally qs.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    val nChunks = Files.list(Paths.get(dir))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    require(latest >= 1 || nChunks <= 2,
+      s"quality gate ran ${latest + 1} micro-batches over $nChunks chunks — " +
+        "need >= 2 batches for the gate to actually be incremental")
+    s.read.parquet((0L to latest).map(b => outBase.resolve(s"v$b").toString): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Batch oracle for the quality gate: the corpus-trained model scoring the
+    * arrival slice with the same smoothing, rounding, and threshold. */
+  val streamQualityGateSql: String =
+    s"""WITH ctoks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents WHERE doc_id % 5 <> 0),
+        cbig AS (SELECT t[i] AS w1, t[i+1] AS w2
+                 FROM ctoks, unnest(range(1, len(t))) AS u(i)),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM cbig GROUP BY 1, 2),
+        c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        v AS (SELECT count(DISTINCT w) AS v
+              FROM (SELECT w1 AS w FROM c2 UNION ALL SELECT w2 FROM c2)),
+        atoks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents WHERE doc_id % 5 = 0),
+        abig AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                 FROM atoks, unnest(range(1, len(t))) AS u(i)),
+        lp AS (SELECT b.doc_id,
+                 round(ln((coalesce(c2.c2, 0) + ${TextAnalysis.LmAlpha}) /
+                   (coalesce(c1.c1, 0) + ${TextAnalysis.LmAlpha} * v.v)), 6) AS logp
+               FROM abig b LEFT JOIN c2 USING (w1, w2)
+                           LEFT JOIN c1 USING (w1), v),
+        agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+                  sum(CAST(logp AS DECIMAL(20, 6))) AS slp
+                FROM lp GROUP BY 1)
+        SELECT doc_id, n_bigrams,
+          round(CAST(slp AS DOUBLE) / n_bigrams, 6) AS avg_logprob,
+          round(exp(-round(CAST(slp AS DOUBLE) / n_bigrams, 6)), 6) AS ppl,
+          (round(exp(-round(CAST(slp AS DOUBLE) / n_bigrams, 6)), 6)
+            <= $PplAdmitMax) AS admit
+        FROM agg ORDER BY doc_id"""
 
   /** Batch oracle: the same digest + MinHash-band arithmetic over the same
     * arrival/corpus split — valid because verdicts only depend on the static

@@ -243,6 +243,31 @@ class StreamingSpec extends SparkSpec {
     graft.TrackedCaches.release()
   }
 
+  test("streaming quality gate == batch scoring against the corpus model") {
+    import graft.llm.TextAnalysis
+    val streamed = graft.streaming.DocStreams.streamQualityGate(spark, Sf)
+    // Independent batch formulation from the same kernels: train on the
+    // standing corpus, score the whole arrival slice in one pass.
+    val docs = Tables.documents(spark, Sf)
+    val (c2, c1, v) = TextAnalysis.bigramModel(
+      TextAnalysis.bigramsOf(docs.filter(col("doc_id") % 5 =!= 0)
+        .select("doc_id", "text")))
+    val batch = TextAnalysis.scorePpl(
+        TextAnalysis.bigramsOf(docs.filter(col("doc_id") % 5 === 0)
+          .select("doc_id", "text")), c2, c1, v)
+      .withColumn("admit",
+        col("ppl") <= lit(graft.streaming.DocStreams.PplAdmitMax))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // The threshold must actually split the arrivals (both verdicts live).
+    val admits = streamed.groupBy("admit").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(admits.getOrElse(true, 0L) > 0 && admits.getOrElse(false, 0L) > 0,
+      s"PplAdmitMax must exercise both verdicts, got $admits")
+    graft.TrackedCaches.release()
+  }
+
   test("streaming ingest dedup flags a planted exact corpus twin") {
     import java.nio.file._
     // The real corpus has no identical-text pair spanning the arrival split
