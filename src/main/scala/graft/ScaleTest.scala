@@ -176,28 +176,32 @@ object ScaleTest {
     subset.foreach { q =>
       println(f"$q,${small(q)}%.2f,${big(q)}%.2f,${big(q) / small(q)}%.1f")
     }
-    // The ingest near-dup filter streams DOCUMENTS, so its 10x axis is the
-    // docs-mode corpus (10x docs, preserved cluster structure): corpus index
-    // 10x, arrival stream 10x, same micro-batch count.
+    // The ingest near-dup filter and the LM quality gate stream DOCUMENTS,
+    // so their 10x axis is the docs-mode corpus (10x docs, preserved cluster
+    // structure): corpus index/model 10x, arrival stream 10x, same
+    // micro-batch count.
     val docsDst =
       s"${System.getProperty("java.io.tmpdir")}/graft_docs10x_c10_m5_d1000000"
     if (!new java.io.File(s"$docsDst/_built").exists()) {
       buildDocs(spark, src, docsDst, 10)
       new java.io.File(s"$docsDst/_built").createNewFile()
     }
-    def timeIngest(dir: String): Double = {
+    val docSubset = Seq("q_stream_ingest_dedup", "q_stream_quality_gate")
+    def timeDocStream(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries("q_stream_ingest_dedup")(spark, dir)
+      SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       TrackedCaches.release()
       spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }
-    timeIngest(src) // warm (also stages the 1x doc zone)
-    val ingestSmall = timeIngest(src)
-    val ingestBig = timeIngest(docsDst)
     println("query,docs1x_s,docs10x_s,ratio")
-    println(f"q_stream_ingest_dedup,$ingestSmall%.2f,$ingestBig%.2f,${ingestBig / ingestSmall}%.1f")
+    docSubset.foreach { name =>
+      timeDocStream(name, src) // warm (first call also stages the 1x zone)
+      val sSmall = timeDocStream(name, src)
+      val sBig = timeDocStream(name, docsDst)
+      println(f"$name,$sSmall%.2f,$sBig%.2f,${sBig / sSmall}%.1f")
+    }
     spark.stop()
   }
 
