@@ -119,6 +119,29 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     corpusSig.unpersist()
   }
 
+  test("LM scoring broadcasts both model sides; bucketing never windows") {
+    // The bigram stream is corpus-scale; the model tables are vocab-bounded.
+    // A sort-merge join here would shuffle the corpus per scoring pass.
+    val ppl = graft.llm.TextAnalysis.lmPerplexity(spark, Sf)
+    ppl.collect()
+    val plan = ppl.queryExecution.executedPlan
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size == 2,
+      s"c2 and c1 model joins must both broadcast, got ${bhj.size}:\n$plan")
+    val smj = collectWithSubqueries(plan) { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"the bigram stream must never sort-merge:\n$plan")
+    // Tercile bucketing must stay cutoff-broadcast + comparison — an ntile
+    // window over the corpus is the 100 TB sort bottleneck it exists to avoid.
+    val buckets = graft.llm.TextAnalysis.pplBuckets(spark, Sf)
+    buckets.collect()
+    val bplan = buckets.queryExecution.executedPlan
+    val windows = collectWithSubqueries(bplan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"bucketing must not use a window:\n$bplan")
+    graft.TrackedCaches.release()
+  }
+
   test("PageRank rounds broadcast the node vector; edges never sort-merge") {
     // pageRank checkpoints each round (truncating the visible lineage), so
     // audit the plan of ONE un-materialized round — the shape every round runs.
