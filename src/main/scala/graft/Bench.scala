@@ -21,10 +21,13 @@ import org.apache.spark.sql.SparkSession
   * Each query is forced through the `noop` sink so every output column is
   * actually materialized (a bare count() would let Catalyst prune the
   * computed columns and under-measure); queries run in sorted name order
-  * for run-to-run comparability. Each query is timed BEST-OF-2 (plus an
-  * adaptive third run when the two disagree >2x) with caches released
-  * between runs (co-tenant-load immunity — see the comment at the timing
-  * loop). The contract JSON (kept min per query) prints LAST; a separate
+  * for run-to-run comparability. Each query is timed BEST-OF-2 (plus
+  * adaptive extra runs, up to 4 total, when the two disagree >2x OR when
+  * the kept run's wall time exceeds its own CPU spend — the correlated-
+  * starvation signature that equal stretching of both runs leaves) with
+  * caches released between runs (co-tenant-load immunity — see the
+  * comment at the timing loop). Failed runs never contribute their wall
+  * time to the kept min. The contract JSON (kept min per query) prints LAST; a separate
   * diagnostics line before it carries all raw run times (`runsPerQuery`),
   * per-query GC deltas (`gcMsPerQuery`), and per-query process-CPU deltas
   * (`cpuMsPerQuery`) — wall inflated while CPU flat is the signature of
@@ -93,14 +96,18 @@ object Bench {
         spark.catalog.clearCache()
       }
       // A swallowed failure would contribute a near-zero time and make the
-      // JSON look healthy — record it loudly instead.
-      def timedRun(): (Double, Long, Long) = {
+      // JSON look healthy — record it loudly instead, and keep the failed
+      // run's (near-zero) wall time out of the min: a query that succeeds
+      // on run 1 and fails fast on run 2 must report run 1's measurement.
+      def timedRun(): (Double, Long, Long, Boolean) = {
         val g0 = gcNowMs()
         val c0 = procBean.getProcessCpuTime
         val t0 = System.nanoTime()
+        var ok = true
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch {
           case e: Throwable =>
+            ok = false
             if (!errors.contains(name)) errors += name
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
         }
@@ -112,16 +119,37 @@ object Bench {
         // (scalableRowNumber/cumSum) that catalog.clearCache cannot see.
         TrackedCaches.release()
         spark.catalog.clearCache()
-        (dt, gcNowMs() - g0, (procBean.getProcessCpuTime - c0) / 1000000)
+        (dt, gcNowMs() - g0, (procBean.getProcessCpuTime - c0) / 1000000, ok)
       }
       var runs = List(timedRun(), timedRun())
-      // The two runs disagreeing by >2x (plus a floor so sub-second queries
-      // don't trigger it) means a load spike hit one of them; one more run
-      // sharpens the min. A SUSTAINED spike inflating all runs equally is
-      // caught by cpuMs instead: wall grows, CPU spend doesn't.
-      val ts = runs.map(_._1)
+      // Only successful runs compete for the kept min (see timedRun); if
+      // every run failed the min of the failures stands as a sentinel and
+      // the errors list marks the row as meaningless.
+      def good = { val g = runs.filter(_._4); if (g.nonEmpty) g else runs }
+      // The two good runs disagreeing by >2x (plus a floor so sub-second
+      // queries don't trigger it) means a load spike hit one of them; one
+      // more run sharpens the min.
+      val ts = good.map(_._1)
       if (ts.max > 2 * ts.min && ts.max - ts.min > 1.0) runs :+= timedRun()
-      val kept = runs.minBy(_._1)
+      // Correlated noise — BOTH runs stretched equally — defeats the
+      // disagreement trigger, but leaves a fingerprint the runs carry
+      // themselves: wall far above cpu/cores means the process held its
+      // cores for only a fraction of the elapsed time (ambient-load
+      // starvation), so the min is an upper bound, and more samples raise
+      // the chance one lands in a load gap. Retry while the kept run shows
+      // parallelism < 1 (wall exceeds TOTAL cpu spend — cores were idle,
+      // not busy) on a >1.5 s run, up to 4 runs total. Streaming queries
+      // are exempt: micro-batch trigger waits make wall >> cpu their
+      // healthy steady state.
+      if (!name.startsWith("q_stream")) {
+        var kept0 = good.minBy(_._1)
+        while (runs.size < 4 && kept0._1 > 1.5 &&
+            kept0._1 * 1000 > 1.5 * kept0._3.toDouble) {
+          runs :+= timedRun()
+          kept0 = good.minBy(_._1)
+        }
+      }
+      val kept = good.minBy(_._1)
       (name, kept._1, kept._2, kept._3, runs.map(_._1))
     }
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }

@@ -363,7 +363,8 @@ object Similarity {
 
   /** Vectors kept per semantic cell by the diversity sampler. Halved when
     * NumCentroids doubled to 16 so the total cap (NumCentroids x DiverseK)
-    * — and with it the demonstrated selectivity of the cut — stayed put. */
+    * — and with it the demonstrated selectivity of the cut — stayed
+    * approximately unchanged (8x25 = 200 -> 16x12 = 192). */
   val DiverseK = 12
 
   /** Cluster-balanced diversity sample: cap every trained k-means cell at

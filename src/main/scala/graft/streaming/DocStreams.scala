@@ -46,11 +46,16 @@ object DocStreams {
 
   /** Stage the arriving doc slice (doc_id % 5 == 0) as an mtime-ordered
     * landing zone of contiguous doc_id ranges — the same staged-chunk
-    * discipline as [[EventStreams.stageEvents]], keyed by source dir. */
+    * discipline as [[EventStreams.stageEvents]]. The BASE DIRECTORY itself
+    * is keyed by source dir (not just the staged-marker), so staging
+    * dataset B can never wipe dataset A's zone out from under A's
+    * checkpointed streams — the multi-SF ScaleTest path switches zones
+    * within one JVM and each zone must stay valid across the switch. */
   def stageDocs(s: SparkSession, d: String, nFiles: Int = 4): String = stageLock.synchronized {
     import java.nio.file._
-    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_docs")
-    val marker = base.resolve(s"_staged_${d.replaceAll("[^a-zA-Z0-9.]", "_")}")
+    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_stream_docs_${d.replaceAll("[^a-zA-Z0-9.]", "_")}")
+    val marker = base.resolve("_staged")
     if (Files.exists(marker)) return base.toString
     if (Files.exists(base)) {
       Files.walk(base).sorted(java.util.Comparator.reverseOrder())
@@ -59,8 +64,16 @@ object DocStreams {
     Files.createDirectories(base)
     val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), col("text")).cache()
-    val Array(lo, hi) = docs.agg(min("doc_id"), max("doc_id")).head()
-      .toSeq.map(_.asInstanceOf[Long]).toArray
+    // A degenerate corpus can have an EMPTY arrival slice — min/max come
+    // back null and unguarded unboxing would NPE. Stage a zero-chunk zone
+    // instead; the stream mains return an empty verdict frame for it.
+    val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
+    if (bounds.isNullAt(0)) {
+      docs.unpersist()
+      Files.createFile(marker)
+      return base.toString
+    }
+    val Array(lo, hi) = bounds.toSeq.map(_.asInstanceOf[Long]).toArray
     val span = (hi - lo) / nFiles + 1
     (0 until nFiles).foreach { i =>
       val tmp = base.resolve(s"_stage_$i")
@@ -176,8 +189,15 @@ object DocStreams {
     require(latest >= 1 || nChunks <= 2,
       s"ingest dedup ran ${latest + 1} micro-batches over $nChunks chunks — " +
         "need >= 2 batches for the screening to actually be incremental")
-    s.read.parquet((0L to latest).map(b => outBase.resolve(s"v$b").toString): _*)
-      .orderBy("doc_id")
+    // Zero staged chunks (empty arrival slice) means zero micro-batches ran:
+    // return an empty verdict frame with the exact output schema (screening
+    // a LIMIT 0 batch) instead of calling read.parquet on an empty path list.
+    if (latest < 0)
+      screenBatch(corpus.select(col("doc_id"), col("text")).limit(0),
+        corpusSig, corpusBands, corpusDigests).orderBy("doc_id")
+    else
+      s.read.parquet((0L to latest).map(b => outBase.resolve(s"v$b").toString): _*)
+        .orderBy("doc_id")
   }
 
   /** Admission ceiling for [[streamQualityGate]]: arrivals scoring above
@@ -235,8 +255,17 @@ object DocStreams {
     require(latest >= 1 || nChunks <= 2,
       s"quality gate ran ${latest + 1} micro-batches over $nChunks chunks — " +
         "need >= 2 batches for the gate to actually be incremental")
-    s.read.parquet((0L to latest).map(b => outBase.resolve(s"v$b").toString): _*)
-      .orderBy("doc_id")
+    // Same empty-zone discipline as streamIngestDedup: score a LIMIT 0
+    // batch to produce the exact output schema with zero rows.
+    if (latest < 0)
+      TextAnalysis.scorePpl(
+          TextAnalysis.bigramsOf(corpus.select("doc_id", "text").limit(0)),
+          c2, c1, vocab)
+        .withColumn("admit", col("ppl") <= lit(PplAdmitMax))
+        .orderBy("doc_id")
+    else
+      s.read.parquet((0L to latest).map(b => outBase.resolve(s"v$b").toString): _*)
+        .orderBy("doc_id")
   }
 
   /** Batch oracle for the quality gate: the corpus-trained model scoring the

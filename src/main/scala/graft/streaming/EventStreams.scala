@@ -49,11 +49,14 @@ object EventStreams {
 
   def stageEvents(s: SparkSession, d: String, nFiles: Int = 4): String = stageLock.synchronized {
     import java.nio.file._
-    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_events")
-    // Staging is keyed by source dir: a landing zone is written once and
-    // read by many queries — re-staging per query would bill ingest to
-    // every streaming benchmark.
-    val marker = base.resolve(s"_staged_${d.replaceAll("[^a-zA-Z0-9.]", "_")}")
+    // The BASE DIRECTORY is keyed by source dir (not just the marker): a
+    // landing zone is written once and read by many queries, and staging
+    // dataset B must never wipe dataset A's zone — A's checkpointed
+    // streams reference those files, and the multi-SF ScaleTest path
+    // switches zones within one JVM.
+    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_stream_events_${d.replaceAll("[^a-zA-Z0-9.]", "_")}")
+    val marker = base.resolve("_staged")
     if (Files.exists(marker)) return base.toString
     if (Files.exists(base)) {
       Files.walk(base).sorted(java.util.Comparator.reverseOrder())
@@ -64,8 +67,15 @@ object EventStreams {
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
       .cache()
-    val Array(lo, hi) = ev.agg(min("ts_us"), max("ts_us")).head()
-      .toSeq.map(_.asInstanceOf[Long]).toArray
+    // Empty-source guard (same discipline as DocStreams.stageDocs): null
+    // min/max means zero events — stage a zero-chunk zone, don't NPE.
+    val bounds = ev.agg(min("ts_us"), max("ts_us")).head()
+    if (bounds.isNullAt(0)) {
+      ev.unpersist()
+      Files.createFile(marker)
+      return base.toString
+    }
+    val Array(lo, hi) = bounds.toSeq.map(_.asInstanceOf[Long]).toArray
     val span = (hi - lo) / nFiles + 1
     (0 until nFiles).foreach { i =>
       val tmp = base.resolve(s"_stage_$i")
