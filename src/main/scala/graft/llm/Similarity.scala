@@ -180,13 +180,23 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
-  // k=16 with nprobe=10 scans the same corpus fraction (10/16 = 62.5%) as
-  // the earlier k=8/nprobe=5 but with finer cell geometry, and measured
-  // recall@10 rose 0.74 -> 0.86 on the random test corpus (RecallSpec).
-  // Finer cells waste less of the probe budget on far corners of a coarse
-  // cell — the standard IVF sizing trade (more, smaller lists) at identical
-  // candidate volume.
-  val NumCentroids = 16
+  // IVF list count is sized to the CORPUS, not fixed: k = max(16, round
+  // sqrt(N)) — the standard IVF sizing (cells of ~sqrt(N) vectors). A fixed
+  // k makes the per-query scan fraction nprobe/k a CONSTANT of the corpus
+  // (the round-6 shape: nprobe=10 of k=16 scanned 62.5% forever); with
+  // k ~ sqrt(N) the same fixed probe budget scans nprobe/sqrt(N) — 45% of
+  // the 500-vector test corpus, 22% at 2k vectors, 0.03% at 10^9. Training
+  // stays broadcast-shaped at web scale: k x 64 longs is ~16 MB even at
+  // N = 10^9. Finer cell geometry also aims the probe budget better —
+  // measured recall@10 on the random corpus rose 0.74 (k=8, 62.5% scanned)
+  // -> 0.86 (k=16, 62.5%) -> 0.88 (k=22, nprobe=12: 55% of 500 vectors,
+  // and the SAME constants scan only 27% at sf0.1's 2000).
+  val MinCentroids = 16
+
+  /** Corpus-sized IVF list count (see the comment above). floor(x + 0.5)
+    * instead of round() so the DuckDB oracle's arithmetic is identical. */
+  def centroidsFor(n: Long): Int =
+    math.max(MinCentroids, math.floor(math.sqrt(n.toDouble) + 0.5).toInt)
   // 3 iterations measured BEST for recall on the random test corpus (0.74
   // vs 0.70 at 4 iters, k=8): more convergence only sharpens boundaries
   // that are noise on uniform data. Real clustered embeddings reward more
@@ -197,10 +207,12 @@ object Similarity {
   // nearest cells keeps the equi-join shape (NumProbes probe rows per
   // query). Measured recall@10 ladder on the random corpus (the adversarial
   // case — see RecallSpec): 0.42/0.56/0.74 at nprobe 2/3/5 with k=8; 0.86
-  // at nprobe=10 with k=16. The probe fan-out multiplies only the broadcast
-  // query side; candidate volume grows as nprobe/k of the corpus per query,
-  // the knob a production deployment tunes against its recall target.
-  val NumProbes = 10
+  // at nprobe=10 with k=16; with corpus-sized k=22 cells, 0.82 at nprobe=10
+  // and 0.88 at nprobe=12. nprobe is the FIXED probe budget a deployment
+  // tunes against its recall target; with k ~ sqrt(N) the candidate volume
+  // per query is nprobe*sqrt(N) — a vanishing corpus fraction at scale,
+  // not the constant 62.5% the old fixed-k sizing pinned.
+  val NumProbes = 12
   /** Fixed-point scale for k-means arithmetic: embeddings quantize to
     * integers at 1e-6 resolution so EVERY training step is exact integer
     * math — sums are order-independent and the DuckDB oracle reproduces the
@@ -253,7 +265,7 @@ object Similarity {
 
   /** IVF-style ANN with TRAINED centroids: KmIters deterministic k-means
     * iterations over the integer-scaled vectors, seeded by hash-sample (the
-    * NumCentroids vectors with smallest md5(vec_id) — engine-portable and
+    * centroidsFor(N) vectors with smallest md5(vec_id) — engine-portable and
     * data-independent). Each vector lands in its nearest centroid cell;
     * queries multi-probe their [[NumProbes]] nearest cells, so search is an
     * equi-join like LSH — corpus-linear, never all-pairs, and a query near a
@@ -261,13 +273,15 @@ object Similarity {
     * measures recall@10 vs [[annTopK]]). Training is broadcast-centroid +
     * map-side-combining aggregates: the textbook scalable k-means shape.
     * The final probe scores exact cosine (rounded 4 dp) on the raw floats. */
-  /** Hash-sample seed centroids: the NumCentroids vectors with smallest
-    * md5(vec_id) — engine-portable, data-independent. */
-  private[graft] def seedCentroids(s: SparkSession, d: String, sx: DataFrame): DataFrame =
+  /** Hash-sample seed centroids: the k vectors with smallest md5(vec_id) —
+    * engine-portable, data-independent. k comes from [[centroidsFor]] at the
+    * call site (one count() on the cached scaled table). */
+  private[graft] def seedCentroids(s: SparkSession, d: String, sx: DataFrame,
+      k: Int): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), md5(col("vec_id").cast(StringType)).as("hk"))
-      .orderBy("hk", "vec_id").limit(NumCentroids)
-      // row_number over NumCentroids rows — bounded, not a global window
+      .orderBy("hk", "vec_id").limit(k)
+      // row_number over k rows — bounded, not a global window
       .withColumn("cent_id",
         (row_number().over(Window.orderBy("hk", "vec_id")) - 1).cast(IntegerType))
       .join(sx, "vec_id").select(col("cent_id"), col("sarr").as("carr"))
@@ -288,7 +302,7 @@ object Similarity {
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val sx = graft.TrackedCaches.track(scaledEmb(s, d).cache())
-    val cents = trainCentroids(sx, seedCentroids(s, d, sx))
+    val cents = trainCentroids(sx, seedCentroids(s, d, sx, centroidsFor(sx.count())))
     val cells = graft.TrackedCaches.track(assignCells(sx, cents)
       .join(emb, "vec_id")
       .select(col("vec_id"), col("embedding"), col("cell"))
@@ -329,10 +343,12 @@ object Similarity {
     s"""sx AS (SELECT vec_id, i,
               CAST(floor(CAST(embedding[i] AS DOUBLE) * $ScaleQ + 0.5) AS BIGINT) AS v
             FROM embeddings, generate_series(1, 64) t(i)),
+        kk AS (SELECT greatest($MinCentroids,
+                 CAST(floor(sqrt(count(*)) + 0.5) AS INT)) AS k FROM embeddings),
         seeds AS (SELECT vec_id, CAST(rk - 1 AS INT) AS cent_id FROM (
                     SELECT vec_id,
                       row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
-                    FROM embeddings) WHERE rk <= $NumCentroids),
+                    FROM embeddings) WHERE rk <= (SELECT k FROM kk)),
         cent0 AS (SELECT s.cent_id, x.i, x.v AS c
                   FROM seeds s JOIN sx x ON x.vec_id = s.vec_id),
         ${(1 to KmIters).map(kmIterSql).mkString(",\n        ")},
@@ -362,9 +378,12 @@ object Similarity {
   }
 
   /** Vectors kept per semantic cell by the diversity sampler. Halved when
-    * NumCentroids doubled to 16 so the total cap (NumCentroids x DiverseK)
-    * — and with it the demonstrated selectivity of the cut — stayed
-    * approximately unchanged (8x25 = 200 -> 16x12 = 192). */
+    * the cell count doubled to 16 so the total cap (cells x DiverseK) —
+    * and with it the demonstrated selectivity of the cut — stayed
+    * approximately unchanged (8x25 = 200 -> 16x12 = 192). With cells now
+    * corpus-sized ([[centroidsFor]]) the total cap grows as 12*sqrt(N):
+    * exactly the scaling a diversity sample wants (per-cell cap fixed,
+    * coverage follows the cell structure). */
   val DiverseK = 12
 
   /** Cluster-balanced diversity sample: cap every trained k-means cell at
@@ -377,7 +396,7 @@ object Similarity {
     * never a full per-cell materialization. */
   def diverseSample(s: SparkSession, d: String): DataFrame = {
     val sx = graft.TrackedCaches.track(scaledEmb(s, d).cache())
-    val cents = trainCentroids(sx, seedCentroids(s, d, sx))
+    val cents = trainCentroids(sx, seedCentroids(s, d, sx, centroidsFor(sx.count())))
     val pri = assignCells(sx, cents)
       .withColumn("hk", md5(col("vec_id").cast(StringType)))
     graft.plans.TopKPerKey.topKPerKey(pri, DiverseK, Seq("cell"),

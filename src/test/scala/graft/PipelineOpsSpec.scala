@@ -41,7 +41,8 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("k-means training reduces the IVF quantization objective") {
     val sx = Similarity.scaledEmb(spark, Sf).cache()
-    val seed = Similarity.seedCentroids(spark, Sf, sx)
+    val k = Similarity.centroidsFor(sx.count())
+    val seed = Similarity.seedCentroids(spark, Sf, sx, k)
     val trained = Similarity.trainCentroids(sx, seed)
     def objective(cents: org.apache.spark.sql.DataFrame): Long =
       sx.crossJoin(broadcast(cents))
@@ -56,7 +57,7 @@ class PipelineOpsSpec extends SparkSpec {
     // every vector keeps exactly one cell, and all centroids survive
     val cells = Similarity.assignCells(sx, trained).cache()
     assert(cells.count() == sx.count())
-    assert(cells.select("cell").distinct().count() <= Similarity.NumCentroids)
+    assert(cells.select("cell").distinct().count() <= k)
     cells.unpersist(); sx.unpersist()
   }
 

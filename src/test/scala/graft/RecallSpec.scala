@@ -43,11 +43,13 @@ class RecallSpec extends SparkSpec {
   test("multi-probe IVF recall@10 vs brute force") {
     val r = recall(top10(Similarity.annIvf(spark, Sf)))
     info(f"annIvf recall@10 = $r%.2f " +
-      f"(k=${Similarity.NumCentroids}, nprobe=${Similarity.NumProbes})")
-    // Measured 0.86 at k=16/nprobe=10 (same 62.5% scan fraction as
-    // k=8/nprobe=5's 0.74 — finer cells, better probe targeting; a 4th
+      f"(k=${Similarity.centroidsFor(500)}, nprobe=${Similarity.NumProbes})")
+    // Measured ladder: 0.86 at fixed k=16/nprobe=10 (62.5% of the corpus
+    // scanned — a fraction that never shrinks); 0.82/0.88 at corpus-sized
+    // k=22 with nprobe 10/12 (scan fraction 45%/55% HERE, but falling as
+    // nprobe/sqrt(N) with corpus growth — 27% already at sf0.1). A 4th
     // k-means iteration DROPPED recall at k=8 — converging harder on
-    // uniform noise sharpens boundaries that carry no signal). Floor set at
+    // uniform noise sharpens boundaries that carry no signal. Floor set at
     // 0.80; clustered real-world embeddings measure higher.
     assert(r >= 0.80, f"annIvf recall@10 $r%.2f below measured floor 0.80")
   }
