@@ -94,6 +94,7 @@ object SparkEntry {
     "q_token_budget" -> (TextAnalysis.tokenBudgetSample _),
     "q_mixture_rebalance" -> (TextAnalysis.mixtureRebalance _),
     "q_lm_perplexity" -> (TextAnalysis.lmPerplexity _),
+    "q_lm_ppl_openvocab" -> (TextAnalysis.lmPerplexityOpenVocab _),
     "q_ppl_buckets" -> (TextAnalysis.pplBuckets _),
     "q_source_scorecard" -> (TextAnalysis.sourceScorecard _),
     "q_seq_pack" -> (Packing.seqPack _),
@@ -407,6 +408,9 @@ object SparkEntry {
     "q_token_budget" -> TextAnalysis.tokenBudgetSampleSql,
     "q_mixture_rebalance" -> TextAnalysis.mixtureRebalanceSql,
     "q_lm_perplexity" -> TextAnalysis.lmPerplexitySql,
+    // Same result relation as q_lm_perplexity by design — the open-vocab
+    // path changes the physical join strategy, not the arithmetic.
+    "q_lm_ppl_openvocab" -> TextAnalysis.lmPerplexitySql,
     "q_ppl_buckets" -> TextAnalysis.pplBucketsSql,
     "q_source_scorecard" -> TextAnalysis.sourceScorecardSql,
     "q_seq_pack" -> Packing.seqPackSql,

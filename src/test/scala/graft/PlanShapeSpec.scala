@@ -142,6 +142,25 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     graft.TrackedCaches.release()
   }
 
+  test("open-vocab LM scoring shuffles both model joins; nothing broadcasts") {
+    // The web-scale-vocabulary variant: c2/c1 are far beyond broadcast
+    // range, so both model joins must run as co-partitioned shuffle hash
+    // joins — a broadcast anywhere in this plan means the hint regressed
+    // and the path stopped modeling the open-vocab deployment.
+    val ppl = graft.llm.TextAnalysis.lmPerplexityOpenVocab(spark, Sf)
+    ppl.collect()
+    val plan = ppl.queryExecution.executedPlan
+    val shj = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shj.size == 2,
+      s"c2 and c1 model joins must both shuffle-hash, got ${shj.size}:\n$plan")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.isEmpty,
+      s"open-vocab path must not broadcast the model:\n$plan")
+    graft.TrackedCaches.release()
+  }
+
   test("PageRank rounds broadcast the node vector; edges never sort-merge") {
     // pageRank checkpoints each round (truncating the visible lineage), so
     // audit the plan of ONE un-materialized round — the shape every round runs.
