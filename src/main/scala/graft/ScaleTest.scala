@@ -39,6 +39,7 @@ object ScaleTest {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("docs")) return docsMain()
     if (args.headOption.contains("streams")) return streamsMain()
+    if (args.headOption.contains("vecs")) return vecsMain()
     val copies = if (args.nonEmpty) args(0).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -207,6 +208,111 @@ object ScaleTest {
       println(f"$name,$sSmall%.2f,$sBig%.2f,${sBig / sSmall}%.1f")
     }
     spark.stop()
+  }
+
+  /** Vector-family 10x experiment: measures the recall-vs-scan-fraction
+    * ladder that sized the shipped IVF config (Similarity.centroidsFor /
+    * probesFor). The measurement that matters: on a uniform-random corpus
+    * recall@10 is a function of the SCAN FRACTION nearly independent of N
+    * (the 1x and 10x ladders coincide), so a fixed nprobe — a falling
+    * fraction of the sqrt(N)-growing cell count — decays recall (measured
+    * 0.78 -> 0.44 at 10x), while probesFor's fixed ~30% fraction holds it
+    * >= 0.80 at both scales. embeddings replicate 10x with a copy-keyed
+    * dimension rotation plus deterministic per-copy sign flips: a
+    * rotated/sign-flipped random vector is just another random vector (the
+    * corpus stays uniform), but it is FAR from its source (expected cosine
+    * ~0), so the 10x corpus has 10x genuinely distinct vectors — growth,
+    * not planted duplicates that would hand ANN its own copies as trivial
+    * neighbors. Reported per scale: annIvf/annLsh/brute wall time AND the
+    * (nprobe, scan fraction, recall@10) ladder including the shipped
+    * probesFor point at each scale. */
+  private def vecsMain(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    // Parameter-stamped path (copies, id stride) — same rebuild discipline
+    // as the other modes.
+    val dst =
+      s"${System.getProperty("java.io.tmpdir")}/graft_vecs10x_c10_v1000000"
+    if (!new java.io.File(s"$dst/_built").exists()) {
+      buildVecs(spark, src, dst, 10)
+      new java.io.File(s"$dst/_built").createNewFile()
+    }
+    val subset = Seq("q_ann_topk", "q_ann_lsh", "q_ann_ivf")
+    def time(dir: String): Map[String, Double] =
+      subset.map { name =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        graft.TrackedCaches.release()
+        spark.catalog.clearCache()
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    time(src) // warm code paths
+    val small = time(src)
+    val big = time(dst)
+    println("query,vecs1x_s,vecs10x_s,ratio")
+    subset.foreach { q =>
+      println(f"$q,${small(q)}%.2f,${big(q)}%.2f,${big(q) / small(q)}%.1f")
+    }
+    // Recall@10 ladder of IVF vs brute force at each scale: sweep the probe
+    // budget and report (nprobe, scan fraction, recall) so the cost of any
+    // recall target is measured, not asserted — on THIS corpus (uniform
+    // random, the adversarial case) and on what real clustered data would
+    // only improve.
+    def ladder(tag: String, dir: String, probes: Seq[Int]): Unit = {
+      def top(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+        df.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= graft.llm.Similarity.TopK)
+          .select("query_id", "neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val truth = top(graft.llm.Similarity.annTopK(spark, dir))
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val k = graft.llm.Similarity.centroidsFor(n)
+      probes.foreach { np =>
+        val got = top(graft.llm.Similarity.annIvfWith(spark, dir, np))
+        graft.TrackedCaches.release()
+        spark.catalog.clearCache()
+        val r = (truth intersect got).size.toDouble / truth.size
+        println(f"$tag,$k,$np,${np.toDouble / k}%.3f,$r%.2f")
+      }
+    }
+    // Each sweep includes the SHIPPED probesFor budget at that scale
+    // (14 of 45 cells at 1x, 42 of 141 at 10x) so the config in the
+    // library is the config the ladder measures.
+    println("scale,k_cells,nprobe,scan_fraction,ivf_recall_at_10")
+    ladder("vecs1x", src, Seq(6, 12, 14, 18, 24))
+    ladder("vecs10x", dst, Seq(12, 24, 36, 42, 48, 72))
+    spark.stop()
+  }
+
+  /** embeddings replicated `copies`x: copy i rotates dimensions by i and
+    * flips signs by md5(copy, dim) — deterministic, uniform-preserving,
+    * and far from the source vector (see vecsMain scaladoc). */
+  private def buildVecs(spark: SparkSession, src: String, dst: String,
+      copies: Int): Unit = {
+    val vMax = 1000000L
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val out = (0 until copies).map { i =>
+      if (i == 0) emb
+      else emb
+        .withColumn("vec_id", col("vec_id") + i * vMax)
+        .withColumn("embedding", expr(
+          s"""transform(sequence(0, size(embedding) - 1),
+                j -> CASE WHEN pmod(hash($i, j), 2) = 0
+                          THEN embedding[pmod(j + $i, size(embedding))]
+                          ELSE -embedding[pmod(j + $i, size(embedding))] END)"""))
+    }.reduce(_ unionByName _)
+    out.repartition(32).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
   }
 
   /** events (+ customers for the stream-static join) replicated `copies`x

@@ -202,17 +202,35 @@ object Similarity {
   // that are noise on uniform data. Real clustered embeddings reward more
   // iterations; this stays a config constant, not a tuned magic number.
   val KmIters = 3
-  // Multi-probe: each query searches its NumProbes nearest centroid cells.
+  // Multi-probe: each query searches its nprobe nearest centroid cells.
   // nprobe=1 misses neighbors just across a cell boundary; probing the
-  // nearest cells keeps the equi-join shape (NumProbes probe rows per
-  // query). Measured recall@10 ladder on the random corpus (the adversarial
-  // case — see RecallSpec): 0.42/0.56/0.74 at nprobe 2/3/5 with k=8; 0.86
-  // at nprobe=10 with k=16; with corpus-sized k=22 cells, 0.82 at nprobe=10
-  // and 0.88 at nprobe=12. nprobe is the FIXED probe budget a deployment
-  // tunes against its recall target; with k ~ sqrt(N) the candidate volume
-  // per query is nprobe*sqrt(N) — a vanishing corpus fraction at scale,
-  // not the constant 62.5% the old fixed-k sizing pinned.
+  // nearest cells keeps the equi-join shape (nprobe probe rows per query).
+  // ScaleTest's `vecs` ladder measured recall@10 vs scan fraction at 1x
+  // (N=2000, k=45) and 10x (N=20000, k=141) on the uniform-random corpus —
+  // the adversarial case, since with no cluster structure the true
+  // neighbors spread evenly across cells:
+  //   1x:  13% -> 0.54   27% -> 0.78   40% -> 0.86   53% -> 0.96
+  //   10x: 8.5% -> 0.44  17% -> 0.66   25.5% -> 0.80  34% -> 0.82
+  // The two ladders nearly coincide as functions of SCAN FRACTION: on
+  // random data a FIXED nprobe (a falling fraction of a growing k) decays
+  // recall (0.78 -> 0.44 at 10x), while a fixed fraction holds it. So the
+  // shipped probe budget scales WITH k — [[probesFor]] keeps ~30% of cells
+  // probed (>= the 0.80-recall line at both measured scales, margin
+  // included), with [[NumProbes]] as the small-corpus floor. Real clustered
+  // embeddings concentrate neighbors in few cells, so the same budget only
+  // over-delivers there; deployments tune the fraction against their own
+  // recall target via [[annIvfWith]]. Even at a fixed fraction the design
+  // beats flat scan: per-probe candidate cost is ~sqrt(N) (cell size), and
+  // the fraction constant is a tunable, not a hard-coded 62.5%.
   val NumProbes = 12
+
+  /** Percent of cells each query probes (see the ladder above). */
+  val ProbePct = 30
+
+  /** Corpus-sized probe budget: max([[NumProbes]], ~[[ProbePct]]% of k),
+    * in pure integer arithmetic so the DuckDB oracle reproduces it exactly:
+    * (30*k + 50) / 100 is floor(0.3*k + 0.5) without touching doubles. */
+  def probesFor(k: Int): Int = math.max(NumProbes, (ProbePct * k + 50) / 100)
   /** Fixed-point scale for k-means arithmetic: embeddings quantize to
     * integers at 1e-6 resolution so EVERY training step is exact integer
     * math — sums are order-independent and the DuckDB oracle reproduces the
@@ -267,7 +285,7 @@ object Similarity {
     * iterations over the integer-scaled vectors, seeded by hash-sample (the
     * centroidsFor(N) vectors with smallest md5(vec_id) — engine-portable and
     * data-independent). Each vector lands in its nearest centroid cell;
-    * queries multi-probe their [[NumProbes]] nearest cells, so search is an
+    * queries multi-probe their [[probesFor]] nearest cells, so search is an
     * equi-join like LSH — corpus-linear, never all-pairs, and a query near a
     * cell boundary still sees the adjacent cell's candidates (RecallSpec
     * measures recall@10 vs [[annTopK]]). Training is broadcast-centroid +
@@ -299,18 +317,28 @@ object Similarity {
     }
   }
 
-  def annIvf(s: SparkSession, d: String): DataFrame = {
+  def annIvf(s: SparkSession, d: String): DataFrame = annIvfBy(s, d, probesFor)
+
+  /** [[annIvf]] with an explicit probe budget — the deployment knob. The
+    * shipped query uses [[probesFor]]; ScaleTest's `vecs` mode sweeps this
+    * to measure the recall-vs-scan-fraction ladder at two corpus sizes. */
+  private[graft] def annIvfWith(s: SparkSession, d: String, nprobe: Int): DataFrame =
+    annIvfBy(s, d, _ => nprobe)
+
+  private def annIvfBy(s: SparkSession, d: String, np: Int => Int): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val sx = graft.TrackedCaches.track(scaledEmb(s, d).cache())
-    val cents = trainCentroids(sx, seedCentroids(s, d, sx, centroidsFor(sx.count())))
+    val k = centroidsFor(sx.count())
+    val nprobe = np(k)
+    val cents = trainCentroids(sx, seedCentroids(s, d, sx, k))
     val cells = graft.TrackedCaches.track(assignCells(sx, cents)
       .join(emb, "vec_id")
       .select(col("vec_id"), col("embedding"), col("cell"))
       .cache())
-    // Multi-probe routing: each query fans out to its NumProbes nearest
+    // Multi-probe routing: each query fans out to its nprobe nearest
     // cells. Corpus assignment stays unique (argmin), so (query, neighbor)
     // pairs are already distinct — no dedup needed after the cell join.
-    val q = probeCells(sx.filter(col("vec_id") < NumQueries), cents, NumProbes)
+    val q = probeCells(sx.filter(col("vec_id") < NumQueries), cents, nprobe)
       .withColumnRenamed("vec_id", "query_id")
       .join(emb.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
@@ -364,7 +392,9 @@ object Similarity {
         probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM (
                      SELECT vec_id, cent_id,
                        row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rk
-                     FROM dfin WHERE vec_id < $NumQueries) WHERE rk <= $NumProbes),
+                     FROM dfin WHERE vec_id < $NumQueries)
+                   WHERE rk <= (SELECT greatest($NumProbes,
+                                  ($ProbePct * k + 50) // 100) FROM kk)),
         q AS (SELECT p.query_id, p.cell, e.embedding AS qe
               FROM probes p JOIN embeddings e ON p.query_id = e.vec_id)
         SELECT q.query_id, k.vec_id AS neighbor_id,
