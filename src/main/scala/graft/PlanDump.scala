@@ -69,7 +69,53 @@ object PlanDump {
       "explode stream joined against BROADCAST model sides (vocab2-bounded " +
       "c2, vocab-arity c1 — both derived from the cached model aggregate, " +
       "not fresh corpus scans), then one map-side-combined per-doc " +
-      "aggregate. No window, no cross join; exactly two corpus passes."))
+      "aggregate. No window, no cross join; exactly two corpus passes."),
+    "q_lm_ppl_openvocab" -> ("Open-vocabulary LM scoring: same arithmetic " +
+      "as q_lm_perplexity, web-scale-vocab join strategy. Expect: BOTH " +
+      "model joins as ShuffledHashJoin with the model side as build (the " +
+      "bigram stream and model co-partition on w1/w2 and w1), and NO " +
+      "broadcast anywhere in the plan (PlanShapeSpec gates this)."),
+    "q_source_scorecard" -> ("Per-source curation scorecard. Expect: ONE " +
+      "feature pass over documents (map-side-combined per-doc projection), " +
+      "a digest self-aggregate joined back on digest (aggregation join, " +
+      "linear in docs), then a source-arity rollup — no window over the " +
+      "corpus, no self cross join."))
+
+  /** Streaming queries return a sink read whose plan says nothing; what
+    * scales (or doesn't) is the per-micro-batch KERNEL. These dump the same
+    * batch frames PlanShapeSpec gates: the ingest screen and the LM gate
+    * scorer, built exactly as the stream mains build them per batch. */
+  private def kernels(s: SparkSession, sf: String): Seq[(String, String, org.apache.spark.sql.DataFrame)] = {
+    import org.apache.spark.sql.functions.{col, md5, min}
+    import graft.llm.{Dedup, TextAnalysis}
+    val docs = Tables.documents(s, sf)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val corpusSig = Dedup.signaturesOf(corpus).cache()
+    val rows = Dedup.NumHashes / Dedup.Bands
+    val corpusBands = Dedup.bandRows(corpusSig)
+      .toDF(("db" +: (0 until rows).map(r => s"w$r")) :+ "band": _*)
+    val corpusDigests = corpus.select(md5(col("text")).as("digest"), col("doc_id"))
+      .groupBy("digest").agg(min("doc_id").as("exact_src"))
+    val arrivals = docs.filter(col("doc_id") % 5 === 0)
+    val (c2, c1, vocab) =
+      TextAnalysis.bigramModel(TextAnalysis.bigramsOf(corpus.select("doc_id", "text")))
+    Seq(
+      ("q_stream_ingest_dedup (micro-batch kernel)",
+        "Per-arrival-batch near-dup screen of streamIngestDedup. Expect: " +
+        "band probe, signature probe and exact-digest join ALL as " +
+        "BroadcastHashJoin with the ARRIVAL side broadcast — the corpus " +
+        "index tables are probed in place, never re-shuffled per batch " +
+        "(PlanShapeSpec: >= 3 broadcasts, zero SortMergeJoin).",
+        graft.streaming.DocStreams.screenBatch(arrivals, corpusSig, corpusBands, corpusDigests)),
+      ("q_stream_quality_gate (micro-batch kernel)",
+        "Per-arrival-batch LM scorer of streamQualityGate. Expect: the " +
+        "batch bigram explode joined against BROADCAST model sides (c2, " +
+        "c1) trained once from the standing corpus — no corpus scan in " +
+        "the per-batch plan, no window, one map-side-combined per-doc " +
+        "aggregate.",
+        TextAnalysis.scorePpl(TextAnalysis.bigramsOf(arrivals.select("doc_id", "text")),
+          c2, c1, vocab)))
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -83,8 +129,10 @@ object PlanDump {
     sb ++= "# PLANS — executed physical plans of the headline queries\n\n"
     sb ++= s"Generated by `sbt \"runMain graft.PlanDump\"` over `$sf`.\n"
     sb ++= "Regenerate after any plan-affecting change; review structure, not expression ids.\n"
-    audited.foreach { case (name, note) =>
-      val df = SparkEntry.queries(name)(spark, sf)
+    val frames = audited.map { case (name, note) =>
+      (name, note, SparkEntry.queries(name)(spark, sf))
+    } ++ kernels(spark, sf)
+    frames.foreach { case (name, note, df) =>
       df.collect() // finalize AQE so the dumped plan is the executed one
       sb ++= s"\n## $name\n\n$note\n\n```\n"
       sb ++= df.queryExecution.executedPlan.toString.take(12000)
@@ -92,7 +140,7 @@ object PlanDump {
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("PLANS.md"),
       sb.toString.getBytes("UTF-8"))
-    println(s"[plandump] wrote PLANS.md (${audited.size} queries)")
+    println(s"[plandump] wrote PLANS.md (${frames.size} queries)")
     spark.stop()
   }
 }
