@@ -607,19 +607,41 @@ object TextAnalysis {
     * comparison pass — never an ntile/window over the corpus (a per-language
     * total order would be the classic 100 TB sort bottleneck). The exact
     * `percentile` here buffers each language's scores in its aggregation
-    * group, which is fine at oracle scale; the production swap is
-    * `approx_percentile` with the same plan shape (cutoffs are read once,
-    * so sketch error moves bucket BOUNDARIES, not the pipeline shape).
+    * group, which is fine at oracle scale; [[pplBucketsApprox]] is the
+    * production swap, executed and spec-gated — `approx_percentile` in the
+    * same plan shape (cutoffs are read once, so sketch error moves bucket
+    * BOUNDARIES, not the pipeline shape).
     * avg_ppl sums already-rounded doubles as DECIMAL(20,6), so every output
     * is bit-stable across engines (same discipline as [[lmPerplexity]]). */
-  def pplBuckets(s: SparkSession, d: String): DataFrame = {
+  def pplBuckets(s: SparkSession, d: String): DataFrame =
+    pplBucketsWith(s, d, "percentile(ppl, array(1.0D/3, 2.0D/3))")
+
+  /** Sketch accuracy for [[pplBucketsApprox]]: rank error <= n/accuracy
+    * (the Greenwald-Khanna bound approx_percentile documents). */
+  val PplSketchAccuracy = 10000
+
+  /** The production swap [[pplBuckets]]'s scaladoc promises, executable:
+    * identical plan shape (one language-arity aggregate broadcast back,
+    * no corpus window), with the exact `percentile` — whose aggregation
+    * buffer holds each language's full score list — replaced by the
+    * `approx_percentile` sketch (bounded state per group at ANY corpus
+    * size). Sketch rank error moves bucket BOUNDARIES only, so results are
+    * gated distributionally (CurationSpec: per-language bucket occupancy
+    * within the documented rank-error bound of exact terciles), not by the
+    * bit-exact oracle hash. */
+  def pplBucketsApprox(s: SparkSession, d: String): DataFrame =
+    pplBucketsWith(s, d,
+      s"approx_percentile(ppl, array(1.0D/3, 2.0D/3), $PplSketchAccuracy)")
+
+  private def pplBucketsWith(s: SparkSession, d: String,
+      tercile: String): DataFrame = {
     val scores = lmPerplexity(s, d)
       .join(Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast(LongType).as("toks")), "doc_id")
     val cuts = scores.groupBy("lang").agg(
-      expr("percentile(ppl, array(1.0D/3, 2.0D/3))").getItem(0).as("c_low"),
-      expr("percentile(ppl, array(1.0D/3, 2.0D/3))").getItem(1).as("c_high"))
+      expr(tercile).getItem(0).as("c_low"),
+      expr(tercile).getItem(1).as("c_high"))
     scores.join(broadcast(cuts), "lang")
       .withColumn("bucket",
         when(col("ppl") <= col("c_low"), "0_head")

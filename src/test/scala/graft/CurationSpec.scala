@@ -63,6 +63,31 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("approx-percentile tercile variant tracks the exact buckets") {
+    // pplBucketsApprox is the production swap of pplBuckets (bounded
+    // sketch state per language instead of buffering every score). The
+    // sketch moves CUTOFFS, not the pipeline: same schema, same per-lang
+    // partition property, and bucket occupancy within the documented rank
+    // error (n/accuracy per cutoff, so ±max(1, ceil(n/acc)) docs per
+    // bucket; the +1 absorbs ties at the boundary).
+    val exact = TextAnalysis.pplBuckets(spark, Sf)
+    val approx = TextAnalysis.pplBucketsApprox(spark, Sf)
+    assert(approx.schema == exact.schema, "variants must agree on schema")
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("lang", "bucket", "n_docs").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    val e = key(exact)
+    val a = key(approx)
+    assert(a.keySet == e.keySet, "every (lang, bucket) cell must exist in both")
+    val langTotals = e.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    e.foreach { case (k @ (lang, _), n) =>
+      val tol = math.max(1,
+        math.ceil(langTotals(lang).toDouble / TextAnalysis.PplSketchAccuracy).toInt)
+      assert(math.abs(a(k) - n) <= tol,
+        s"$k: approx ${a(k)} vs exact $n exceeds rank-error tolerance $tol")
+    }
+  }
+
   test("source scorecard partitions the corpus and agrees with exact dedup") {
     val out = TextAnalysis.sourceScorecard(spark, Sf).cache()
     val docs = Tables.documents(spark, Sf)
