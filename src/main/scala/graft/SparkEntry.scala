@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.llm.{Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Packing, Retrieval, Similarity, TextAnalysis}
 import graft.ops.{Advanced, Analytics, Execution, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -87,6 +87,9 @@ object SparkEntry {
     "q_ann_topk" -> (Similarity.annTopK _),
     "q_ann_lsh" -> (Similarity.annLsh _),
     "q_ann_ivf" -> (Similarity.annIvf _),
+    "q_ann_ivf_rescore" -> (Similarity.annIvfRescore _),
+    "q_bm25_topk" -> (Retrieval.bm25TopK _),
+    "q_hybrid_rrf" -> (Retrieval.hybridRrf _),
     "q_tfidf_top" -> (TextAnalysis.tfidfTop _),
     "q_pii_scrub" -> (TextAnalysis.piiScrub _),
     "q_repetition" -> (TextAnalysis.repetition _),
@@ -401,6 +404,9 @@ object SparkEntry {
     "q_ann_topk" -> Similarity.annTopKSql,
     "q_ann_lsh" -> Similarity.annLshSql,
     "q_ann_ivf" -> Similarity.annIvfSql,
+    "q_ann_ivf_rescore" -> Similarity.annIvfRescoreSql,
+    "q_bm25_topk" -> Retrieval.bm25Sql,
+    "q_hybrid_rrf" -> Retrieval.hybridRrfSql,
     "q_tfidf_top" -> TextAnalysis.tfidfTopSql,
     "q_pii_scrub" -> TextAnalysis.piiScrubSql,
     "q_repetition" -> TextAnalysis.repetitionSql,

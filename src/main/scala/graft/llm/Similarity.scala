@@ -490,6 +490,129 @@ object Similarity {
                 floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5))) AS INT)), ',') AS qvec_csv
        FROM m ORDER BY vec_id"""
 
+  /** int8 view of the corpus used by [[annIvfRescore]]'s first pass: the
+    * [[quantizeVectors]] arithmetic, kept as an array of longs so the dot
+    * products downstream stay exact integer math both engines reproduce
+    * (a production build packs real int8 bytes; the VALUES are identical). */
+  private def q8Vectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("max_abs", expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"))
+      .select(col("vec_id"), expr(
+        """transform(embedding,
+             x -> CAST(greatest(-127, least(127,
+                  floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5d))) AS BIGINT))""")
+        .as("qarr"))
+
+  /** Candidates per query that survive the compressed first pass into the
+    * full-precision rescore. The 100 TB knob: float reads per query drop
+    * from the probed candidate set (~ProbePct% of the corpus) to this. */
+  val RescoreK = 50
+
+  /** Two-stage IVF with compressed-first-pass rescoring — the IVF-PQ
+    * production shape, here with the library's scalar int8 codes as the
+    * compressed representation. Stage 1 scores EVERY probed candidate on
+    * int8 codes only (4x smaller than floats; exact integer dot products,
+    * one double division for the normalized score) and keeps the top
+    * [[RescoreK]] per query via the bounded-heap [[graft.plans.TopKPerKey]]
+    * operator — never a per-query sort of the candidate set. Stage 2 joins
+    * ONLY those survivors back to the float embeddings (broadcast of the
+    * queries x RescoreK row candidate list onto the corpus — the big table
+    * is probed, never shuffled) for exact cosine and the final top-k.
+    *
+    * At 100 TB: stage 1 reads compressed codes over ~ProbePct% of the
+    * corpus; stage 2 touches RescoreK full-precision vectors per query.
+    * RecallSpec measures the quantization toll vs [[annIvf]] (none at this
+    * corpus: measured 0.88 = the exact-scoring path). Scores round to 6 dp
+    * (stage 1) / 4 dp (stage 2) before ranking, ties break on neighbor_id —
+    * the file-wide determinism discipline, so the DuckDB oracle reproduces
+    * both stages bit-for-bit. */
+  def annIvfRescore(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val sx = graft.TrackedCaches.track(scaledEmb(s, d).cache())
+    val k = centroidsFor(sx.count())
+    val cents = trainCentroids(sx, seedCentroids(s, d, sx, k))
+    val qv = graft.TrackedCaches.track(q8Vectors(s, d).cache())
+    val cells = assignCells(sx, cents)
+      .join(qv, "vec_id")
+      .select(col("vec_id"), col("cell"), col("qarr"))
+    val probes = probeCells(sx.filter(col("vec_id") < NumQueries), cents, probesFor(k))
+      .withColumnRenamed("vec_id", "query_id")
+      .join(qv.select(col("vec_id").as("query_id"), col("qarr").as("qq")), "query_id")
+      .withColumn("qn", expr("aggregate(qq, 0L, (acc, x) -> acc + x * x)"))
+    val approx = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qarr, qq, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+      .withColumn("nn", expr("aggregate(qarr, 0L, (acc, x) -> acc + x * x)"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("dot").cast(DoubleType) /
+          (sqrt(col("nn").cast(DoubleType)) * sqrt(col("qn").cast(DoubleType))), 6)
+          .as("acos"))
+    val topR = graft.plans.TopKPerKey.topKPerKey(approx, RescoreK,
+      Seq("query_id"), Seq("acos" -> false, "neighbor_id" -> true))
+      .select("query_id", "neighbor_id")
+    val qe = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(topR), "neighbor_id")
+      .join(broadcast(qe), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(floatCosine(col("qe"), col("embedding")), 4).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast(IntegerType))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rk")
+  }
+
+  val annIvfRescoreSql: String =
+    s"""WITH $kmeansCellsSql,
+        probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM (
+                     SELECT vec_id, cent_id,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rk
+                     FROM dfin WHERE vec_id < $NumQueries)
+                   WHERE rk <= (SELECT greatest($NumProbes,
+                                  ($ProbePct * k + 50) // 100) FROM kk)),
+        mx AS (SELECT vec_id,
+                 (SELECT max(abs(CAST(u.x AS DOUBLE)))
+                  FROM unnest(embedding) AS u(x)) AS ma
+               FROM embeddings),
+        q8 AS (SELECT e.vec_id, t.i,
+                 CAST(greatest(-127, least(127,
+                   floor(CAST(e.embedding[i] AS DOUBLE) * 127.0 / m.ma + 0.5))) AS BIGINT) AS q
+               FROM embeddings e JOIN mx m USING (vec_id),
+                    generate_series(1, 64) t(i)),
+        ap AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                 round(CAST(sum(a.q * b.q) AS DOUBLE)
+                   / (sqrt(CAST(sum(b.q * b.q) AS DOUBLE))
+                      * sqrt(CAST(sum(a.q * a.q) AS DOUBLE))), 6) AS acos
+               FROM probes p
+               JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
+               JOIN q8 a ON a.vec_id = p.query_id
+               JOIN q8 b ON b.vec_id = c.vec_id AND b.i = a.i
+               GROUP BY 1, 2),
+        topr AS (SELECT query_id, neighbor_id FROM (
+                   SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY acos DESC, neighbor_id) AS rk
+                   FROM ap) WHERE rk <= $RescoreK),
+        ex AS (SELECT t.query_id, t.neighbor_id,
+                 round(sum(CAST(qe.embedding[i] * e.embedding[i] AS DOUBLE))
+                   / (sqrt(sum(CAST(qe.embedding[i] * qe.embedding[i] AS DOUBLE)))
+                      * sqrt(sum(CAST(e.embedding[i] * e.embedding[i] AS DOUBLE)))), 4) AS cos
+               FROM topr t
+               JOIN embeddings qe ON qe.vec_id = t.query_id
+               JOIN embeddings e ON e.vec_id = t.neighbor_id,
+                    generate_series(1, 64) tt(i)
+               GROUP BY 1, 2)
+        SELECT query_id, rk, neighbor_id, cos FROM (
+          SELECT query_id, neighbor_id, cos,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS INT) AS rk
+          FROM ex) WHERE rk <= $TopK
+        ORDER BY query_id, rk"""
+
   /** Banded signature CTE mirroring [[bandSignatures]] 1:1: plane p belongs
     * to band p // 4, bit p % 4, so buckets stay 4-bit (no INT32 overflow). */
   private val bucketsSql: String =

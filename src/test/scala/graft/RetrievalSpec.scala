@@ -1,0 +1,65 @@
+package graft
+
+import graft.llm.Retrieval
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+
+/** Text-retrieval invariants beyond the oracle hash gate (which proves
+  * Spark and DuckDB agree, not that the ranking is sane) — plus the plan
+  * shape that keeps the postings join corpus-linear. */
+class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def ranked(df: org.apache.spark.sql.DataFrame, score: String) = {
+    val rows = df.collect()
+    // Full result: every query present, exactly top-k rows, ranks 1..k.
+    val perQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(perQuery.size == Retrieval.NumQueries,
+      s"expected ${Retrieval.NumQueries} queries, got ${perQuery.keySet}")
+    perQuery.foreach { case (q, g) =>
+      assert(g.length == Retrieval.TopK, s"query $q: ${g.length} rows")
+      assert(g.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to Retrieval.TopK),
+        s"query $q: ranks not 1..${Retrieval.TopK}")
+      // Scores non-increasing in rank; self never retrieved.
+      val byRk = g.sortBy(_.getAs[Int]("rk"))
+      val ss = byRk.map(_.getAs[Double](score))
+      assert(ss.zip(ss.tail).forall { case (a, b) => a >= b },
+        s"query $q: $score not non-increasing: ${ss.toSeq}")
+      assert(g.forall(_.getAs[Long]("doc_id") != q), s"query $q retrieved itself")
+    }
+    rows
+  }
+
+  test("bm25 returns a full, sane, self-free top-k per query") {
+    val rows = ranked(Retrieval.bm25TopK(spark, Sf), "score")
+    // Robertson idf is strictly positive, so every reported score is > 0.
+    assert(rows.forall(_.getAs[Double]("score") > 0), "non-positive BM25 score")
+  }
+
+  test("hybrid RRF fuses both rankers and bounds contributions") {
+    val rows = ranked(Retrieval.hybridRrf(spark, Sf), "rrf")
+    // Every fused doc came from 1 or 2 lists; its score is bounded by the
+    // best possible contribution of that many lists and is at least the
+    // worst (rank=ListK) contribution of one.
+    rows.foreach { r =>
+      val nl = r.getAs[Int]("n_lists")
+      assert(nl == 1 || nl == 2, s"n_lists $nl")
+      val v = r.getAs[Double]("rrf")
+      assert(v <= nl * (1.0 / (Retrieval.RrfK + 1)) + 1e-9, s"rrf $v too high for $nl lists")
+      assert(v >= 1.0 / (Retrieval.RrfK + Retrieval.ListK) - 1e-9, s"rrf $v below floor")
+    }
+    // Fusion must actually mix: across the result, docs backed by both
+    // lists exist (the two rankers agree on SOME strong hits).
+    assert(rows.exists(_.getAs[Int]("n_lists") == 2),
+      "no doc was ranked by both BM25 and Jaccard — fusion degenerated")
+  }
+
+  test("postings join broadcasts the query side and never goes quadratic") {
+    val df = Retrieval.bm25TopK(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"query-term side must broadcast:\n$plan")
+    val cart = collectWithSubqueries(plan) { case j: CartesianProductExec => j }
+    assert(cart.isEmpty, s"no cartesian product in a retrieval plan:\n$plan")
+  }
+}
