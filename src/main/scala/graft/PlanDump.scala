@@ -79,7 +79,19 @@ object PlanDump {
       "feature pass over documents (map-side-combined per-doc projection), " +
       "a digest self-aggregate joined back on digest (aggregation join, " +
       "linear in docs), then a source-arity rollup — no window over the " +
-      "corpus, no self cross join."))
+      "corpus, no self cross join."),
+    "q_bm25_topk" -> ("Inverted-index BM25 retrieval. Expect: ONE postings " +
+      "aggregate feeding df/doc-length/stats reuses (the cached postings " +
+      "scan), the query-term x df side BROADCAST into the postings join, " +
+      "the 1-row stats as a broadcast nested loop, and the top-k window " +
+      "partitioned per query — bounded, never global (RetrievalSpec gates " +
+      "broadcast presence and no cartesian product)."),
+    "q_ann_ivf_rescore" -> ("Two-stage compressed-first-pass ANN. Expect: " +
+      "the probe stage shaped like q_ann_ivf (broadcast probes onto " +
+      "cell-partitioned int8 codes), the custom TopKPerKey operator " +
+      "(partial heaps below ONE exchange on query_id) instead of a " +
+      "candidate sort, and the float rescore join driven by the BROADCAST " +
+      "RescoreK-bounded survivor list probing the corpus scan."))
 
   /** Streaming queries return a sink read whose plan says nothing; what
     * scales (or doesn't) is the per-micro-batch KERNEL. These dump the same
@@ -114,7 +126,20 @@ object PlanDump {
         "the per-batch plan, no window, one map-side-combined per-doc " +
         "aggregate.",
         TextAnalysis.scorePpl(TextAnalysis.bigramsOf(arrivals.select("doc_id", "text")),
-          c2, c1, vocab)))
+          c2, c1, vocab)),
+      ("q_stream_decontam (micro-batch kernel)",
+        "Per-arrival-batch BM25 scorer of streamDecontam. Expect: the " +
+        "length-folded corpus postings (built once, cached) probed by the " +
+        "BROADCAST arrival term x df list, the 1-row stats as a broadcast " +
+        "nested loop, one map-side-combined (query, doc) aggregate — no " +
+        "SortMergeJoin, no per-batch corpus aggregate (PlanShapeSpec " +
+        "'decontam screening' gates this).", {
+        import graft.llm.Retrieval
+        val ix = Retrieval.buildIndex(corpus.select("doc_id", "text"))
+        Retrieval.scoreAgainst(ix,
+          Retrieval.postings(arrivals.select("doc_id", "text"))
+            .select(col("doc_id").as("query_id"), col("term")))
+      }))
   }
 
   def main(args: Array[String]): Unit = {

@@ -131,6 +131,7 @@ object SparkEntry {
     "q_stream_cdc_apply" -> (graft.streaming.EventStreams.streamCdcApply _),
     "q_stream_ingest_dedup" -> (graft.streaming.DocStreams.streamIngestDedup _),
     "q_stream_quality_gate" -> (graft.streaming.DocStreams.streamQualityGate _),
+    "q_stream_decontam" -> (graft.streaming.DocStreams.streamDecontam _),
     "q_range_join" -> (Advanced.rangeJoin _),
     "q_sliding_window" -> (Analytics.slidingWindow _),
     // Advanced: JSON source, as-of join, deterministic order stats
@@ -452,6 +453,7 @@ object SparkEntry {
     "q_stream_cdc_apply" -> graft.streaming.EventStreams.streamCdcApplySql,
     "q_stream_ingest_dedup" -> graft.streaming.DocStreams.streamIngestDedupSql,
     "q_stream_quality_gate" -> graft.streaming.DocStreams.streamQualityGateSql,
+    "q_stream_decontam" -> graft.streaming.DocStreams.streamDecontamSql,
     "q_range_join" -> Advanced.rangeJoinSql,
     "q_sliding_window" -> Analytics.slidingWindowSql,
     "q_json_roundtrip" -> Advanced.jsonRoundtripSql,

@@ -47,9 +47,48 @@ object Retrieval {
 
   /** One row per (doc, term) occurrence count, split on single spaces —
     * the tokenization every text operator in the library uses. */
-  private def postings(docs: DataFrame): DataFrame =
+  private[graft] def postings(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** The standing corpus side of BM25: postings WITH the doc length folded
+    * in (so scoring probes ONE table — no per-batch doc-arity join), term
+    * dfs, and the 1-row corpus stats. `cache` pins them (via TrackedCaches)
+    * for callers that probe the index repeatedly — the streaming
+    * decontamination gate builds it ONCE and scores every micro-batch
+    * against it without another corpus pass. */
+  private[graft] case class Bm25Index(tf: DataFrame, dft: DataFrame,
+      stats: DataFrame)
+
+  private[graft] def buildIndex(docs: DataFrame, cache: Boolean = false): Bm25Index = {
+    def pin(df: DataFrame): DataFrame =
+      if (cache) graft.TrackedCaches.track(df.cache()) else df
+    val tf0 = pin(postings(docs))
+    val dl = tf0.groupBy("doc_id").agg(sum("tf").as("len"))
+    val stats = pin(dl.agg(count(lit(1)).as("n"),
+      (sum("len").cast(DoubleType) / count(lit(1))).as("avglen")))
+    val tf = pin(tf0.join(dl, "doc_id"))
+    val dft = pin(tf0.groupBy("term").agg(count(lit(1)).as("df")))
+    Bm25Index(tf, dft, stats)
+  }
+
+  /** (query_id, doc_id, score) of every (query, corpus-doc) pair sharing a
+    * sub-ceiling term. `queryTerms` is (query_id, term) — distinct terms,
+    * the short-query convention; df/length/stats all come from the INDEX
+    * side only, so a score depends on nothing but the standing corpus and
+    * the query's own terms (the invariance the streaming gate relies on). */
+  private[graft] def scoreAgainst(ix: Bm25Index, queryTerms: DataFrame): DataFrame =
+    ix.tf
+      .join(broadcast(queryTerms.join(ix.dft, "term")), "term")
+      .crossJoin(broadcast(ix.stats))
+      .filter(col("doc_id") =!= col("query_id") && col("df") * 100 <= col("n") * MaxDfPct)
+      .withColumn("ts", round(
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(K1 + 1.0)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("len") / col("avglen")))),
+        6).cast(DecimalType(20, 6)))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("ts").cast(DoubleType), 6).as("score"))
 
   /** BM25 top-k: score = sum over shared terms of
     * ln(1 + (N - df + 0.5)/(df + 0.5)) * (tf*(k1+1)) / (tf + k1*(1 - b + b*len/avglen))
@@ -58,25 +97,10 @@ object Retrieval {
     * the 1-row (N, avglen) stats and the query term lists broadcast. */
   def bm25TopK(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val tf = graft.TrackedCaches.track(postings(docs).cache())
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("len"))
-    val stats = dl.agg(count(lit(1)).as("n"),
-      (sum("len").cast(DoubleType) / count(lit(1))).as("avglen"))
-    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val qt = tf.filter(col("doc_id") < NumQueries)
+    val ix = buildIndex(docs, cache = true)
+    val qt = ix.tf.filter(col("doc_id") < NumQueries)
       .select(col("doc_id").as("query_id"), col("term"))
-    val sc = tf
-      .join(broadcast(qt.join(dft, "term")), "term")
-      .crossJoin(broadcast(stats))
-      .filter(col("doc_id") =!= col("query_id") && col("df") * 100 <= col("n") * MaxDfPct)
-      .join(dl, "doc_id")
-      .withColumn("ts", round(
-        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("tf") * lit(K1 + 1.0)) /
-          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("len") / col("avglen")))),
-        6).cast(DecimalType(20, 6)))
-    val agg = sc.groupBy("query_id", "doc_id")
-      .agg(round(sum("ts").cast(DoubleType), 6).as("score"))
+    val agg = scoreAgainst(ix, qt)
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
     agg.withColumn("rk", row_number().over(w).cast(IntegerType))
       .filter(col("rk") <= TopK)

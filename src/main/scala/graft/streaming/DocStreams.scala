@@ -342,4 +342,134 @@ object DocStreams {
         WHERE d.doc_id % 5 = 0
         ORDER BY d.doc_id"""
   }
+
+  /** Admission ceiling for [[streamDecontam]]: an arrival whose best BM25
+    * match in the standing corpus scores ABOVE this is rejected as a
+    * contamination suspect (its term profile retrieves an existing doc too
+    * well). Sits just under the arrival top-score median at sf0.01 (~8.67)
+    * so both verdicts are exercised. */
+  val Bm25AdmitMax = 8.6
+
+  /** Streaming decontamination gate — the retrieval twin of
+    * [[streamQualityGate]]: the standing corpus (doc_id % 5 != 0) is
+    * indexed for BM25 ONCE ([[Retrieval.buildIndex]], cached); each
+    * arriving micro-batch's term lists are broadcast against the cached
+    * postings, every arrival gets its best-scoring corpus match, and is
+    * admitted iff that score <= [[Bm25AdmitMax]] — the eval-set /
+    * known-corpus screening a production ingest runs before training data
+    * is accepted. Arrivals with NO sub-ceiling shared term (nothing to
+    * retrieve) admit with top_match = -1, score 0.
+    *
+    * Verdicts depend only on the static corpus index and the arrival doc's
+    * own terms ([[Retrieval.scoreAgainst]] takes df/length/stats from the
+    * index side only), so they are micro-batch-partitioning-invariant and
+    * the batch DuckDB oracle gates the streaming run bit-for-bit (the
+    * [[streamIngestDedup]] argument). Per micro-batch cost is |batch| x
+    * posting-list probe work; the corpus is never re-scanned after the
+    * index builds. */
+  def streamDecontam(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file._
+    import graft.llm.Retrieval
+    val dir = stageDocs(s, d)
+    val corpus = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+      .select("doc_id", "text")
+    val ix = Retrieval.buildIndex(corpus, cache = true)
+
+    def screen(batch: DataFrame): DataFrame = {
+      val qt = Retrieval.postings(batch.select(col("doc_id"), col("text")))
+        .select(col("doc_id").as("query_id"), col("term"))
+      val scores = Retrieval.scoreAgainst(ix, qt)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+      val top = scores.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("query_id").as("doc_id"), col("doc_id").as("top_match"),
+          col("score").as("top_score"))
+      batch.select(col("doc_id"))
+        .join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("top_match"), lit(-1L)).as("top_match"),
+          coalesce(col("top_score"), lit(0.0)).as("top_score"),
+          (coalesce(col("top_score"), lit(0.0)) <= lit(Bm25AdmitMax)).as("admit"))
+    }
+
+    val outBase = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_decontam")
+    if (Files.exists(outBase)) {
+      Files.walk(outBase).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(outBase)
+    @volatile var latest = -1L
+    val stream = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 2).parquet(dir)
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        screen(batch.toDF())
+          .write.mode("overwrite")
+          .parquet(outBase.resolve(s"v$batchId").toString)
+        latest = batchId
+        ()
+    }
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val qs = q.start()
+      try qs.processAllAvailable() finally qs.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    val nChunks = Files.list(Paths.get(dir))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    require(latest >= 1 || nChunks <= 2,
+      s"decontam gate ran ${latest + 1} micro-batches over $nChunks chunks — " +
+        "need >= 2 batches for the screening to actually be incremental")
+    // Same empty-zone discipline as the sibling gates: screen a LIMIT 0
+    // batch to produce the exact output schema with zero rows.
+    if (latest < 0)
+      screen(corpus.limit(0)).orderBy("doc_id")
+    else
+      s.read.parquet((0L to latest).map(b => outBase.resolve(s"v$b").toString): _*)
+        .orderBy("doc_id")
+  }
+
+  /** Batch oracle of [[streamDecontam]] (valid per its scaladoc): the same
+    * corpus-side BM25 CTEs as [[graft.llm.Retrieval.bm25Sql]] restricted to
+    * the standing corpus, arrival term lists as the query side, top-1 by
+    * (score DESC, doc_id), left-joined to every arrival. */
+  val streamDecontamSql: String = {
+    import graft.llm.Retrieval._
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        arr AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        toks AS (SELECT doc_id, u.t AS term
+                 FROM corpus, unnest(string_split(text, ' ')) u(t)),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dl AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1),
+        stats AS (SELECT count(*) AS n,
+                    CAST(sum(len) AS DOUBLE) / count(*) AS avglen FROM dl),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        qt AS (SELECT doc_id AS query_id, u.t AS term
+               FROM arr, unnest(string_split(text, ' ')) u(t) GROUP BY 1, 2),
+        sc AS (SELECT q.query_id, f.doc_id,
+                 round(CAST(sum(
+                   CAST(round(ln(1.0 + (CAST(s.n AS BIGINT) - d.df + 0.5) / (d.df + 0.5))
+                     * (f.tf * ${K1 + 1.0})
+                     / (f.tf + $K1 * (${1.0 - B} + $B * (CAST(l.len AS DOUBLE) / s.avglen))),
+                     6) AS DECIMAL(20, 6))) AS DOUBLE), 6) AS score
+               FROM qt q
+               JOIN dft d USING (term)
+               JOIN tf f USING (term)
+               JOIN dl l ON l.doc_id = f.doc_id, stats s
+               WHERE f.doc_id <> q.query_id AND d.df * 100 <= s.n * $MaxDfPct
+               GROUP BY 1, 2),
+        top AS (SELECT query_id AS doc_id, doc_id AS top_match, score AS top_score
+                FROM (SELECT query_id, doc_id, score,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id) AS rk
+                      FROM sc) WHERE rk = 1)
+        SELECT a.doc_id,
+          coalesce(t.top_match, CAST(-1 AS BIGINT)) AS top_match,
+          coalesce(t.top_score, 0.0) AS top_score,
+          coalesce(t.top_score, 0.0) <= $Bm25AdmitMax AS admit
+        FROM arr a LEFT JOIN top t ON a.doc_id = t.doc_id
+        ORDER BY a.doc_id"""
+  }
 }

@@ -119,6 +119,29 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     corpusSig.unpersist()
   }
 
+  test("decontam screening broadcasts arrival terms; corpus postings never sort-merge") {
+    // The per-micro-batch kernel of q_stream_decontam: corpus postings are
+    // the big side and must be probed in place by the broadcast arrival
+    // term lists — re-shuffling the postings index per micro-batch is the
+    // scale-killer this gate exists to catch.
+    import graft.llm.Retrieval
+    val docs = Tables.documents(spark, Sf)
+    val ix = Retrieval.buildIndex(
+      docs.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text"))
+    val qt = Retrieval.postings(
+      docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text"))
+      .select(col("doc_id").as("query_id"), col("term"))
+    val df = Retrieval.scoreAgainst(ix, qt)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty,
+      s"arrival term list must broadcast into the postings join:\n$plan")
+    val smj = collectWithSubqueries(plan) { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty,
+      s"corpus postings must never be shuffled for the probe join:\n$plan")
+  }
+
   test("LM scoring broadcasts both model sides; bucketing never windows") {
     // The bigram stream is corpus-scale; the model tables are vocab-bounded.
     // A sort-merge join here would shuffle the corpus per scoring pass.
