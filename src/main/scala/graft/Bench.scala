@@ -198,22 +198,33 @@ object Bench {
       s"""{"gcMsPerQuery":$gcs,"cpuMsPerQuery":$cpus_,"runsPerQuery":$runs}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$env,"sf":"$sfDir"}"""
-    val wallArr = results.map { case (_, v, _, _, _) => f"$v%.2f" }
+    // Locale-independent fixed-point rendering: the f interpolator honors
+    // the JVM default locale (a comma decimal separator would emit invalid
+    // JSON and crash the .toDouble), so numbers go through BigDecimal +
+    // Double.toString, which are locale-free.
+    def num(v: Double, dp: Int): String =
+      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble.toString
+    val wallArr = results.map { case (_, v, _, _, _) => num(v, 2) }
       .mkString("[", ",", "]")
-    val cpuArr = results.map { case (_, _, _, c, _) => f"${c / 1000.0}%.1f" }
+    val cpuArr = results.map { case (_, _, _, c, _) => num(c / 1000.0, 1) }
       .mkString("[", ",", "]")
     val cpuTotal = results.map(_._4).sum / 1000.0
     val head =
-      s"""{"metric":"total","value":${f"$total%.2f".toDouble},"unit":"sec","nQueries":${results.size},""" +
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","nQueries":${results.size},""" +
       s""""errors":$errs,$env,"sf":"$sfDir","order":"sorted query names",""" +
-      s""""cpuSecTotal":${f"$cpuTotal%.1f".toDouble}"""
+      s""""cpuSecTotal":${num(cpuTotal, 1)}"""
     // Belt-and-braces: if outlier digits ever push the line past the
-    // captured tail, shed the cpu array, then the wall array — a parseable
-    // headline beats a truncated everything.
+    // captured tail, shed the cpu array, then the wall array, then the
+    // (mass-failure-inflatable) errors list itself — a parseable headline
+    // with an error COUNT beats a truncated everything, and the final
+    // candidate is bounded (~250 chars) so the chain cannot come up empty.
+    val minimal =
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","nQueries":${results.size},""" +
+      s""""nErrors":${errors.size},$env,"sf":"$sfDir"}"""
     val compact = Seq(
       s"""$head,"wallSec":$wallArr,"cpuSec":$cpuArr}""",
       s"""$head,"wallSec":$wallArr}""",
-      s"""$head}""").find(_.length <= 1900).get
+      s"""$head}""").find(_.length <= 1900).getOrElse(minimal)
     println(diag)
     println(json)
     println(compact)

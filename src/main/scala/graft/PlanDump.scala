@@ -80,12 +80,13 @@ object PlanDump {
       "a digest self-aggregate joined back on digest (aggregation join, " +
       "linear in docs), then a source-arity rollup — no window over the " +
       "corpus, no self cross join."),
-    "q_bm25_topk" -> ("Inverted-index BM25 retrieval. Expect: ONE postings " +
-      "aggregate feeding df/doc-length/stats reuses (the cached postings " +
-      "scan), the query-term x df side BROADCAST into the postings join, " +
-      "the 1-row stats as a broadcast nested loop, and the top-k window " +
-      "partitioned per query — bounded, never global (RetrievalSpec gates " +
-      "broadcast presence and no cartesian product)."),
+    "q_bm25_topk" -> ("Inverted-index BM25 retrieval. Expect: cached " +
+      "length-folded postings probed by the BROADCAST query-term x df " +
+      "side (df-ceiling applied to the query list BEFORE this join; " +
+      "corpus stats are collected scalars, so no stats join exists at " +
+      "all), and the top-k window partitioned per query — bounded, never " +
+      "global (RetrievalSpec gates broadcast presence and no cartesian " +
+      "product)."),
     "q_ann_ivf_rescore" -> ("Two-stage compressed-first-pass ANN. Expect: " +
       "the probe stage shaped like q_ann_ivf (broadcast probes onto " +
       "cell-partitioned int8 codes), the custom TopKPerKey operator " +
@@ -100,6 +101,10 @@ object PlanDump {
   private def kernels(s: SparkSession, sf: String): Seq[(String, String, org.apache.spark.sql.DataFrame)] = {
     import org.apache.spark.sql.functions.{col, md5, min}
     import graft.llm.{Dedup, TextAnalysis}
+    // Index tables are cached and materialized exactly as the stream mains
+    // cache them, so the dumped per-batch plans probe InMemoryTableScans —
+    // the shape that actually runs per micro-batch — rather than showing
+    // corpus aggregates the streams only ever run once.
     val docs = Tables.documents(s, sf)
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val corpusSig = Dedup.signaturesOf(corpus).cache()
@@ -107,7 +112,8 @@ object PlanDump {
     val corpusBands = Dedup.bandRows(corpusSig)
       .toDF(("db" +: (0 until rows).map(r => s"w$r")) :+ "band": _*)
     val corpusDigests = corpus.select(md5(col("text")).as("digest"), col("doc_id"))
-      .groupBy("digest").agg(min("doc_id").as("exact_src"))
+      .groupBy("digest").agg(min("doc_id").as("exact_src")).cache()
+    corpusDigests.count()
     val arrivals = docs.filter(col("doc_id") % 5 === 0)
     val (c2, c1, vocab) =
       TextAnalysis.bigramModel(TextAnalysis.bigramsOf(corpus.select("doc_id", "text")))
@@ -128,17 +134,20 @@ object PlanDump {
         TextAnalysis.scorePpl(TextAnalysis.bigramsOf(arrivals.select("doc_id", "text")),
           c2, c1, vocab)),
       ("q_stream_decontam (micro-batch kernel)",
-        "Per-arrival-batch BM25 scorer of streamDecontam. Expect: the " +
-        "length-folded corpus postings (built once, cached) probed by the " +
-        "BROADCAST arrival term x df list, the 1-row stats as a broadcast " +
-        "nested loop, one map-side-combined (query, doc) aggregate — no " +
-        "SortMergeJoin, no per-batch corpus aggregate (PlanShapeSpec " +
-        "'decontam screening' gates this).", {
+        "Per-arrival-batch two-stage BM25 screen of streamDecontam. " +
+        "Expect: stage 1 — cached postings (InMemoryTableScan, as at " +
+        "runtime) probed by the BROADCAST rare arrival terms, match " +
+        "counts into the bounded-heap TopKPerKey cap; stage 2 — the " +
+        "cached forward index probed by the BROADCAST (batch x CandCap) " +
+        "candidate list, scores folded in place from each doc's term " +
+        "array. No SortMergeJoin, no per-batch corpus aggregate " +
+        "(PlanShapeSpec 'decontam screening' gates this).", {
         import graft.llm.Retrieval
-        val ix = Retrieval.buildIndex(corpus.select("doc_id", "text"))
-        Retrieval.scoreAgainst(ix,
-          Retrieval.postings(arrivals.select("doc_id", "text"))
-            .select(col("doc_id").as("query_id"), col("term")))
+        val ix = Retrieval.buildIndex(corpus.select("doc_id", "text"), cache = true)
+        val fwd = Retrieval.forwardIndex(ix, cache = true)
+        val qt = Retrieval.postings(arrivals.select("doc_id", "text"))
+          .select(col("doc_id").as("query_id"), col("term"))
+        Retrieval.scoreCandidates(ix, fwd, qt, Retrieval.screenCandidates(ix, qt))
       }))
   }
 

@@ -187,7 +187,8 @@ object ScaleTest {
       buildDocs(spark, src, docsDst, 10)
       new java.io.File(s"$docsDst/_built").createNewFile()
     }
-    val docSubset = Seq("q_stream_ingest_dedup", "q_stream_quality_gate")
+    val docSubset = Seq("q_stream_ingest_dedup", "q_stream_quality_gate",
+      "q_stream_decontam")
     def timeDocStream(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)

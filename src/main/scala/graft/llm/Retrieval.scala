@@ -53,23 +53,40 @@ object Retrieval {
 
   /** The standing corpus side of BM25: postings WITH the doc length folded
     * in (so scoring probes ONE table — no per-batch doc-arity join), term
-    * dfs, and the 1-row corpus stats. `cache` pins them (via TrackedCaches)
-    * for callers that probe the index repeatedly — the streaming
-    * decontamination gate builds it ONCE and scores every micro-batch
-    * against it without another corpus pass. */
+    * dfs, and the corpus stats COLLECTED to scalars (1-row aggregate — the
+    * trainCentroids discipline) so the df ceiling can prune the QUERY side
+    * before the postings join ever runs. `cache` pins tf/dft (via
+    * TrackedCaches) and materializes them eagerly for callers that probe
+    * the index repeatedly — the streaming decontamination gate builds it
+    * ONCE and scores every micro-batch against it without another corpus
+    * pass; the raw postings used during the build are unpersisted once the
+    * derived tables exist, so steady-state memory is tf + dft only. */
   private[graft] case class Bm25Index(tf: DataFrame, dft: DataFrame,
-      stats: DataFrame)
+      n: Long, avgLen: Double)
 
   private[graft] def buildIndex(docs: DataFrame, cache: Boolean = false): Bm25Index = {
+    val tf0 = postings(docs)
+    if (cache) tf0.cache()
+    val dl = tf0.groupBy("doc_id").agg(sum("tf").as("len"))
+    val st = dl.agg(count(lit(1)).as("n"),
+      (sum("len").cast(DoubleType) / count(lit(1))).as("avglen")).collect()(0)
     def pin(df: DataFrame): DataFrame =
       if (cache) graft.TrackedCaches.track(df.cache()) else df
-    val tf0 = pin(postings(docs))
-    val dl = tf0.groupBy("doc_id").agg(sum("tf").as("len"))
-    val stats = pin(dl.agg(count(lit(1)).as("n"),
-      (sum("len").cast(DoubleType) / count(lit(1))).as("avglen")))
     val tf = pin(tf0.join(dl, "doc_id"))
     val dft = pin(tf0.groupBy("term").agg(count(lit(1)).as("df")))
-    Bm25Index(tf, dft, stats)
+    if (cache) { tf.count(); dft.count(); tf0.unpersist() }
+    Bm25Index(tf, dft, st.getLong(0), st.getDouble(1))
+  }
+
+  /** Candidate (query, corpus-doc, tf, df, len) rows: the df ceiling is
+    * applied to the QUERY term list BEFORE the postings join — a
+    * stopword-class term is dropped without its corpus-scale posting list
+    * ever entering a join. */
+  private def candidates(ix: Bm25Index, queryTerms: DataFrame): DataFrame = {
+    val qt = queryTerms.join(ix.dft, "term")
+      .filter(col("df") * 100 <= lit(ix.n) * MaxDfPct)
+    ix.tf.join(broadcast(qt), "term")
+      .filter(col("doc_id") =!= col("query_id"))
   }
 
   /** (query_id, doc_id, score) of every (query, corpus-doc) pair sharing a
@@ -78,23 +95,109 @@ object Retrieval {
     * side only, so a score depends on nothing but the standing corpus and
     * the query's own terms (the invariance the streaming gate relies on). */
   private[graft] def scoreAgainst(ix: Bm25Index, queryTerms: DataFrame): DataFrame =
-    ix.tf
-      .join(broadcast(queryTerms.join(ix.dft, "term")), "term")
-      .crossJoin(broadcast(ix.stats))
-      .filter(col("doc_id") =!= col("query_id") && col("df") * 100 <= col("n") * MaxDfPct)
+    candidates(ix, queryTerms)
       .withColumn("ts", round(
-        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        log(lit(1.0) + (lit(ix.n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
           (col("tf") * lit(K1 + 1.0)) /
-          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("len") / col("avglen")))),
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("len") / lit(ix.avgLen)))),
         6).cast(DecimalType(20, 6)))
       .groupBy("query_id", "doc_id")
       .agg(round(sum("ts").cast(DoubleType), 6).as("score"))
+
+  // ---- Bounded screening (the many-queries regime) -------------------------
+  //
+  // scoreAgainst is the right shape when queries are FEW (its cost is the
+  // posting lists of every query term). A screening workload — every
+  // arriving document is a query — needs a hard per-query bound instead:
+  // measured on the 10x synthetic corpus (whose 31-term vocabulary makes
+  // every posting list corpus-scale, the worst case for an inverted
+  // index), unbounded screening was ~|arrivals| x |corpus| candidate pairs
+  // and ground a 10-minute micro-batch. The standard IR-engine answer,
+  // implemented here: candidates from the query's most SELECTIVE terms
+  // only, capped per query, then FULL BM25 on just those candidates via a
+  // forward index probe. A true near-copy shares its source's rare terms
+  // and floods the match count, so detection survives the cut; per-query
+  // cost is <= RareTerms posting-list probes + CandCap forward-row scores,
+  // whatever the corpus looks like.
+
+  /** Selective terms per screening query fed to candidate generation.
+    * Cost lever: the stage-1 scatter is ~ sum of the rare terms' posting
+    * lists per query, so this multiplies the screen's dominant cost. 4
+    * measured ~2x cheaper than 8 on the selectivity-floor corpus with the
+    * same candidate quality — a near-copy floods ALL its source's rare
+    * terms, so detection needs few probes. */
+  val RareTerms = 4
+  /** Candidates per screening query that reach full scoring. */
+  val CandCap = 100
+
+  /** Stage 1: per query, docs sharing >= 1 of its [[RareTerms]] lowest-df
+    * sub-ceiling terms, capped at [[CandCap]] by shared-rare-term count
+    * (bounded heaps via TopKPerKey — never a per-query sort). The rare-term
+    * rank window is per-query over its own term list: bounded. */
+  private[graft] def screenCandidates(ix: Bm25Index, queryTerms: DataFrame): DataFrame = {
+    val qd = queryTerms.join(ix.dft, "term")
+      .filter(col("df") * 100 <= lit(ix.n) * MaxDfPct)
+    val wr = Window.partitionBy("query_id").orderBy(col("df"), col("term"))
+    val rare = qd.withColumn("rrk", row_number().over(wr))
+      .filter(col("rrk") <= RareTerms).select("query_id", "term")
+    val hits = ix.tf.select("doc_id", "term").join(broadcast(rare), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("nmatch"))
+    graft.plans.TopKPerKey.topKPerKey(hits, CandCap, Seq("query_id"),
+      Seq("nmatch" -> false, "doc_id" -> true))
+      .select("query_id", "doc_id")
+  }
+
+  /** Stage 2: full BM25 of explicit (query, doc) pairs — identical VALUES
+    * to [[scoreAgainst]] for every pair, computed without touching posting
+    * lists: the (batch x CandCap)-bounded candidate list joins the query
+    * term->df maps and BROADCASTS into the cached forward index, and each
+    * doc's term array folds to its score in place. Per-term contributions
+    * round to 6 dp and accumulate as DECIMAL inside the fold, so the sum
+    * is order-independent and the DuckDB oracle (a plain unnest join)
+    * reproduces it exactly. n/avgLen are embedded as literals —
+    * Double.toString round-trips exactly, so both engines see the same
+    * constants. */
+  private[graft] def scoreCandidates(ix: Bm25Index, fwd: DataFrame,
+      queryTerms: DataFrame, cand: DataFrame): DataFrame = {
+    val qd = queryTerms.join(ix.dft, "term")
+      .filter(col("df") * 100 <= lit(ix.n) * MaxDfPct)
+    val qmaps = qd.groupBy("query_id")
+      .agg(map_from_entries(collect_list(struct(col("term"), col("df")))).as("qmap"))
+    fwd.join(broadcast(cand.join(qmaps, "query_id")), "doc_id")
+      .withColumn("sdec", expr(s"""
+        aggregate(
+          filter(terms, e -> qmap[e.term] IS NOT NULL),
+          CAST(0.0 AS DECIMAL(38, 6)),
+          (acc, e) -> acc + CAST(round(
+            ln(1.0D + (CAST(${ix.n} AS BIGINT) - qmap[e.term] + 0.5D)
+                      / (qmap[e.term] + 0.5D))
+            * (e.tf * ${K1 + 1.0}D)
+            / (e.tf + ${K1}D * (${1.0 - B}D + ${B}D * (CAST(len AS DOUBLE) / ${ix.avgLen}D))),
+            6) AS DECIMAL(20, 6)))"""))
+      .select(col("query_id"), col("doc_id"),
+        round(col("sdec").cast(DoubleType), 6).as("score"))
+  }
+
+  /** Forward index for stage-2 scoring: one row per doc — length + the
+    * term-sorted (term, tf) array. Built from the length-folded postings;
+    * `cache` pins + materializes it (the streaming gate's once-per-run
+    * build). */
+  private[graft] def forwardIndex(ix: Bm25Index, cache: Boolean = false): DataFrame = {
+    val fwd = ix.tf.groupBy("doc_id", "len")
+      .agg(sort_array(collect_list(struct(col("term"), col("tf")))).as("terms"))
+    if (cache) {
+      val pinned = graft.TrackedCaches.track(fwd.cache())
+      pinned.count()
+      pinned
+    } else fwd
+  }
 
   /** BM25 top-k: score = sum over shared terms of
     * ln(1 + (N - df + 0.5)/(df + 0.5)) * (tf*(k1+1)) / (tf + k1*(1 - b + b*len/avglen))
     * — the Robertson/Lucene formulation (always-positive idf). The corpus
     * pass builds postings + doc lengths once; df is a term-arity aggregate;
-    * the 1-row (N, avglen) stats and the query term lists broadcast. */
+    * (N, avglen) are collected scalars and the query term lists broadcast. */
   def bm25TopK(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val ix = buildIndex(docs, cache = true)
@@ -148,37 +251,22 @@ object Retrieval {
     * aggregate. */
   def hybridRrf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val tf = graft.TrackedCaches.track(postings(docs).cache())
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("len"))
-    val stats = dl.agg(count(lit(1)).as("n"),
-      (sum("len").cast(DoubleType) / count(lit(1))).as("avglen"))
-    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val nd = tf.groupBy("doc_id").agg(count(lit(1)).as("nterms"))
-    val qt = tf.filter(col("doc_id") < NumQueries)
+    val ix = buildIndex(docs, cache = true)
+    val qt = ix.tf.filter(col("doc_id") < NumQueries)
       .select(col("doc_id").as("query_id"), col("term"))
+    val nd = ix.tf.groupBy("doc_id").agg(count(lit(1)).as("nterms"))
     val qn = nd.filter(col("doc_id") < NumQueries)
       .select(col("doc_id").as("query_id"), col("nterms").as("qterms"))
 
-    val base = tf
-      .join(broadcast(qt.join(dft, "term")), "term")
-      .crossJoin(broadcast(stats))
-      .filter(col("doc_id") =!= col("query_id") && col("df") * 100 <= col("n") * MaxDfPct)
-
-    val bm = base.join(dl, "doc_id")
-      .withColumn("ts", round(
-        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("tf") * lit(K1 + 1.0)) /
-          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("len") / col("avglen")))),
-        6).cast(DecimalType(20, 6)))
-      .groupBy("query_id", "doc_id")
-      .agg(round(sum("ts").cast(DoubleType), 6).as("score"))
+    val bm = scoreAgainst(ix, qt)
     val wb = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
     val bmRanks = bm.withColumn("rk", row_number().over(wb))
       .filter(col("rk") <= ListK).select("query_id", "doc_id", "rk")
 
     // Token-SET Jaccard: |q ∩ d| / (|q| + |d| - |q ∩ d|), integer-exact
-    // until the one division, rounded before ranking.
-    val jac = base
+    // until the one division, rounded before ranking. Shares the df-capped
+    // candidate join with the BM25 side.
+    val jac = candidates(ix, qt)
       .groupBy("query_id", "doc_id").agg(count(lit(1)).as("inter"))
       .join(nd, "doc_id").join(broadcast(qn), "query_id")
       .withColumn("jac", round(

@@ -122,15 +122,24 @@ object TopKPerKey {
     * from the analyzed child directly: pure catalyst expressions, fully
     * task-serializable (Column->Expression conversion of `.desc` columns
     * drags a non-serializable sql.internal.SortOrder node into tasks). */
+  /** Register the strategy on `spark` if absent. Callers that plan on a
+    * DIFFERENT session than the frames' own must pre-register there: a
+    * streaming query clones the session at start() and plans every
+    * micro-batch on the clone, so a foreachBatch that builds a TopKPerKey
+    * node would otherwise die with "No plan for TopKPerKey" — register on
+    * the parent session BEFORE start() and the clone inherits it. */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    }
+
   def topKPerKey(df: DataFrame, k: Int, keyNames: Seq[String],
       orderSpecs: Seq[(String, Boolean)]): DataFrame = {
     val spark = df.sparkSession
     // Make the strategy available on ANY session (the driver contract runs
     // queries on sessions we don't build, so withExtensions isn't enough).
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
-    }
+    ensureRegistered(spark)
     val child = df.queryExecution.analyzed
     def attr(n: String): Attribute = child.output
       .find(_.name.equalsIgnoreCase(n))

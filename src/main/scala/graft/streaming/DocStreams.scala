@@ -352,21 +352,25 @@ object DocStreams {
 
   /** Streaming decontamination gate — the retrieval twin of
     * [[streamQualityGate]]: the standing corpus (doc_id % 5 != 0) is
-    * indexed for BM25 ONCE ([[Retrieval.buildIndex]], cached); each
-    * arriving micro-batch's term lists are broadcast against the cached
-    * postings, every arrival gets its best-scoring corpus match, and is
-    * admitted iff that score <= [[Bm25AdmitMax]] — the eval-set /
+    * indexed for BM25 ONCE ([[Retrieval.buildIndex]] + the forward index,
+    * both cached); each arriving micro-batch runs the bounded two-stage
+    * screen (every arrival is a query, so the per-query bound is the whole
+    * game — see the Retrieval "bounded screening" comment): candidates
+    * from each arrival's [[Retrieval.RareTerms]] most selective terms,
+    * capped at [[Retrieval.CandCap]], then full BM25 of just those pairs
+    * via a broadcast probe of the forward index. The best-scoring match
+    * admits the arrival iff score <= [[Bm25AdmitMax]] — the eval-set /
     * known-corpus screening a production ingest runs before training data
-    * is accepted. Arrivals with NO sub-ceiling shared term (nothing to
-    * retrieve) admit with top_match = -1, score 0.
+    * is accepted. Arrivals with NO sub-ceiling shared rare term (nothing
+    * to retrieve) admit with top_match = -1, score 0.
     *
     * Verdicts depend only on the static corpus index and the arrival doc's
-    * own terms ([[Retrieval.scoreAgainst]] takes df/length/stats from the
-    * index side only), so they are micro-batch-partitioning-invariant and
-    * the batch DuckDB oracle gates the streaming run bit-for-bit (the
+    * own terms (every screening stage takes df/length/stats from the index
+    * side only), so they are micro-batch-partitioning-invariant and the
+    * batch DuckDB oracle gates the streaming run bit-for-bit (the
     * [[streamIngestDedup]] argument). Per micro-batch cost is |batch| x
-    * posting-list probe work; the corpus is never re-scanned after the
-    * index builds. */
+    * (RareTerms posting probes + CandCap forward-row scores); the corpus
+    * is never re-scanned after the index builds. */
   def streamDecontam(s: SparkSession, d: String): DataFrame = {
     import java.nio.file._
     import graft.llm.Retrieval
@@ -374,11 +378,17 @@ object DocStreams {
     val corpus = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
       .select("doc_id", "text")
     val ix = Retrieval.buildIndex(corpus, cache = true)
+    val fwd = Retrieval.forwardIndex(ix, cache = true)
+    // The candidate cap runs the custom TopKPerKey operator INSIDE each
+    // micro-batch; the stream plans on a session clone made at start(), so
+    // the strategy must be on the parent session first (see ensureRegistered).
+    graft.plans.TopKPerKey.ensureRegistered(s)
 
     def screen(batch: DataFrame): DataFrame = {
       val qt = Retrieval.postings(batch.select(col("doc_id"), col("text")))
         .select(col("doc_id").as("query_id"), col("term"))
-      val scores = Retrieval.scoreAgainst(ix, qt)
+      val cand = Retrieval.screenCandidates(ix, qt)
+      val scores = Retrieval.scoreCandidates(ix, fwd, qt, cand)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
       val top = scores.withColumn("rk", row_number().over(w))
@@ -411,12 +421,13 @@ object DocStreams {
         latest = batchId
         ()
     }
-    val saved = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val qs = q.start()
-      try qs.processAllAvailable() finally qs.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    // Unlike the sibling doc streams (whose per-batch state is
+    // arrival-slice scale), decontam's stage-1 hit scatter is arrivals x
+    // posting-list rows — millions per batch on a low-selectivity corpus —
+    // so its micro-batches keep the session's full shuffle parallelism
+    // instead of the slice-sized 8.
+    val qs = q.start()
+    try qs.processAllAvailable() finally qs.stop()
     val nChunks = Files.list(Paths.get(dir))
       .filter(p => p.toString.endsWith(".parquet")).count()
     require(latest >= 1 || nChunks <= 2,
@@ -433,8 +444,13 @@ object DocStreams {
 
   /** Batch oracle of [[streamDecontam]] (valid per its scaladoc): the same
     * corpus-side BM25 CTEs as [[graft.llm.Retrieval.bm25Sql]] restricted to
-    * the standing corpus, arrival term lists as the query side, top-1 by
-    * (score DESC, doc_id), left-joined to every arrival. */
+    * the standing corpus, arrival term lists as the query side, and the
+    * SAME two-stage screen — rare-term candidates (row_number over (df,
+    * term) <= RareTerms), match-count cap (row_number over (nmatch DESC,
+    * doc_id) <= CandCap), full BM25 of the surviving pairs (the DECIMAL
+    * per-term sum is order-independent, so this plain unnest join equals
+    * Spark's forward-index fold bit-for-bit), top-1 by (score DESC,
+    * doc_id), left-joined to every arrival. */
   val streamDecontamSql: String = {
     import graft.llm.Retrieval._
     s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
@@ -448,17 +464,32 @@ object DocStreams {
         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         qt AS (SELECT doc_id AS query_id, u.t AS term
                FROM arr, unnest(string_split(text, ' ')) u(t) GROUP BY 1, 2),
-        sc AS (SELECT q.query_id, f.doc_id,
+        qd AS (SELECT q.query_id, q.term, d.df
+               FROM qt q JOIN dft d USING (term), stats s
+               WHERE d.df * 100 <= s.n * $MaxDfPct),
+        rare AS (SELECT query_id, term FROM (
+                   SELECT query_id, term,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY df, term) AS rrk
+                   FROM qd) WHERE rrk <= $RareTerms),
+        hits AS (SELECT r.query_id, f.doc_id, count(*) AS nmatch
+                 FROM rare r JOIN tf f USING (term)
+                 WHERE f.doc_id <> r.query_id GROUP BY 1, 2),
+        cand AS (SELECT query_id, doc_id FROM (
+                   SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY nmatch DESC, doc_id) AS crk
+                   FROM hits) WHERE crk <= $CandCap),
+        sc AS (SELECT c.query_id, c.doc_id,
                  round(CAST(sum(
-                   CAST(round(ln(1.0 + (CAST(s.n AS BIGINT) - d.df + 0.5) / (d.df + 0.5))
+                   CAST(round(ln(1.0 + (CAST(s.n AS BIGINT) - q.df + 0.5) / (q.df + 0.5))
                      * (f.tf * ${K1 + 1.0})
                      / (f.tf + $K1 * (${1.0 - B} + $B * (CAST(l.len AS DOUBLE) / s.avglen))),
                      6) AS DECIMAL(20, 6))) AS DOUBLE), 6) AS score
-               FROM qt q
-               JOIN dft d USING (term)
-               JOIN tf f USING (term)
-               JOIN dl l ON l.doc_id = f.doc_id, stats s
-               WHERE f.doc_id <> q.query_id AND d.df * 100 <= s.n * $MaxDfPct
+               FROM cand c
+               JOIN qd q ON q.query_id = c.query_id
+               JOIN tf f ON f.doc_id = c.doc_id AND f.term = q.term
+               JOIN dl l ON l.doc_id = c.doc_id, stats s
                GROUP BY 1, 2),
         top AS (SELECT query_id AS doc_id, doc_id AS top_match, score AS top_score
                 FROM (SELECT query_id, doc_id, score,

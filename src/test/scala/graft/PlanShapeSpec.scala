@@ -119,27 +119,33 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     corpusSig.unpersist()
   }
 
-  test("decontam screening broadcasts arrival terms; corpus postings never sort-merge") {
-    // The per-micro-batch kernel of q_stream_decontam: corpus postings are
-    // the big side and must be probed in place by the broadcast arrival
-    // term lists — re-shuffling the postings index per micro-batch is the
-    // scale-killer this gate exists to catch.
+  test("decontam screening broadcasts arrival sides; corpus tables never sort-merge") {
+    // The per-micro-batch kernel of q_stream_decontam: BOTH stages must
+    // probe the cached corpus tables in place — stage 1 broadcasts the
+    // rare arrival terms into the postings, stage 2 broadcasts the
+    // (batch x CandCap)-bounded candidate list into the forward index.
+    // Re-shuffling either corpus table per micro-batch is the scale-killer
+    // this gate exists to catch.
     import graft.llm.Retrieval
     val docs = Tables.documents(spark, Sf)
+    // cache = true: the gate must audit the shape that runs per micro-batch
+    // (cached index probed in place), not the one-time index build.
     val ix = Retrieval.buildIndex(
-      docs.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text"))
+      docs.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text"), cache = true)
+    val fwd = Retrieval.forwardIndex(ix, cache = true)
     val qt = Retrieval.postings(
       docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text"))
       .select(col("doc_id").as("query_id"), col("term"))
-    val df = Retrieval.scoreAgainst(ix, qt)
+    val df = Retrieval.scoreCandidates(ix, fwd, qt, Retrieval.screenCandidates(ix, qt))
     df.collect()
     val plan = df.queryExecution.executedPlan
     val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
-    assert(bhj.nonEmpty,
-      s"arrival term list must broadcast into the postings join:\n$plan")
+    assert(bhj.size >= 2,
+      s"rare-term probe AND candidate-list probe must broadcast, got ${bhj.size}:\n$plan")
     val smj = collectWithSubqueries(plan) { case j: SortMergeJoinExec => j }
     assert(smj.isEmpty,
-      s"corpus postings must never be shuffled for the probe join:\n$plan")
+      s"corpus postings/forward index must never be shuffled for a join:\n$plan")
+    graft.TrackedCaches.release()
   }
 
   test("LM scoring broadcasts both model sides; bucketing never windows") {

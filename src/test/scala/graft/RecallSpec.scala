@@ -41,7 +41,10 @@ class RecallSpec extends SparkSpec {
   }
 
   test("multi-probe IVF recall@10 vs brute force") {
-    val k = Similarity.centroidsFor(500)
+    // k from the ACTUAL corpus count — annIvf derives it the same way, so
+    // the reported k/nprobe cannot drift from the code under test if the
+    // test corpus is ever regenerated at a different size.
+    val k = Similarity.centroidsFor(Tables.embeddings(spark, Sf).count())
     val r = recall(top10(Similarity.annIvf(spark, Sf)))
     info(f"annIvf recall@10 = $r%.2f (k=$k, nprobe=${Similarity.probesFor(k)})")
     // Measured ladder: 0.86 at fixed k=16/nprobe=10 (62.5% of the corpus

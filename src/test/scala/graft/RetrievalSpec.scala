@@ -53,6 +53,41 @@ class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "no doc was ranked by both BM25 and Jaccard — fusion degenerated")
   }
 
+  test("forward-index scoring equals inverted-index scoring pair-for-pair") {
+    // The streaming gate's stage 2 (scoreCandidates: broadcast candidate
+    // list folding each doc's term array) must produce the SAME score as
+    // the batch path (scoreAgainst: postings join + DECIMAL sum) for every
+    // pair — the DECIMAL discipline makes both order-independent, so any
+    // difference is an arithmetic divergence bug.
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+    val ix = Retrieval.buildIndex(docs)
+    val qt = ix.tf.filter(col("doc_id") < Retrieval.NumQueries)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val full = Retrieval.scoreAgainst(ix, qt)
+    val viaFwd = Retrieval.scoreCandidates(ix, Retrieval.forwardIndex(ix), qt,
+      full.select("query_id", "doc_id"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val (a, b) = (asMap(full), asMap(viaFwd))
+    assert(a.nonEmpty && a == b,
+      s"score divergence: ${(a.toSet diff b.toSet).take(3)} vs ${(b.toSet diff a.toSet).take(3)}")
+  }
+
+  test("screening candidates stay capped per query") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+    val ix = Retrieval.buildIndex(docs)
+    // Screen ALL docs as queries — the streaming regime this bound exists for.
+    val qt = ix.tf.select(col("doc_id").as("query_id"), col("term"))
+    val perQuery = Retrieval.screenCandidates(ix, qt)
+      .groupBy("query_id").count().collect()
+    assert(perQuery.nonEmpty)
+    val worst = perQuery.map(_.getLong(1)).max
+    assert(worst <= Retrieval.CandCap,
+      s"a query exceeded CandCap: $worst > ${Retrieval.CandCap}")
+  }
+
   test("postings join broadcasts the query side and never goes quadratic") {
     val df = Retrieval.bm25TopK(spark, Sf)
     df.collect()
