@@ -95,7 +95,14 @@ object Retrieval {
     * side only, so a score depends on nothing but the standing corpus and
     * the query's own terms (the invariance the streaming gate relies on). */
   private[graft] def scoreAgainst(ix: Bm25Index, queryTerms: DataFrame): DataFrame =
-    candidates(ix, queryTerms)
+    scoreCandidateRows(ix, candidates(ix, queryTerms))
+
+  /** BM25 aggregation over an already-built candidate row set — split out
+    * so a hybrid ranker can materialize [[candidates]] ONCE and feed both
+    * its lexical scorer and this one instead of re-running the postings
+    * probe per ranker. */
+  private def scoreCandidateRows(ix: Bm25Index, cand: DataFrame): DataFrame =
+    cand
       .withColumn("ts", round(
         log(lit(1.0) + (lit(ix.n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
           (col("tf") * lit(K1 + 1.0)) /
@@ -180,11 +187,20 @@ object Retrieval {
   }
 
   /** Forward index for stage-2 scoring: one row per doc — length + the
-    * term-sorted (term, tf) array. Built from the length-folded postings;
-    * `cache` pins + materializes it (the streaming gate's once-per-run
-    * build). */
+    * term-sorted (term, tf) array, restricted to SUB-CEILING terms: the
+    * query side of every scoring path is df-capped, so a super-ceiling
+    * (stopword-class) term can never match a qmap entry and folding over
+    * it is pure waste — on a Zipfian corpus stopwords are a large share of
+    * distinct-term mass, so the cut shrinks both the per-pair fold and the
+    * cached index (RetrievalSpec's pair-for-pair equality gate proves no
+    * score moves). `len` keeps the FULL document length (folded into tf
+    * before this filter) — BM25 length normalization sees every token even
+    * though ceiling terms never score. `cache` pins + materializes it (the
+    * streaming gate's once-per-run build). */
   private[graft] def forwardIndex(ix: Bm25Index, cache: Boolean = false): DataFrame = {
-    val fwd = ix.tf.groupBy("doc_id", "len")
+    val fwd = ix.tf
+      .join(ix.dft.filter(col("df") * 100 <= lit(ix.n) * MaxDfPct), "term")
+      .groupBy("doc_id", "len")
       .agg(sort_array(collect_list(struct(col("term"), col("tf")))).as("terms"))
     if (cache) {
       val pinned = graft.TrackedCaches.track(fwd.cache())
@@ -258,15 +274,19 @@ object Retrieval {
     val qn = nd.filter(col("doc_id") < NumQueries)
       .select(col("doc_id").as("query_id"), col("nterms").as("qterms"))
 
-    val bm = scoreAgainst(ix, qt)
+    // The (query term x posting) scatter is the shared cost of both
+    // rankers — materialize it once and score BM25 and Jaccard from the
+    // same cached rows instead of probing the postings twice.
+    val cnd = graft.TrackedCaches.track(candidates(ix, qt).cache())
+    val bm = scoreCandidateRows(ix, cnd)
     val wb = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
     val bmRanks = bm.withColumn("rk", row_number().over(wb))
       .filter(col("rk") <= ListK).select("query_id", "doc_id", "rk")
 
     // Token-SET Jaccard: |q ∩ d| / (|q| + |d| - |q ∩ d|), integer-exact
-    // until the one division, rounded before ranking. Shares the df-capped
-    // candidate join with the BM25 side.
-    val jac = candidates(ix, qt)
+    // until the one division, rounded before ranking. Shares the cached
+    // df-capped candidate rows with the BM25 side.
+    val jac = cnd
       .groupBy("query_id", "doc_id").agg(count(lit(1)).as("inter"))
       .join(nd, "doc_id").join(broadcast(qn), "query_id")
       .withColumn("jac", round(

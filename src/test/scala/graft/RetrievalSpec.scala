@@ -51,6 +51,11 @@ class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // lists exist (the two rankers agree on SOME strong hits).
     assert(rows.exists(_.getAs[Int]("n_lists") == 2),
       "no doc was ranked by both BM25 and Jaccard — fusion degenerated")
+    // hybridRrf pins its candidate scatter; a cached fragment DOWNSTREAM
+    // of the postings probe would be plan-matched into the later
+    // plan-shape test's bm25TopK run and swallow the broadcast join it
+    // asserts on — drop it before any plan-sensitive test runs.
+    graft.TrackedCaches.release()
   }
 
   test("forward-index scoring equals inverted-index scoring pair-for-pair") {
