@@ -95,6 +95,9 @@ object SparkEntry {
     "q_repetition" -> (TextAnalysis.repetition _),
     "q_contamination" -> (TextAnalysis.contamination _),
     "q_token_budget" -> (TextAnalysis.tokenBudgetSample _),
+    "q_train_split" -> (TextAnalysis.trainSplit _),
+    "q_shard_manifest" -> (TextAnalysis.shardManifest _),
+    "q_source_overlap" -> (Dedup.sourceOverlap _),
     "q_mixture_rebalance" -> (TextAnalysis.mixtureRebalance _),
     "q_lm_perplexity" -> (TextAnalysis.lmPerplexity _),
     "q_lm_ppl_openvocab" -> (TextAnalysis.lmPerplexityOpenVocab _),
@@ -413,6 +416,9 @@ object SparkEntry {
     "q_repetition" -> TextAnalysis.repetitionSql,
     "q_contamination" -> TextAnalysis.contaminationSql,
     "q_token_budget" -> TextAnalysis.tokenBudgetSampleSql,
+    "q_train_split" -> TextAnalysis.trainSplitSql,
+    "q_shard_manifest" -> TextAnalysis.shardManifestSql,
+    "q_source_overlap" -> Dedup.sourceOverlapSql,
     "q_mixture_rebalance" -> TextAnalysis.mixtureRebalanceSql,
     "q_lm_perplexity" -> TextAnalysis.lmPerplexitySql,
     // Same result relation as q_lm_perplexity by design — the open-vocab

@@ -188,7 +188,10 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val minhashPairsSql: String = {
+  /** Shared CTE body ending in `scored(doc_a, doc_b, n_sig_eq)` — the full
+    * MinHash pipeline in DuckDB SQL, composed by [[minhashPairsSql]] and
+    * [[sourceOverlapSql]] so both oracles score pairs identically. */
+  private def minhashScoredCtes: String = {
     val rows = NumHashes / Bands
     val minCols = (0 until NumHashes).map { i =>
       s"min((${HashA(i)} * h + ${HashB(i)}) % $Prime) AS s_$i"
@@ -201,18 +204,54 @@ object Dedup {
     val nEq = (0 until NumHashes)
       .map(i => s"CASE WHEN a.s_$i = b.s_$i THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH $shinglesSql,
+    s"""$shinglesSql,
         h AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT) AS h FROM sh),
         sig AS (SELECT doc_id, $minCols FROM h GROUP BY doc_id),
         bands AS ($bandSelects),
         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
                  FROM bands x JOIN bands y
-                 ON x.band = y.band AND $joinVs AND x.doc_id < y.doc_id)
-        SELECT c.doc_a, c.doc_b, $nEq AS n_sig_eq
-        FROM cand c JOIN sig a ON c.doc_a = a.doc_id JOIN sig b ON c.doc_b = b.doc_id
-        WHERE $nEq >= $MinhashMatchThreshold
-        ORDER BY doc_a, doc_b"""
+                 ON x.band = y.band AND $joinVs AND x.doc_id < y.doc_id),
+        scored AS (SELECT c.doc_a, c.doc_b, $nEq AS n_sig_eq
+                   FROM cand c
+                   JOIN sig a ON c.doc_a = a.doc_id
+                   JOIN sig b ON c.doc_b = b.doc_id
+                   WHERE $nEq >= $MinhashMatchThreshold)"""
   }
+
+  val minhashPairsSql: String =
+    s"""WITH $minhashScoredCtes
+        SELECT doc_a, doc_b, n_sig_eq FROM scored ORDER BY doc_a, doc_b"""
+
+  /** Cross-source near-duplicate mass: the verified MinHash near-dup pairs
+    * ([[minhashPairs]] semantics — band collision, then >= threshold equal
+    * signature components), rolled up by unordered source pair. The
+    * curation read: how much of each source is copied in another (or
+    * inside itself) — the matrix that decides which source to trust when
+    * near-dup clusters keep one representative. Shapes: the pair set is
+    * the banded candidate join (never all-pairs); the two source lookups
+    * are doc_id equi-joins (linear); the rollup is source-arity² — tiny at
+    * any corpus scale. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    minhashPairs(s, d).select("doc_a", "doc_b")
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH $minhashScoredCtes,
+        pr AS (SELECT least(sa.source, sb.source) AS source_a,
+                      greatest(sa.source, sb.source) AS source_b
+               FROM scored p
+               JOIN documents sa ON p.doc_a = sa.doc_id
+               JOIN documents sb ON p.doc_b = sb.doc_id)
+        SELECT source_a, source_b, count(*) AS n_pairs
+        FROM pr GROUP BY 1, 2 ORDER BY 1, 2"""
 
   // =========================================================================
   // SimHash (60-bit) + bit-band candidate join, exact for hamming <= 3.

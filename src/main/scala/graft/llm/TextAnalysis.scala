@@ -315,6 +315,104 @@ object TextAnalysis {
         SELECT doc_id, h, tokens, cum_tokens FROM c
         WHERE cum_tokens <= $TokenBudget ORDER BY h, doc_id"""
 
+  // =========================================================================
+  // Deterministic train/val/test split + fixed-budget output sharding —
+  // the last mile of a curation pipeline: every admitted doc needs a split
+  // and a shard, both reproducible from the doc's identity alone.
+  // =========================================================================
+
+  /** Split percentages (train gets the rest). The split hash is SALTED
+    * ("split:" prefix) so membership is independent of every other
+    * md5(doc_id) ordering in the pipeline — an unsalted reuse of the
+    * sampling hash would make "the first N tokens" systematically drain
+    * one split's low-hash region. */
+  val ValPct = 2
+  val TestPct = 2
+
+  /** (split, source) manifest of the deterministic hash split: each doc's
+    * salted md5 bucket (mod 100) assigns train/val/test; the rollup is a
+    * split x source aggregate. 100 TB: the assignment is a pure per-row
+    * projection (no shuffle, no state — any executor recomputes it from
+    * doc_id alone, which is what makes the split stable across reruns and
+    * cluster sizes); the single shuffle is the final arity-bounded
+    * aggregate. */
+  def trainSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("source"),
+      (conv(substring(md5(concat(lit("split:"), col("doc_id").cast(StringType))), 1, 7), 16, 10)
+        .cast(LongType) % 100).as("b"),
+      size(split(col("text"), " ")).cast(LongType).as("tokens"))
+    docs.withColumn("split",
+        when(col("b") < ValPct, "val")
+          .when(col("b") < ValPct + TestPct, "test")
+          .otherwise("train"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("n_tokens"))
+      .orderBy("split", "source")
+  }
+
+  val trainSplitSql: String =
+    s"""WITH t AS (
+          SELECT source,
+            CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+              % 100 AS b,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+          FROM documents)
+        SELECT CASE WHEN b < $ValPct THEN 'val'
+                    WHEN b < ${ValPct + TestPct} THEN 'test'
+                    ELSE 'train' END AS split,
+               source, count(*) AS n_docs,
+               CAST(sum(tokens) AS BIGINT) AS n_tokens
+        FROM t GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Tokens per output shard. Sized so the test SFs produce a multi-shard
+    * manifest; a production run sets this to the data-loader's shard size
+    * (e.g. ~100M tokens per file). */
+  val ShardTokens = 2000L
+
+  /** Fixed-token-budget shard manifest: docs take the SAME deterministic
+    * hash order as [[tokenBudgetSample]] (one canonical shuffle order for
+    * the whole pipeline), the running token total goes through the
+    * distributed cumsum, and a doc belongs to the shard its STARTING
+    * offset falls in (floor((cum - tokens) / ShardTokens) — the standard
+    * sequential-writer rule, so a shard may exceed the budget by at most
+    * one document's tail). Output is the shard-arity manifest a data
+    * loader consumes: doc count, token count, and the doc_id range per
+    * shard. 100 TB: cumsum is the two-pass range-partition pattern (never
+    * a single-partition window); the manifest is corpus_tokens/ShardTokens
+    * rows — a table, not a collect. */
+  def shardManifest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 7), 16, 10)
+          .cast(LongType).as("h"),
+        size(split(col("text"), " ")).cast(LongType).as("tokens"))
+    graft.ops.Analytics.scalableCumSum(docs, Seq("h", "doc_id"), "tokens", "cum_tokens")
+      .withColumn("shard_id",
+        floor((col("cum_tokens") - col("tokens")).cast(DoubleType) / ShardTokens)
+          .cast(LongType))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("shard_tokens"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+      .orderBy("shard_id")
+  }
+
+  val shardManifestSql: String =
+    s"""WITH t AS (
+          SELECT doc_id,
+            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) AS h,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+          FROM documents),
+        c AS (SELECT doc_id, tokens,
+                CAST(sum(tokens) OVER (ORDER BY h, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM t)
+        SELECT CAST(floor(CAST(cum_tokens - tokens AS DOUBLE) / $ShardTokens) AS BIGINT)
+                 AS shard_id,
+               count(*) AS n_docs,
+               CAST(sum(tokens) AS BIGINT) AS shard_tokens,
+               min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        FROM c GROUP BY 1 ORDER BY 1"""
+
   /** TF-IDF top term per document — the inverted-index scoring pattern:
     * explode tokens -> per-(doc, term) TF -> per-term DF (one small
     * aggregate) -> score = tf * ln(N/df). The DF side is corpus-vocabulary

@@ -125,4 +125,65 @@ class CurationSpec extends SparkSpec {
         s"only-incremental=${gotDups -- expectDups} only-pairs=${expectDups -- gotDups}")
     out.unpersist()
   }
+
+  test("train split partitions the corpus with stable, plausible proportions") {
+    // Collected twice (no cache) so the determinism check below is a real
+    // recomputation, not a replay.
+    def manifest() = TextAnalysis.trainSplit(spark, Sf).collect()
+    val rows = manifest()
+    val total = Tables.documents(spark, Sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total,
+      "split rollup must cover every doc exactly once")
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // A 2%-bucket hash split over ~1000 docs: expect each holdout within a
+    // generous binomial band, and train to dominate.
+    val frac = bySplit.view.mapValues(_.toDouble / total).toMap
+    assert(frac("train") > 0.9, s"train fraction ${frac("train")}")
+    assert(frac("val") > 0.001 && frac("val") < 0.06, s"val fraction ${frac("val")}")
+    assert(frac("test") > 0.001 && frac("test") < 0.06, s"test fraction ${frac("test")}")
+    // Determinism: the same corpus yields the identical manifest.
+    assert(manifest().toSeq == rows.toSeq, "split is not stable")
+  }
+
+  test("shard manifest tiles the token stream in order with bounded overflow") {
+    val rows = TextAnalysis.shardManifest(spark, Sf).collect()
+    val totalTokens = Tables.documents(spark, Sf)
+      .select(sum(size(split(col("text"), " ")).cast("long"))).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("shard_tokens")).sum == totalTokens,
+      "shards must cover every token exactly once")
+    val ids = rows.map(_.getAs[Long]("shard_id"))
+    assert(ids.toSeq == ids.sorted.toSeq && ids.head == 0L &&
+      ids.toSet.size == ids.length, s"shard ids must be dense-ordered: ${ids.toSeq}")
+    assert(ids.zip(ids.tail).forall { case (a, b) => b == a + 1 },
+      s"shard ids must be gapless: ${ids.toSeq}")
+    // Start-offset assignment: every shard except the last holds at least
+    // the budget minus nothing... precisely: a shard closes only once its
+    // start-offset window is full, so all but the last must reach the
+    // budget; overflow past the budget is at most one document's tail.
+    val maxDocTokens = Tables.documents(spark, Sf)
+      .select(max(size(split(col("text"), " ")).cast("long"))).collect()(0).getLong(0)
+    rows.init.foreach { r =>
+      val t = r.getAs[Long]("shard_tokens")
+      assert(t >= TextAnalysis.ShardTokens - maxDocTokens &&
+        t < TextAnalysis.ShardTokens + maxDocTokens,
+        s"shard ${r.getAs[Long]("shard_id")} tokens $t outside budget band")
+    }
+  }
+
+  test("source overlap is canonical and consistent with the minhash pair list") {
+    val rows = Dedup.sourceOverlap(spark, Sf).collect()
+    assert(rows.nonEmpty, "test corpus has near-dup pairs; overlap matrix empty")
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") <= r.getAs[String]("source_b"),
+        "source pair must be canonically ordered")
+    }
+    assert(rows.map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")))
+      .distinct.length == rows.length, "duplicate source-pair rows")
+    // Total pair mass equals the verified pair list (same threshold).
+    val nPairs = Dedup.minhashPairs(spark, Sf).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == nPairs,
+      "overlap matrix must partition the pair list")
+  }
 }
