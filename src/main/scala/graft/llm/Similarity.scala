@@ -251,8 +251,11 @@ object Similarity {
     * cent_id via lexicographic struct-min. Centroids broadcast (k rows). */
   private[graft] def assignCells(sx: DataFrame, cents: DataFrame): DataFrame =
     sx.crossJoin(broadcast(cents))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(sarr, carr, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+      // Codegen'd fused loop (graft.functions.LongSqDist) — bit-identical
+      // to the aggregate(zip_with(...)) formulation, without the per-row
+      // zipped-array allocation; this is the O(N x k) kernel of training.
+      .withColumn("dist",
+        graft.functions.VectorFunctions.longSqDist(col("sarr"), col("carr")))
       .groupBy("vec_id")
       .agg(min(struct(col("dist"), col("cent_id"))).as("m"))
       .select(col("vec_id"), col("m.cent_id").as("cell"))
@@ -262,8 +265,8 @@ object Similarity {
     * is partitioned per vector over k centroid rows — bounded, never global. */
   private[graft] def probeCells(sx: DataFrame, cents: DataFrame, n: Int): DataFrame =
     sx.crossJoin(broadcast(cents))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(sarr, carr, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dist",
+        graft.functions.VectorFunctions.longSqDist(col("sarr"), col("carr")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("dist"), col("cent_id"))))
       .filter(col("rk") <= n)
@@ -539,12 +542,14 @@ object Similarity {
     val probes = probeCells(sx.filter(col("vec_id") < NumQueries), cents, probesFor(k))
       .withColumnRenamed("vec_id", "query_id")
       .join(qv.select(col("vec_id").as("query_id"), col("qarr").as("qq")), "query_id")
-      .withColumn("qn", expr("aggregate(qq, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("qn",
+        graft.functions.VectorFunctions.longDot(col("qq"), col("qq")))
     val approx = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qarr, qq, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
-      .withColumn("nn", expr("aggregate(qarr, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("dot",
+        graft.functions.VectorFunctions.longDot(col("qarr"), col("qq")))
+      .withColumn("nn",
+        graft.functions.VectorFunctions.longDot(col("qarr"), col("qarr")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(col("dot").cast(DoubleType) /
           (sqrt(col("nn").cast(DoubleType)) * sqrt(col("qn").cast(DoubleType))), 6)

@@ -60,4 +60,34 @@ class FloatCosineSpec extends SparkSpec {
     assert(diff < 1e-12, s"codegen vs built-in max diff $diff")
     emb.unpersist()
   }
+
+  test("LongSqDist/LongDot equal the interpreted formulations exactly") {
+    import graft.functions.VectorFunctions.{longDot, longSqDist}
+    // Adversarial longs for the quantized-embedding domain (|v| <= 1e6).
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      def arr = Seq.fill(64)((rnd.nextInt(2000001) - 1000000).toLong)
+      (i.toLong, arr, arr)
+    }
+    val df = rows.toDF("id", "a", "b").cache()
+    val bad = df.select(
+        (longSqDist(col("a"), col("b")) =!= expr(
+          "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")).as("d1"),
+        (longDot(col("a"), col("b")) =!= expr(
+          "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")).as("d2"),
+        (longDot(col("a"), col("a")) =!= expr(
+          "aggregate(a, 0L, (acc, x) -> acc + x * x)")).as("d3"))
+      .filter(col("d1") || col("d2") || col("d3")).count()
+    assert(bad == 0, s"$bad rows diverged from the interpreted kernels")
+    df.unpersist()
+  }
+
+  test("LongSqDist/LongDot null semantics: mismatch and null -> null") {
+    import graft.functions.VectorFunctions.{longDot, longSqDist}
+    val df = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
+    assert(df.select(longSqDist(col("a"), col("b"))).head().isNullAt(0))
+    assert(df.select(longDot(col("a"), col("b"))).head().isNullAt(0))
+    val nn = Seq((Some(Seq(1L, 2L)), Option.empty[Seq[Long]])).toDF("a", "b")
+    assert(nn.select(longSqDist(col("a"), col("b"))).head().isNullAt(0))
+  }
 }
