@@ -171,6 +171,36 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     graft.TrackedCaches.release()
   }
 
+  test("split assignment is shuffle-free; shard tiling never windows or funnels") {
+    // trainSplit: the split tag is a pure per-row projection — the ONLY
+    // exchanges allowed are the rollup aggregate's and the presentation
+    // sort's, and nothing may funnel through one partition.
+    val split = graft.llm.TextAnalysis.trainSplit(spark, Sf)
+    split.collect()
+    val splan = split.queryExecution.executedPlan
+    val singleS = collectWithSubqueries(splan) {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }
+    assert(singleS.isEmpty,
+      s"split rollup must not funnel through one partition:\n$splan")
+    // shardManifest: the running token total must come from the
+    // distributed cumsum — a WindowExec here means the one-partition
+    // global-window regression the cumsum exists to avoid.
+    val shards = graft.llm.TextAnalysis.shardManifest(spark, Sf)
+    shards.collect()
+    val hplan = shards.queryExecution.executedPlan
+    val windows = collectWithSubqueries(hplan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"shard tiling must not use a window:\n$hplan")
+    val singleH = collectWithSubqueries(hplan) {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }
+    assert(singleH.isEmpty,
+      s"shard tiling must not funnel through one partition:\n$hplan")
+    graft.TrackedCaches.release()
+  }
+
   test("open-vocab LM scoring shuffles both model joins; nothing broadcasts") {
     // The web-scale-vocabulary variant: c2/c1 are far beyond broadcast
     // range, so both model joins must run as co-partitioned shuffle hash
