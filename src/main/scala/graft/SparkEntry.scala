@@ -135,6 +135,7 @@ object SparkEntry {
     "q_stream_ingest_dedup" -> (graft.streaming.DocStreams.streamIngestDedup _),
     "q_stream_quality_gate" -> (graft.streaming.DocStreams.streamQualityGate _),
     "q_stream_decontam" -> (graft.streaming.DocStreams.streamDecontam _),
+    "q_stream_vec_ingest" -> (graft.streaming.VecStreams.streamVecIngest _),
     "q_range_join" -> (Advanced.rangeJoin _),
     "q_sliding_window" -> (Analytics.slidingWindow _),
     // Advanced: JSON source, as-of join, deterministic order stats
@@ -460,6 +461,7 @@ object SparkEntry {
     "q_stream_ingest_dedup" -> graft.streaming.DocStreams.streamIngestDedupSql,
     "q_stream_quality_gate" -> graft.streaming.DocStreams.streamQualityGateSql,
     "q_stream_decontam" -> graft.streaming.DocStreams.streamDecontamSql,
+    "q_stream_vec_ingest" -> graft.streaming.VecStreams.streamVecIngestSql,
     "q_range_join" -> Advanced.rangeJoinSql,
     "q_sliding_window" -> Analytics.slidingWindowSql,
     "q_json_roundtrip" -> Advanced.jsonRoundtripSql,

@@ -237,15 +237,18 @@ object Similarity {
     * centroids bit-for-bit. Bounds: |v| <= 1e6, per-dim diff^2 <= 4e12,
     * 64-dim distance <= 2.6e14, cell sums <= |corpus| * 1e6 — all < 2^53,
     * so even the one double division (mean) is exact on both engines. */
-  private val ScaleQ = 1000000L
+  private[graft] val ScaleQ = 1000000L
 
   /** (vec_id, sarr): embedding scaled to exact integers. floor(x*S + 0.5)
     * instead of round(): round's tie-breaking differs across engines. */
-  private[graft] def scaledEmb(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(col("vec_id"), expr(
+  private[graft] def scaledOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), expr(
       s"""transform(embedding,
             x -> CAST(floor(CAST(x AS DOUBLE) * ${ScaleQ}.0D + 0.5D) AS BIGINT))""")
       .as("sarr"))
+
+  private[graft] def scaledEmb(s: SparkSession, d: String): DataFrame =
+    scaledOf(Tables.embeddings(s, d))
 
   /** Nearest-centroid assignment by exact integer squared-L2; ties break on
     * cent_id via lexicographic struct-min. Centroids broadcast (k rows). */
@@ -299,7 +302,14 @@ object Similarity {
     * call site (one count() on the cached scaled table). */
   private[graft] def seedCentroids(s: SparkSession, d: String, sx: DataFrame,
       k: Int): DataFrame =
-    Tables.embeddings(s, d)
+    seedCentroidsOf(Tables.embeddings(s, d), sx, k)
+
+  /** [[seedCentroids]] over an explicit corpus frame — the streaming
+    * vector-ingest gate trains on the standing corpus only, so its seed
+    * sample must come from that same subset. */
+  private[graft] def seedCentroidsOf(emb: DataFrame, sx: DataFrame,
+      k: Int): DataFrame =
+    emb
       .select(col("vec_id"), md5(col("vec_id").cast(StringType)).as("hk"))
       .orderBy("hk", "vec_id").limit(k)
       // row_number over k rows — bounded, not a global window
@@ -369,17 +379,18 @@ object Similarity {
 
   /** Shared CTE chain: scaled integer embeddings -> seeded + trained
     * centroids -> final nearest-cell assignment (`cells`, `dfin`). Reused
-    * by [[annIvfSql]] and [[diverseSampleSql]]. */
-  private val kmeansCellsSql: String =
+    * by [[annIvfSql]] and [[diverseSampleSql]]; the streaming vector-ingest
+    * oracle instantiates it over the standing-corpus subset via `src`. */
+  private[graft] def kmeansCellsSqlOver(src: String): String =
     s"""sx AS (SELECT vec_id, i,
               CAST(floor(CAST(embedding[i] AS DOUBLE) * $ScaleQ + 0.5) AS BIGINT) AS v
-            FROM embeddings, generate_series(1, 64) t(i)),
+            FROM $src, generate_series(1, 64) t(i)),
         kk AS (SELECT greatest($MinCentroids,
-                 CAST(floor(sqrt(count(*)) + 0.5) AS INT)) AS k FROM embeddings),
+                 CAST(floor(sqrt(count(*)) + 0.5) AS INT)) AS k FROM $src),
         seeds AS (SELECT vec_id, CAST(rk - 1 AS INT) AS cent_id FROM (
                     SELECT vec_id,
                       row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
-                    FROM embeddings) WHERE rk <= (SELECT k FROM kk)),
+                    FROM $src) WHERE rk <= (SELECT k FROM kk)),
         cent0 AS (SELECT s.cent_id, x.i, x.v AS c
                   FROM seeds s JOIN sx x ON x.vec_id = s.vec_id),
         ${(1 to KmIters).map(kmIterSql).mkString(",\n        ")},
@@ -389,6 +400,8 @@ object Similarity {
                     SELECT vec_id, cent_id,
                       row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rk
                     FROM dfin) WHERE rk = 1)"""
+
+  private val kmeansCellsSql: String = kmeansCellsSqlOver("embeddings")
 
   val annIvfSql: String = {
     s"""WITH $kmeansCellsSql,

@@ -119,6 +119,35 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     corpusSig.unpersist()
   }
 
+  test("vec ingest screening broadcasts arrival probes; corpus cells never sort-merge") {
+    // The per-micro-batch kernel of q_stream_vec_ingest: at 100 TB the
+    // cell-assigned corpus is the big side and must be probed in place —
+    // its probe join must broadcast the (batch x nprobe)-bounded arrival
+    // rows, and no corpus-scale table may be shuffled for a join.
+    import graft.llm.Similarity
+    val emb = Tables.embeddings(spark, Sf)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val sx = Similarity.scaledOf(corpus).cache()
+    val k = Similarity.centroidsFor(sx.count())
+    val cents = Similarity.trainCentroids(sx, Similarity.seedCentroidsOf(corpus, sx, k))
+    // cache = the shape that runs per micro-batch: standing index probed
+    // in place, not the one-time index build.
+    val cells = Similarity.assignCells(sx, cents).join(corpus, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell")).cache()
+    val df = graft.streaming.VecStreams.screenBatch(
+      emb.filter(col("vec_id") % 5 === 0), cents, cells,
+      Similarity.probesFor(k))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty,
+      s"cell probe must broadcast the arrival side into the corpus cells:\n$plan")
+    val smj = collectWithSubqueries(plan) { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty,
+      s"corpus-scale cell table must never be shuffled for a join:\n$plan")
+    sx.unpersist(); cells.unpersist()
+  }
+
   test("decontam screening broadcasts arrival sides; corpus tables never sort-merge") {
     // The per-micro-batch kernel of q_stream_decontam: BOTH stages must
     // probe the cached corpus tables in place — stage 1 broadcasts the

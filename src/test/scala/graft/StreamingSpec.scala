@@ -268,6 +268,78 @@ class StreamingSpec extends SparkSpec {
     graft.TrackedCaches.release()
   }
 
+  test("streaming vec ingest == batch-computed verdicts over the same split") {
+    import graft.llm.Similarity
+    val streamed = graft.streaming.VecStreams.streamVecIngest(spark, Sf)
+    // Independent batch formulation from the same kernels: train the IVF
+    // index on the standing corpus, probe the whole arrival slice in one
+    // pass, inline argmax instead of the stream's screening helper.
+    val emb = Tables.embeddings(spark, Sf)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val sx = Similarity.scaledOf(corpus).cache()
+    val k = Similarity.centroidsFor(sx.count())
+    val nprobe = Similarity.probesFor(k)
+    val cents = Similarity.trainCentroids(sx, Similarity.seedCentroidsOf(corpus, sx, k))
+    val cells = Similarity.assignCells(sx, cents).join(corpus, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val arr = emb.filter(col("vec_id") % 5 === 0)
+    val cand = Similarity.probeCells(Similarity.scaledOf(arr), cents, nprobe)
+      .withColumnRenamed("vec_id", "arr_id")
+      .join(arr.select(col("vec_id").as("arr_id"), col("embedding").as("qe")), "arr_id")
+      .join(cells, "cell")
+      .select(col("arr_id"), col("vec_id").as("nid"),
+        round(graft.functions.VectorFunctions.floatCosine(
+          col("qe"), col("embedding")), 4).as("cos"))
+    val nn = cand.groupBy("arr_id")
+      .agg(max(struct(col("cos"), (-col("nid")).as("negid"))).as("m"))
+    val batch = arr.select(col("vec_id"))
+      .join(nn, col("vec_id") === col("arr_id"), "left")
+      .select(col("vec_id"),
+        coalesce(-col("m.negid"), lit(-1L)).as("nn_id"),
+        coalesce(col("m.cos"), lit(-2.0)).as("nn_cos"),
+        (coalesce(col("m.cos"), lit(-2.0)) <
+          lit(graft.streaming.VecStreams.AdmitCosMax)).as("admit"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // The ceiling must actually split the arrivals (both verdicts live).
+    val admits = streamed.groupBy("admit").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(admits.getOrElse(true, 0L) > 0 && admits.getOrElse(false, 0L) > 0,
+      s"AdmitCosMax must exercise both verdicts, got $admits")
+    sx.unpersist()
+    graft.TrackedCaches.release()
+  }
+
+  test("streaming vec ingest rejects a planted corpus twin, admits orthogonals") {
+    import java.nio.file._
+    // Synthetic embedding geometry on one-hot axes: arrival 0 is byte-
+    // identical to corpus vec 7 (cos 1.0 -> reject, neighbor 7); arrivals
+    // 5/10/15/20 sit on axes no corpus vector uses (cos 0.0 -> admit).
+    // Arrival ids {0,5,10,15,20} keep every staged vec_id range non-empty.
+    val base = Files.createTempDirectory("graft_vec_synth").toString
+    def oneHot(axis: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == axis) 1.0f else 0.0f)
+    val rows =
+      Seq((0L, oneHot(7)), (5L, oneHot(40)), (10L, oneHot(41)),
+        (15L, oneHot(42)), (20L, oneHot(50))) ++
+        (1 to 24).filter(_ % 5 != 0).map(i => (i.toLong, oneHot(i)))
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    val out = graft.streaming.VecStreams.streamVecIngest(spark, base)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(out(0L) == ((7L, 1.0, false)),
+      s"arrival 0 must reject against corpus twin 7, got ${out(0L)}")
+    Seq(5L, 10L, 15L, 20L).foreach { i =>
+      assert(out(i)._2 == 0.0 && out(i)._3,
+        s"orthogonal arrival $i must admit at cos 0.0, got ${out(i)}")
+    }
+    graft.TrackedCaches.release()
+  }
+
   test("streaming ingest dedup flags a planted exact corpus twin") {
     import java.nio.file._
     // The real corpus has no identical-text pair spanning the arrival split
