@@ -148,6 +148,28 @@ object PlanDump {
         val qt = Retrieval.postings(arrivals.select("doc_id", "text"))
           .select(col("doc_id").as("query_id"), col("term"))
         Retrieval.scoreCandidates(ix, fwd, qt, Retrieval.screenCandidates(ix, qt))
+      }),
+      ("q_stream_vec_ingest (micro-batch kernel)",
+        "Per-arrival-batch nearest-neighbor screen of streamVecIngest. " +
+        "Expect: the cached cell-assigned corpus (InMemoryTableScan, as " +
+        "at runtime) probed by the BROADCAST (batch x nprobe) arrival " +
+        "probe rows — centroids broadcast into the batch-side routing, " +
+        "the corpus never re-shuffled or re-scanned beyond the probed " +
+        "cells, exact FloatCosine only on cell-mates. No SortMergeJoin " +
+        "(PlanShapeSpec 'vec ingest screening' gates this).", {
+        import graft.llm.Similarity
+        val emb = Tables.embeddings(s, sf)
+        val vcorpus = emb.filter(col("vec_id") % 5 =!= 0)
+        val sx = Similarity.scaledOf(vcorpus).cache()
+        val k = Similarity.centroidsFor(sx.count())
+        val cents = Similarity.trainCentroids(sx,
+          Similarity.seedCentroidsOf(vcorpus, sx, k))
+        val cells = Similarity.assignCells(sx, cents).join(vcorpus, "vec_id")
+          .select(col("vec_id"), col("embedding"), col("cell")).cache()
+        cells.count()
+        graft.streaming.VecStreams.screenBatch(
+          emb.filter(col("vec_id") % 5 === 0), cents, cells,
+          Similarity.probesFor(k))
       }))
   }
 
