@@ -13,9 +13,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The corpus stores its timestamp columns (events.ts, orders.o_orderdate,
+    // lineitem.l_shipdate) as parquet TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    // which Spark 4 infers as TIMESTAMP_NTZ by default. Every consumer in this
+    // library (unix_micros, time windows, watermarks, the DuckDB oracle's
+    // naive-as-UTC reading) expects TIMESTAMP_LTZ in the UTC session, so turn
+    // NTZ inference off AT THE SCAN: the reader then produces LTZ natively and
+    // timestamp predicates keep pushing down to parquet row-group stats — a
+    // cast-on-top-of-scan would produce the same values but strand filters
+    // above the scan. Wall-clock values are identical either way (UTC session).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
@@ -32,6 +43,7 @@ object Tables {
     * the ns->us truncation is lossless. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = s.read.parquet(s"$d/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // corpus file: raw nanos
