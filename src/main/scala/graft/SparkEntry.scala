@@ -77,12 +77,14 @@ object SparkEntry {
     "q_dedup_minhash" -> (Dedup.minhashPairs _),
     "q_dedup_simhash" -> (Dedup.simhashPairs _),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
+    "q_containment" -> (Dedup.containmentPairs _),
     "q_winnow_fps" -> (Dedup.winnowFingerprints _),
     "q_dedup_winnow" -> (Dedup.winnowPairs _),
     "q_cdc_chunks" -> (Dedup.cdcChunkMap _),
     "q_cdc_shared" -> (Dedup.cdcSharedChunks _),
     "q_dedup_clusters" -> (Dedup.dedupClusters _),
     "q_vec_quantize" -> (Similarity.quantizeVectors _),
+    "q_rand_projection" -> (Similarity.randProjection _),
     "q_dq_detect" -> (graft.ops.Quality.dqDetect _),
     "q_ann_topk" -> (Similarity.annTopK _),
     "q_ann_lsh" -> (Similarity.annLsh _),
@@ -399,12 +401,14 @@ object SparkEntry {
     "q_dedup_minhash" -> Dedup.minhashPairsSql,
     "q_dedup_simhash" -> Dedup.simhashPairsSql,
     "q_dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql,
+    "q_containment" -> Dedup.containmentPairsSql,
     "q_winnow_fps" -> Dedup.winnowFingerprintsSql,
     "q_dedup_winnow" -> Dedup.winnowPairsSql,
     "q_cdc_chunks" -> Dedup.cdcChunkMapSql,
     "q_cdc_shared" -> Dedup.cdcSharedChunksSql,
     "q_dedup_clusters" -> Dedup.dedupClustersSql,
     "q_vec_quantize" -> Similarity.quantizeVectorsSql,
+    "q_rand_projection" -> Similarity.randProjectionSql,
     "q_dq_detect" -> graft.ops.Quality.dqDetectSql,
     "q_ann_topk" -> Similarity.annTopKSql,
     "q_ann_lsh" -> Similarity.annLshSql,

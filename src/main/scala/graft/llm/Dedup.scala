@@ -589,6 +589,69 @@ object Dedup {
         WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= $JaccardThreshold
         ORDER BY doc_a, doc_b"""
 
+  /** Directed-containment floor: C(A→B) = |S(A)∩S(B)| / |S(A)| ≥ 0.8 in at
+    * least one direction. Deliberately ABOVE the Jaccard threshold: a pair
+    * can clear 0.8 containment at Jaccard ~0.44 (small doc swallowed by a
+    * doc twice its size), which is exactly the asymmetric case Jaccard
+    * misses. */
+  val ContainmentThreshold = 0.8
+
+  /** Asymmetric n-gram containment pairs — the near-SUPERSET detector the
+    * symmetric dedup family cannot express: a short document quoted whole
+    * inside a much longer one has Jaccard |A∩B|/|A∪B| ≈ |A|/|B| (arbitrarily
+    * small) but containment |A∩B|/|A| ≈ 1. Broder's containment coefficient
+    * (the companion measure to resemblance in the original shingling paper)
+    * is the standard screen for boilerplate inclusion, quote expansion, and
+    * subset-republication in web corpora.
+    *
+    * Same machinery as [[ngramJaccardPairs]] — ONE df-capped inverted-index
+    * self-join computes |A∩B| for unordered candidate pairs, set sizes join
+    * back by doc_id — then each pair is scored in BOTH directions from the
+    * single intersection row (i/|A| and i/|B|; no second join, the two
+    * denominators are already on the row). Scores are a single division of
+    * exact integers, so both engines agree bit-for-bit with no rounding.
+    * Scale shape is identical to the Jaccard query: candidate cost is
+    * bounded by the df cap (f² only below [[ShingleDfCap]]), everything else
+    * is equi-joins + map-side-combined counts. */
+  def containmentPairs(s: SparkSession, d: String): DataFrame =
+    containmentPairsOf(
+      graft.TrackedCaches.track(cappedShingles(s, d).cache()))
+
+  /** [[containmentPairs]] over an explicit df-capped shingle frame
+    * (doc_id, sh) — exposed so DedupSpec can prove the asymmetric case on a
+    * crafted superset pair that Jaccard misses. */
+  private[graft] def containmentPairsOf(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"), "inner")
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast(DoubleType) / col("na.n")).as("cont_a_in_b"),
+        (col("i").cast(DoubleType) / col("nb.n")).as("cont_b_in_a"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a"))
+        >= ContainmentThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH $cappedShinglesSql,
+        sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+          CAST(i AS DOUBLE) / na.n AS cont_a_in_b,
+          CAST(i AS DOUBLE) / nb.n AS cont_b_in_a
+        FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+        WHERE greatest(CAST(i AS DOUBLE) / na.n, CAST(i AS DOUBLE) / nb.n)
+          >= $ContainmentThreshold
+        ORDER BY doc_a, doc_b"""
+
   // =========================================================================
   // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
   // scheme): rolling k-gram hashes, keep the minimum of every window of

@@ -506,6 +506,64 @@ object Similarity {
                 floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5))) AS INT)), ',') AS qvec_csv
        FROM m ORDER BY vec_id"""
 
+  /** Output dimensionality of the Johnson–Lindenstrauss random projection:
+    * 64 → 16 keeps pairwise geometry to ~1/√16 distortion (the JL bound for
+    * a ±1 projection) at a 4× cut in vector bytes. */
+  val RpDims = 16
+
+  /** Sign of projection-matrix entry (j, i): +1 when the first hex digit of
+    * md5("rp:j:i") < '8' — the [[bandSignatures]] derivation with an "rp:"
+    * prefix so the projection is independent of the LSH planes. Computed
+    * driver-side (16×64 hashes, once) and inlined as a plan literal; the
+    * DuckDB oracle re-derives the identical matrix from the same strings. */
+  private def rpSign(j: Int, i: Int): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$j:$i".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xf) < 8) 1L else -1L
+  }
+
+  /** Random-projection dimensionality reduction (Achlioptas ±1 JL): each
+    * vector maps to [[RpDims]] integer components r_j = Σ_i w(j,i)·v_i over
+    * the [[ScaleQ]]-scaled integer embedding — downstream consumers divide
+    * by ScaleQ·√RpDims for the unit-variance JL estimate, but the SHIPPED
+    * values stay exact integers (order-independent sums both engines
+    * reproduce bit-for-bit; emitted as a csv string because the driver's
+    * comparator cannot hash array cells).
+    *
+    * Scale shape — the best in the vector family: a pure map pass. The
+    * projection matrix is a 16×64 literal baked into the plan (no broadcast,
+    * no shuffle, no train step), the transform/aggregate lambdas are
+    * codegen'd, and the scan prunes to (vec_id, embedding). At 100 TB this
+    * runs at read bandwidth and is the standard pre-step that cuts
+    * IVF/LSH index memory 4× (RecallSpec measures the cosine distortion the
+    * 4× buys). */
+  def randProjection(s: SparkSession, d: String): DataFrame = {
+    val w = typedLit((0 until RpDims).map(j => (1 to 64).map(i => rpSign(j, i))))
+    scaledEmb(s, d)
+      .select(col("vec_id"),
+        array_join(
+          transform(
+            sequence(lit(0), lit(RpDims - 1)),
+            j => aggregate(
+              zip_with(col("sarr"), element_at(w, j + 1), (v, ww) => v * ww),
+              lit(0L), (acc, x) => acc + x).cast(StringType)),
+          ",").as("rp_csv"))
+      .orderBy("vec_id")
+  }
+
+  val randProjectionSql: String =
+    s"""WITH w AS (SELECT j, i,
+              CASE WHEN CAST('0x' || substr(md5('rp:' || j || ':' || i), 1, 1) AS INT) < 8
+                   THEN 1 ELSE -1 END AS w
+            FROM generate_series(0, ${RpDims - 1}) jj(j), generate_series(1, 64) ii(i)),
+        sx AS (SELECT vec_id, i,
+                 CAST(floor(CAST(embedding[i] AS DOUBLE) * $ScaleQ + 0.5) AS BIGINT) AS v
+               FROM embeddings, generate_series(1, 64) t(i)),
+        p AS (SELECT s.vec_id, w.j, sum(s.v * w.w) AS r
+              FROM sx s JOIN w ON s.i = w.i GROUP BY 1, 2)
+        SELECT vec_id, string_agg(CAST(r AS VARCHAR), ',' ORDER BY j) AS rp_csv
+        FROM p GROUP BY vec_id ORDER BY vec_id"""
+
   /** int8 view of the corpus used by [[annIvfRescore]]'s first pass: the
     * [[quantizeVectors]] arithmetic, kept as an array of longs so the dot
     * products downstream stay exact integer math both engines reproduce

@@ -155,4 +155,25 @@ class DedupSpec extends SparkSpec {
     assert(viaCols.exceptAll(viaAgg).count() == 0)
     h.unpersist()
   }
+
+  test("containment flags a near-superset pair that Jaccard misses") {
+    // doc 1 = 20 distinct words; doc 2 = doc 1 verbatim + 30 more words.
+    // Shingle sets: |S(1)| = 18, S(1) ⊂ S(2) (the quote survives whole, plus
+    // 2 boundary shingles and 28 suffix shingles) — so containment(1→2) = 1
+    // while Jaccard = 18/48 = 0.375, under the pair-finder threshold. This
+    // is exactly the asymmetric near-superset case the operator exists for.
+    val short = (1 to 20).map(i => s"a$i").mkString(" ")
+    val long = short + " " + (1 to 30).map(i => s"b$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val rows = Dedup.containmentPairsOf(Dedup.shinglesOf(docs)).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 1.0, "short doc fully contained in long doc")
+    val jaccard = 18.0 / 48.0
+    assert(math.abs(r.getDouble(3) - jaccard) < 1e-12,
+      "reverse containment equals |S(1)|/|S(2)|")
+    assert(jaccard < Dedup.JaccardThreshold,
+      "the pair is invisible to the symmetric Jaccard finder")
+  }
 }

@@ -10,7 +10,8 @@ class QueriesSpec extends SparkSpec {
   /** Queries that legitimately may return zero rows on the tiny corpus. */
   private val mayBeEmpty = Set(
     "q_join_anti", "q_set_except", "q_cosine_pairs",
-    "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram_jaccard")
+    "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram_jaccard",
+    "q_containment")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {

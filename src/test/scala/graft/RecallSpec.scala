@@ -73,6 +73,34 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.80, f"annIvfRescore recall@10 $r%.2f below floor 0.80")
   }
 
+  test("random projection preserves corpus geometry within the JL bound") {
+    // q_rand_projection ships exact integer components r_j = Σ ±v_i; the
+    // JL estimate of cos(x, y) is cos of the 16-dim reduced vectors. The
+    // oracle gate proves both engines compute the same integers — THIS test
+    // proves the integers are a useful sketch: reduced-space cosine tracks
+    // full-space cosine for the 5 query vectors against the whole corpus.
+    // The ±1/√k JL error for k=16 is σ≈0.25 per pair on orthogonal-ish
+    // random vectors — bounds below are measured on this corpus with margin.
+    val rp = Similarity.randProjection(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(",").map(_.toDouble)).toMap
+    val full = Tables.embeddings(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val errs = for {
+      q <- 0L until Similarity.NumQueries.toLong
+      v <- full.keys if v != q
+    } yield math.abs(cos(rp(q), rp(v)) - cos(full(q), full(v)))
+    val mean = errs.sum / errs.size
+    val p99 = errs.sorted.apply((errs.size * 99) / 100)
+    info(f"JL cosine distortion over ${errs.size} pairs: mean $mean%.3f, p99 $p99%.3f")
+    assert(mean <= 0.25, f"mean cosine distortion $mean%.3f above the JL bound")
+    assert(p99 <= 0.75, f"p99 cosine distortion $p99%.3f above the measured envelope")
+  }
+
   test("IVF probe budget holds a bounded scan fraction at corpus scale") {
     // The 100-TB contract of probesFor: once the corpus outgrows the
     // small-corpus floor (NumProbes), the probed share of cells — and with
