@@ -92,7 +92,17 @@ object PlanDump {
       "cell-partitioned int8 codes), the custom TopKPerKey operator " +
       "(partial heaps below ONE exchange on query_id) instead of a " +
       "candidate sort, and the float rescore join driven by the BROADCAST " +
-      "RescoreK-bounded survivor list probing the corpus scan."))
+      "RescoreK-bounded survivor list probing the corpus scan."),
+    "q_containment" -> ("Asymmetric containment pairs. Expect: the SAME " +
+      "df-capped inverted-index shape as q_dedup_ngram_jaccard (map-side-" +
+      "combined shingle aggregate, broadcast anti-join cap, ONE equi-join " +
+      "on the shingle hash) — both direction scores come off the single " +
+      "intersection row, so there is no second candidate join."),
+    "q_rand_projection" -> ("Johnson-Lindenstrauss projection. Expect: a " +
+      "single map stage over the pruned (vec_id, embedding) scan — 16 " +
+      "codegen'd long_dot kernels against literal matrix rows (no " +
+      "broadcast, no exchange except the presentation sort). The map-pass " +
+      "shape is the whole point at 100 TB."))
 
   /** Streaming queries return a sink read whose plan says nothing; what
     * scales (or doesn't) is the per-micro-batch KERNEL. These dump the same

@@ -531,23 +531,22 @@ object Similarity {
     * comparator cannot hash array cells).
     *
     * Scale shape — the best in the vector family: a pure map pass. The
-    * projection matrix is a 16×64 literal baked into the plan (no broadcast,
-    * no shuffle, no train step), the transform/aggregate lambdas are
-    * codegen'd, and the scan prunes to (vec_id, embedding). At 100 TB this
-    * runs at read bandwidth and is the standard pre-step that cuts
-    * IVF/LSH index memory 4× (RecallSpec measures the cosine distortion the
-    * 4× buys). */
+    * projection matrix rows are 64-long literals baked into the plan (no
+    * broadcast, no shuffle, no train step), each component is one
+    * codegen'd [[graft.functions.LongDot]] kernel against its literal row
+    * (a transform/aggregate HOF formulation computes the same integers but
+    * falls out of whole-stage codegen), and the scan prunes to
+    * (vec_id, embedding). At 100 TB this runs at read bandwidth and is the
+    * standard pre-step that cuts IVF/LSH index memory 4× (RecallSpec
+    * measures the cosine distortion the 4× buys). */
   def randProjection(s: SparkSession, d: String): DataFrame = {
-    val w = typedLit((0 until RpDims).map(j => (1 to 64).map(i => rpSign(j, i))))
+    val comps = (0 until RpDims).map { j =>
+      graft.functions.VectorFunctions.longDot(
+        col("sarr"), typedLit((1 to 64).map(i => rpSign(j, i))))
+        .cast(StringType)
+    }
     scaledEmb(s, d)
-      .select(col("vec_id"),
-        array_join(
-          transform(
-            sequence(lit(0), lit(RpDims - 1)),
-            j => aggregate(
-              zip_with(col("sarr"), element_at(w, j + 1), (v, ww) => v * ww),
-              lit(0L), (acc, x) => acc + x).cast(StringType)),
-          ",").as("rp_csv"))
+      .select(col("vec_id"), array_join(array(comps: _*), ",").as("rp_csv"))
       .orderBy("vec_id")
   }
 

@@ -266,4 +266,22 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"the fact-sized edge list must never be shuffled for a join:\n$plan")
     graft.TrackedCaches.release()
   }
+
+  test("random projection is a pure map pass: codegen kernels, sort-only exchange") {
+    val df = graft.llm.Similarity.randProjection(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // The only exchange allowed is the presentation sort's range partitioning
+    // — the projection itself must add no shuffle, no broadcast, no join.
+    val shuffles = collectWithSubqueries(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1,
+      s"projection must only shuffle for the final sort:\n$plan")
+    assert(!plan.toString.contains("Join"),
+      s"the literal matrix must not become a join side:\n$plan")
+    // All 16 components run as the codegen'd LongDot kernel, not HOF lambdas.
+    val nKernels = "long_dot".r.findAllIn(plan.toString).size
+    assert(nKernels >= graft.llm.Similarity.RpDims,
+      s"expected ${graft.llm.Similarity.RpDims} long_dot kernels in:\n$plan")
+    graft.TrackedCaches.release()
+  }
 }
