@@ -109,7 +109,8 @@ object ScaleTest {
     val subset = Seq(
       "q_dedup_exact", "q_dedup_fingerprint", "q_dedup_minhash",
       "q_dedup_simhash", "q_winnow_fps", "q_dedup_winnow",
-      "q_dedup_ngram_jaccard", "q_dedup_clusters", "q_dedup_incremental",
+      "q_dedup_ngram_jaccard", "q_containment", "q_dedup_clusters",
+      "q_dedup_incremental",
       "q_heavy_hitters", "q_curation_funnel",
       "q_seq_pack", "q_doc_chunks", "q_cdc_chunks", "q_cdc_shared",
       "q_mixture_rebalance", "q_dup_ngram_fraction", "q_lm_perplexity",
@@ -246,7 +247,8 @@ object ScaleTest {
       buildVecs(spark, src, dst, 10)
       new java.io.File(s"$dst/_built").createNewFile()
     }
-    val subset = Seq("q_ann_topk", "q_ann_lsh", "q_ann_ivf")
+    val subset = Seq("q_ann_topk", "q_ann_lsh", "q_ann_ivf",
+      "q_ann_ivf_rescore", "q_rand_projection", "q_vec_quantize")
     def time(dir: String): Map[String, Double] =
       subset.map { name =>
         val t0 = System.nanoTime()
