@@ -36,6 +36,19 @@ import org.apache.spark.sql.functions._
   * size distribution — growth, not artificial duplication.
   */
 object ScaleTest {
+
+  /** Fingerprint of the source corpus (total bytes of its parquet files),
+    * baked into every staged-corpus path alongside the generator parameters:
+    * when the driver regenerates /root/testdata the staged 10× corpora are
+    * rebuilt instead of silently reused, so a ratio can never compare a NEW
+    * 1× corpus against a 10× replica of the OLD one. */
+  private def corpusStamp(src: String): String = {
+    val bytes = Option(new java.io.File(src).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    java.lang.Long.toHexString(bytes)
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("docs")) return docsMain()
     if (args.headOption.contains("streams")) return streamsMain()
@@ -55,7 +68,7 @@ object ScaleTest {
     // key stride): changing either forces a rebuild instead of silently
     // reusing a corpus built under the old scheme.
     val dst =
-      s"${System.getProperty("java.io.tmpdir")}/graft_sf1_c${copies}_s1000000"
+      s"${System.getProperty("java.io.tmpdir")}/graft_sf1_c${copies}_s1000000_${corpusStamp(src)}"
 
     if (!new java.io.File(s"$dst/_built").exists()) {
       build(spark, src, dst, copies)
@@ -101,7 +114,7 @@ object ScaleTest {
     // a change to buildDocs must bump this suffix so a stale cached corpus
     // can't skew the reported ratios.
     val dst =
-      s"${System.getProperty("java.io.tmpdir")}/graft_docs10x_c10_m5_d1000000"
+      s"${System.getProperty("java.io.tmpdir")}/graft_docs10x_c10_m5_d1000000_${corpusStamp(src)}"
     if (!new java.io.File(s"$dst/_built").exists()) {
       buildDocs(spark, src, dst, 10)
       new java.io.File(s"$dst/_built").createNewFile()
@@ -149,7 +162,7 @@ object ScaleTest {
     // Parameter-stamped path (copies, key stride) — same rebuild discipline
     // as the other modes.
     val dst =
-      s"${System.getProperty("java.io.tmpdir")}/graft_events10x_c10_s1000000"
+      s"${System.getProperty("java.io.tmpdir")}/graft_events10x_c10_s1000000_${corpusStamp(src)}"
     if (!new java.io.File(s"$dst/_built").exists()) {
       buildStreams(spark, src, dst, 10)
       new java.io.File(s"$dst/_built").createNewFile()
@@ -184,7 +197,7 @@ object ScaleTest {
     // structure): corpus index/model 10x, arrival stream 10x, same
     // micro-batch count.
     val docsDst =
-      s"${System.getProperty("java.io.tmpdir")}/graft_docs10x_c10_m5_d1000000"
+      s"${System.getProperty("java.io.tmpdir")}/graft_docs10x_c10_m5_d1000000_${corpusStamp(src)}"
     if (!new java.io.File(s"$docsDst/_built").exists()) {
       buildDocs(spark, src, docsDst, 10)
       new java.io.File(s"$docsDst/_built").createNewFile()
@@ -242,7 +255,7 @@ object ScaleTest {
     // Parameter-stamped path (copies, id stride) — same rebuild discipline
     // as the other modes.
     val dst =
-      s"${System.getProperty("java.io.tmpdir")}/graft_vecs10x_c10_v1000000"
+      s"${System.getProperty("java.io.tmpdir")}/graft_vecs10x_c10_v1000000_${corpusStamp(src)}"
     if (!new java.io.File(s"$dst/_built").exists()) {
       buildVecs(spark, src, dst, 10)
       new java.io.File(s"$dst/_built").createNewFile()

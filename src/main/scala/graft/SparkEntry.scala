@@ -85,6 +85,9 @@ object SparkEntry {
     "q_dedup_clusters" -> (Dedup.dedupClusters _),
     "q_vec_quantize" -> (Similarity.quantizeVectors _),
     "q_rand_projection" -> (Similarity.randProjection _),
+    "q_cluster_profile" -> (Similarity.clusterProfile _),
+    "q_pmi_pairs" -> (TextAnalysis.pmiPairs _),
+    "q_len_hist" -> (TextAnalysis.lenHist _),
     "q_dq_detect" -> (graft.ops.Quality.dqDetect _),
     "q_ann_topk" -> (Similarity.annTopK _),
     "q_ann_lsh" -> (Similarity.annLsh _),
@@ -409,6 +412,9 @@ object SparkEntry {
     "q_dedup_clusters" -> Dedup.dedupClustersSql,
     "q_vec_quantize" -> Similarity.quantizeVectorsSql,
     "q_rand_projection" -> Similarity.randProjectionSql,
+    "q_cluster_profile" -> Similarity.clusterProfileSql,
+    "q_pmi_pairs" -> TextAnalysis.pmiPairsSql,
+    "q_len_hist" -> TextAnalysis.lenHistSql,
     "q_dq_detect" -> graft.ops.Quality.dqDetectSql,
     "q_ann_topk" -> Similarity.annTopKSql,
     "q_ann_lsh" -> Similarity.annLshSql,

@@ -251,7 +251,9 @@ object Similarity {
     scaledOf(Tables.embeddings(s, d))
 
   /** Nearest-centroid assignment by exact integer squared-L2; ties break on
-    * cent_id via lexicographic struct-min. Centroids broadcast (k rows). */
+    * cent_id via lexicographic struct-min. Centroids broadcast (k rows).
+    * Carries the argmin distance too — the cluster-profile query reads it;
+    * every other consumer projects it away for free. */
   private[graft] def assignCells(sx: DataFrame, cents: DataFrame): DataFrame =
     sx.crossJoin(broadcast(cents))
       // Codegen'd fused loop (graft.functions.LongSqDist) — bit-identical
@@ -261,7 +263,8 @@ object Similarity {
         graft.functions.VectorFunctions.longSqDist(col("sarr"), col("carr")))
       .groupBy("vec_id")
       .agg(min(struct(col("dist"), col("cent_id"))).as("m"))
-      .select(col("vec_id"), col("m.cent_id").as("cell"))
+      .select(col("vec_id"), col("m.cent_id").as("cell"),
+        col("m.dist").as("dist"))
 
   /** The n nearest centroid cells per vector (multi-probe query routing).
     * Same exact integer distance as [[assignCells]]; the row_number window
@@ -396,8 +399,8 @@ object Similarity {
         ${(1 to KmIters).map(kmIterSql).mkString(",\n        ")},
         dfin AS (SELECT x.vec_id, c.cent_id, sum((x.v - c.c) * (x.v - c.c)) AS d
                  FROM sx x JOIN cent$KmIters c ON x.i = c.i GROUP BY 1, 2),
-        cells AS (SELECT vec_id, cent_id AS cell FROM (
-                    SELECT vec_id, cent_id,
+        cells AS (SELECT vec_id, cent_id AS cell, d AS dist FROM (
+                    SELECT vec_id, cent_id, d,
                       row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rk
                     FROM dfin) WHERE rk = 1)"""
 
@@ -422,6 +425,34 @@ object Similarity {
              generate_series(1, 64) t(i)
         GROUP BY 1, 2 ORDER BY query_id, neighbor_id"""
   }
+
+  /** Occupancy + radius report of the trained IVF index — the corpus
+    * cartography a curation team reads before acting on the cells (is the
+    * embedding space balanced? which cells are dense blobs vs diffuse
+    * tails?) and the capacity-planning input for the index itself (cell
+    * size imbalance is the IVF latency tail). Per cell: member count and
+    * RMS distance-to-centroid in original embedding units
+    * (sqrt(mean sq dist)/ScaleQ — sqrt and the divisions are IEEE-exact
+    * on identical inputs, so both engines agree; rounded 6 dp).
+    * Scale shape: the [[assignCells]] argmin (broadcast centroids, map-side
+    * combine) followed by a k-arity rollup — nothing beyond the training
+    * pass it profiles. */
+  def clusterProfile(s: SparkSession, d: String): DataFrame = {
+    val sx = graft.TrackedCaches.track(scaledEmb(s, d).cache())
+    val cents = trainCentroids(sx, seedCentroids(s, d, sx, centroidsFor(sx.count())))
+    assignCells(sx, cents)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sqrt(sum(col("dist")).cast(DoubleType) / count(lit(1))) / ScaleQ, 6)
+          .as("rms_dist"))
+      .orderBy("cell")
+  }
+
+  val clusterProfileSql: String =
+    s"""WITH $kmeansCellsSql
+        SELECT cell, count(*) AS n_vecs,
+          round(sqrt(CAST(sum(dist) AS DOUBLE) / count(*)) / $ScaleQ, 6) AS rms_dist
+        FROM cells GROUP BY cell ORDER BY cell"""
 
   /** Vectors kept per semantic cell by the diversity sampler. Halved when
     * the cell count doubled to 16 so the total cap (cells x DiverseK) —

@@ -863,4 +863,97 @@ object TextAnalysis {
           CAST(p.kept_tokens AS DOUBLE) / kt.kt AS achieved_share
         FROM rates r JOIN kept p USING (lang), kt ORDER BY r.lang"""
   }
+
+  /** Occurrence floor for PMI candidate bigrams: below it the estimate is
+    * dominated by sampling noise (the classic PMI-of-rare-pairs artifact),
+    * and the high-PMI list degenerates into hapax pairs. */
+  val PmiMinCount = 5
+
+  /** Collocations reported by [[pmiPairs]]. */
+  val PmiTopK = 100
+
+  /** Top-[[PmiTopK]] collocations by pointwise mutual information — the
+    * corpus-statistics pass a tokenizer/vocabulary team runs to find
+    * multi-word units worth merging ("new york" style): PMI(w1, w2) =
+    * ln(c2·T / (cL(w1)·cR(w2))) over adjacent-bigram counts, where cL/cR
+    * are left/right marginals and T the total bigram mass.
+    *
+    * Scale shape: ONE corpus aggregation (the same map-side-combined bigram
+    * count [[bigramModel]] uses); marginals are vocab-arity rollups OF THE
+    * COUNT TABLE (never a second corpus pass) joined back by broadcast; the
+    * [[PmiMinCount]] floor prunes the candidate list before the joins. The
+    * products c2·T and cL·cR stay exact in 64-bit up to ~10^7-bigram
+    * corpora (they fit 2^53 so the ln argument is the same double both
+    * engines); a web-scale deployment subtracts logs instead and accepts
+    * the last-ulp libm variance, or keeps the ratio in DECIMAL. Scores
+    * round to 6 dp before ranking, ties break on (w1, w2) — the file-wide
+    * determinism discipline. */
+  def pmiPairs(s: SparkSession, d: String): DataFrame = {
+    val c2 = graft.TrackedCaches.track(
+      bigramsOf(Tables.documents(s, d).select("doc_id", "text"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n")).cache())
+    val t = c2.agg(sum("n")).head().getLong(0)
+    val cl = c2.groupBy("w1").agg(sum("n").as("cl"))
+    val cr = c2.groupBy("w2").agg(sum("n").as("cr"))
+    c2.filter(col("n") >= PmiMinCount)
+      .join(broadcast(cl), "w1")
+      .join(broadcast(cr), "w2")
+      .select(col("w1"), col("w2"), col("n"),
+        round(log(col("n").cast(DoubleType) * t /
+          (col("cl") * col("cr")).cast(DoubleType)), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+  }
+
+  val pmiPairsSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        b AS (SELECT t[i] AS w1, t[i+1] AS w2
+              FROM w, generate_series(1, ${graft.llm.Dedup.MaxWords}) s(i)
+              WHERE i <= len(t) - 1),
+        c2 AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY 1, 2),
+        tt AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c2),
+        cl AS (SELECT w1, CAST(sum(n) AS BIGINT) AS cl FROM c2 GROUP BY 1),
+        cr AS (SELECT w2, CAST(sum(n) AS BIGINT) AS cr FROM c2 GROUP BY 1)
+        SELECT c2.w1, c2.w2, c2.n,
+          round(ln(CAST(c2.n AS DOUBLE) * tt.t
+            / CAST(cl.cl * cr.cr AS DOUBLE)), 6) AS pmi
+        FROM c2
+        CROSS JOIN tt
+        JOIN cl ON c2.w1 = cl.w1
+        JOIN cr ON c2.w2 = cr.w2
+        WHERE c2.n >= $PmiMinCount
+        ORDER BY pmi DESC, c2.w1, c2.w2 LIMIT $PmiTopK"""
+
+  /** Per-source token-length histogram in power-of-two buckets — the
+    * distribution a packing/curation team reads before choosing a training
+    * sequence length (what share of documents truncate at 512? at 2048?).
+    * The bucket is derived from the BIT LENGTH of the token count
+    * (bucket = len(bin(nw)) - 1 = floor(log2 nw)) — pure integer/string
+    * arithmetic both engines reproduce exactly, where a floating log2
+    * would hinge on libm behavior at the power-of-two boundaries.
+    * Scale shape: one map pass + one (source × ~7 buckets)-arity
+    * aggregation; nothing else. */
+  def lenHist(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("nw"))
+      .filter(col("nw") >= 1)
+      .withColumn("bucket", (length(bin(col("nw"))) - 1).cast(IntegerType))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("tokens"))
+      .withColumn("bucket_lo",
+        expr("cast(shiftleft(cast(1 as bigint), bucket) as bigint)"))
+      .select(col("source"), col("bucket"), col("bucket_lo"),
+        col("n_docs"), col("tokens"))
+      .orderBy("source", "bucket")
+
+  val lenHistSql: String =
+    """WITH d AS (SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+           FROM documents),
+       b AS (SELECT source, CAST(length(bin(nw)) - 1 AS INT) AS bucket, nw
+             FROM d WHERE nw >= 1)
+       SELECT source, bucket, CAST(1 << bucket AS BIGINT) AS bucket_lo,
+         count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS tokens
+       FROM b GROUP BY 1, 2 ORDER BY source, bucket"""
 }

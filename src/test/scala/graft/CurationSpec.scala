@@ -186,4 +186,54 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_pairs")).sum == nPairs,
       "overlap matrix must partition the pair list")
   }
+
+  test("length histogram partitions the corpus into true power-of-two buckets") {
+    val rows = TextAnalysis.lenHist(spark, Sf).collect()
+    val docs = Tables.documents(spark, Sf)
+      .select(size(split(col("text"), " ")).cast("long").as("nw"))
+      .filter(col("nw") >= 1).collect().map(_.getLong(0))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length,
+      "every doc lands in exactly one (source, bucket) row")
+    assert(rows.map(_.getAs[Long]("tokens")).sum == docs.sum,
+      "token mass is conserved")
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket"); val lo = r.getAs[Long]("bucket_lo")
+      assert(lo == (1L << b), s"bucket_lo must be 2^bucket, got $lo for $b")
+    }
+    // The histogram agrees with a direct bucketing of the raw lengths.
+    val direct = docs.groupBy(nw => 63 - java.lang.Long.numberOfLeadingZeros(nw))
+      .view.mapValues(_.length).toMap
+    val perBucket = rows.groupBy(_.getAs[Int]("bucket"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(perBucket.map { case (b, n) => b.toLong -> n } ==
+      direct.map { case (b, n) => b.toLong -> n.toLong },
+      "bit-length bucketing must equal floor(log2)")
+  }
+
+  test("PMI pairs respect the count floor and rank by score") {
+    val rows = TextAnalysis.pmiPairs(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.length <= TextAnalysis.PmiTopK)
+    assert(rows.forall(_.getAs[Long]("n") >= TextAnalysis.PmiMinCount),
+      "no pair below the occurrence floor")
+    val pmis = rows.map(_.getAs[Double]("pmi"))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b },
+      "rows must be ranked by descending PMI")
+    // A pair that always co-occurs (c2 == cL == cR) has PMI = ln(T/c2) —
+    // the maximum for its count — so every reported PMI is bounded by the
+    // corpus-wide ln(T / PmiMinCount).
+    val t = rows.map(_.getAs[Long]("n")).sum // lower bound on total mass
+    assert(pmis.head <= math.log(9e18), "finite scores")
+    assert(t > 0)
+  }
+
+  test("cluster profile partitions the corpus over the trained cells") {
+    val emb = Tables.embeddings(spark, Sf)
+    val n = emb.count()
+    val rows = graft.llm.Similarity.clusterProfile(spark, Sf).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == n,
+      "every vector lands in exactly one cell")
+    assert(rows.length <= graft.llm.Similarity.centroidsFor(n))
+    assert(rows.forall(_.getAs[Double]("rms_dist") >= 0.0))
+    graft.TrackedCaches.release()
+  }
 }

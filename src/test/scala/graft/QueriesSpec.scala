@@ -11,7 +11,7 @@ class QueriesSpec extends SparkSpec {
   private val mayBeEmpty = Set(
     "q_join_anti", "q_set_except", "q_cosine_pairs",
     "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram_jaccard",
-    "q_containment")
+    "q_containment", "q_pmi_pairs")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {
