@@ -98,6 +98,11 @@ object PlanDump {
       "combined shingle aggregate, broadcast anti-join cap, ONE equi-join " +
       "on the shingle hash) — both direction scores come off the single " +
       "intersection row, so there is no second candidate join."),
+    "q_pmi_pairs" -> ("PMI collocations. Expect: ONE map-side-combined " +
+      "bigram count aggregate (the corpus pass), the PmiMinCount filter " +
+      "BELOW the joins, and both vocab-arity marginals joined back by " +
+      "BROADCAST — never a second corpus scan, never a sort-merge join " +
+      "(PlanShapeSpec gates both)."),
     "q_rand_projection" -> ("Johnson-Lindenstrauss projection. Expect: a " +
       "single map stage over the pruned (vec_id, embedding) scan — 16 " +
       "codegen'd long_dot kernels against literal matrix rows (no " +

@@ -86,6 +86,7 @@ object SparkEntry {
     "q_vec_quantize" -> (Similarity.quantizeVectors _),
     "q_rand_projection" -> (Similarity.randProjection _),
     "q_cluster_profile" -> (Similarity.clusterProfile _),
+    "q_hard_negatives" -> (Similarity.hardNegatives _),
     "q_pmi_pairs" -> (TextAnalysis.pmiPairs _),
     "q_len_hist" -> (TextAnalysis.lenHist _),
     "q_dq_detect" -> (graft.ops.Quality.dqDetect _),
@@ -413,6 +414,7 @@ object SparkEntry {
     "q_vec_quantize" -> Similarity.quantizeVectorsSql,
     "q_rand_projection" -> Similarity.randProjectionSql,
     "q_cluster_profile" -> Similarity.clusterProfileSql,
+    "q_hard_negatives" -> Similarity.hardNegativesSql,
     "q_pmi_pairs" -> TextAnalysis.pmiPairsSql,
     "q_len_hist" -> TextAnalysis.lenHistSql,
     "q_dq_detect" -> graft.ops.Quality.dqDetectSql,

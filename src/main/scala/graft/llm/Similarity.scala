@@ -365,6 +365,33 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Hard negatives mined per query: ranks ([[TopK]], TopK + HardNegK]. */
+  val HardNegK = 20
+
+  /** Hard-negative mining for contrastive embedding training: per query,
+    * the [[HardNegK]] candidates ranked JUST BELOW the top-[[TopK]]
+    * neighbors by exact cosine within the IVF-probed candidate set. The
+    * standard recipe — random negatives are trivially separable and teach
+    * the model nothing, while near-misses ("close but not a neighbor")
+    * carry the gradient signal; mining them from the ANN candidate pool is
+    * how production systems get hardness without an exhaustive scan.
+    *
+    * Scale shape: everything is [[annIvf]]'s probe plan (broadcast query
+    * probes onto cell-partitioned corpus, ~probe-budget scan fraction);
+    * the added ranking window is per-query over the bounded candidate set,
+    * never global. At larger corpora the same mine runs off
+    * [[annIvfRescore]]'s int8 first pass so negatives cost compressed
+    * reads only. */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    annIvf(s, d)
+      .withColumn("rk", row_number().over(w).cast(IntegerType))
+      .filter(col("rk") > TopK && col("rk") <= TopK + HardNegK)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rk")
+  }
+
   // One block per k-means iteration: exact integer distances -> argmin
   // (ties on cent_id) -> re-quantized means. Mirrors the Spark side 1:1.
   private def kmIterSql(t: Int): String = {
@@ -425,6 +452,16 @@ object Similarity {
              generate_series(1, 64) t(i)
         GROUP BY 1, 2 ORDER BY query_id, neighbor_id"""
   }
+
+  val hardNegativesSql: String =
+    s"""WITH base AS ($annIvfSql)
+        SELECT query_id, rk, neighbor_id, cos FROM (
+          SELECT query_id, neighbor_id, cos,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS INT) AS rk
+          FROM base)
+        WHERE rk > $TopK AND rk <= ${TopK + HardNegK}
+        ORDER BY query_id, rk"""
 
   /** Occupancy + radius report of the trained IVF index — the corpus
     * cartography a curation team reads before acting on the cells (is the

@@ -267,6 +267,19 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     graft.TrackedCaches.release()
   }
 
+  test("PMI joins its vocab-arity marginals by broadcast; no second corpus pass") {
+    val df = graft.llm.TextAnalysis.pmiPairs(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size == 2,
+      s"left and right marginals must broadcast onto the count table:\n$plan")
+    val smj = collectWithSubqueries(plan) { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty,
+      s"no marginal join may shuffle the candidate stream:\n$plan")
+    graft.TrackedCaches.release()
+  }
+
   test("random projection is a pure map pass: codegen kernels, sort-only exchange") {
     val df = graft.llm.Similarity.randProjection(spark, Sf)
     df.collect()

@@ -73,6 +73,26 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.80, f"annIvfRescore recall@10 $r%.2f below floor 0.80")
   }
 
+  test("hard negatives are near-misses: full depth, below top-k, few true neighbors") {
+    val rows = Similarity.hardNegatives(spark, Sf).collect()
+    assert(rows.length == Similarity.NumQueries * Similarity.HardNegK,
+      "every query mines its full negative depth on this corpus")
+    assert(rows.forall { r =>
+      val rk = r.getAs[Int]("rk")
+      rk > Similarity.TopK && rk <= Similarity.TopK + Similarity.HardNegK
+    })
+    // "Hard" means close-but-not-neighbor: mined pairs may contain the few
+    // true neighbors IVF mis-ranked below its top-k (that is recall's
+    // complement, ~0.12 here), but never more.
+    val mined = rows.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    val leaked = (truth intersect mined).size.toDouble / truth.size
+    info(f"true neighbors leaked into the negative pool: $leaked%.2f of truth")
+    assert(leaked <= 0.20,
+      f"$leaked%.2f of true neighbors in the negatives — recall floor broken upstream")
+    graft.TrackedCaches.release()
+  }
+
   test("random projection preserves corpus geometry within the JL bound") {
     // q_rand_projection ships exact integer components r_j = Σ ±v_i; the
     // JL estimate of cos(x, y) is cos of the 16-dim reduced vectors. The
