@@ -128,7 +128,8 @@ object ScaleTest {
       "q_seq_pack", "q_doc_chunks", "q_cdc_chunks", "q_cdc_shared",
       "q_mixture_rebalance", "q_dup_ngram_fraction", "q_lm_perplexity",
       "q_ppl_buckets", "q_source_scorecard", "q_bm25_topk", "q_hybrid_rrf",
-      "q_train_split", "q_shard_manifest", "q_source_overlap")
+      "q_train_split", "q_shard_manifest", "q_source_overlap",
+      "q_pmi_pairs", "q_len_hist")
     def time(dir: String): Map[String, Double] =
       subset.map { name =>
         val t0 = System.nanoTime()
@@ -261,7 +262,8 @@ object ScaleTest {
       new java.io.File(s"$dst/_built").createNewFile()
     }
     val subset = Seq("q_ann_topk", "q_ann_lsh", "q_ann_ivf",
-      "q_ann_ivf_rescore", "q_rand_projection", "q_vec_quantize")
+      "q_ann_ivf_rescore", "q_rand_projection", "q_vec_quantize",
+      "q_cluster_profile", "q_hard_negatives")
     def time(dir: String): Map[String, Double] =
       subset.map { name =>
         val t0 = System.nanoTime()
