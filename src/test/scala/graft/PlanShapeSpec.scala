@@ -267,6 +267,30 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     graft.TrackedCaches.release()
   }
 
+  test("containment runs the df-capped index shape: anti-join cap, no cartesian") {
+    val df = graft.llm.Dedup.containmentPairs(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(!plan.toString.contains("CartesianProduct"),
+      s"pair generation must stay an equi-join on the shingle hash:\n$plan")
+    // The df cap's hot-shingle list anti-joins by broadcast (tiny by
+    // construction), so the shingle stream is never shuffled for the cap.
+    // The capped index is cached, so the anti-join lives in the cached
+    // relation's BUILD plan — descend into InMemoryRelation to find it.
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val cachedPlans = collectWithSubqueries(plan) {
+      case s: InMemoryTableScanExec => s.relation.cachedPlan
+    }
+    // cachedPlan is an AdaptiveSparkPlanExec whose executed tree only shows
+    // in its string rendering — match there rather than collecting nodes.
+    val rendered = (plan +: cachedPlans).map(_.toString)
+    assert(rendered.exists(t =>
+        t.contains("LeftAnti") && t.contains("BroadcastHashJoin")),
+      "df cap must be a broadcast anti-join (in the cached index build):\n" +
+        rendered.mkString("\n---\n").take(8000))
+    graft.TrackedCaches.release()
+  }
+
   test("PMI joins its vocab-arity marginals by broadcast; no second corpus pass") {
     val df = graft.llm.TextAnalysis.pmiPairs(spark, Sf)
     df.collect()
