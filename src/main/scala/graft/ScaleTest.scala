@@ -129,7 +129,7 @@ object ScaleTest {
       "q_mixture_rebalance", "q_dup_ngram_fraction", "q_lm_perplexity",
       "q_ppl_buckets", "q_source_scorecard", "q_bm25_topk", "q_hybrid_rrf",
       "q_train_split", "q_shard_manifest", "q_source_overlap",
-      "q_pmi_pairs", "q_len_hist")
+      "q_pmi_pairs", "q_len_hist", "q_ngram_novelty", "q_dedup_savings")
     def time(dir: String): Map[String, Double] =
       subset.map { name =>
         val t0 = System.nanoTime()

@@ -78,6 +78,8 @@ object SparkEntry {
     "q_dedup_simhash" -> (Dedup.simhashPairs _),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
     "q_containment" -> (Dedup.containmentPairs _),
+    "q_ngram_novelty" -> (Dedup.ngramNovelty _),
+    "q_dedup_savings" -> (Dedup.dedupSavings _),
     "q_winnow_fps" -> (Dedup.winnowFingerprints _),
     "q_dedup_winnow" -> (Dedup.winnowPairs _),
     "q_cdc_chunks" -> (Dedup.cdcChunkMap _),
@@ -406,6 +408,8 @@ object SparkEntry {
     "q_dedup_simhash" -> Dedup.simhashPairsSql,
     "q_dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql,
     "q_containment" -> Dedup.containmentPairsSql,
+    "q_ngram_novelty" -> Dedup.ngramNoveltySql,
+    "q_dedup_savings" -> Dedup.dedupSavingsSql,
     "q_winnow_fps" -> Dedup.winnowFingerprintsSql,
     "q_dedup_winnow" -> Dedup.winnowPairsSql,
     "q_cdc_chunks" -> Dedup.cdcChunkMapSql,

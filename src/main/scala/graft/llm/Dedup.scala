@@ -462,6 +462,113 @@ object Dedup {
         FROM w LEFT JOIN dup ON w.doc_id = dup.doc_id
         ORDER BY w.doc_id"""
 
+  /** First-occurrence n-gram novelty per document — the "keep the first
+    * occurrence" exact-substring-dedup policy expressed as a per-doc SCORE:
+    * of a document's distinct [[DupN]]-word windows, the share whose FIRST
+    * corpus owner (minimum doc_id over all documents containing the window)
+    * is the document itself. A verbatim late copy scores 0 (everything it
+    * says was said before), the corpus's sources of copied text score high
+    * — the ordering signal for dedup-aware curriculum and attribution.
+    * Complements [[dupNgramFraction]]: that measures how much of a doc is
+    * duplicated ANYWHERE; this says who was first.
+    *
+    * Scale shape: distinct (doc, window-hash) stream -> map-side-combined
+    * min(doc_id) per hash -> ONE equi-join back on the hash — an
+    * aggregation join, linear in occurrences, so no df cap is needed. The
+    * score is one division of exact integers (both engines bit-agree). */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame =
+    ngramNoveltyOf(Tables.documents(s, d))
+
+  /** [[ngramNovelty]] over an explicit (doc_id, text) frame — exposed so
+    * DedupSpec can prove the verbatim-late-copy case. */
+  private[graft] def ngramNoveltyOf(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val g = w.select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(ws) >= $DupN
+            THEN array_distinct(transform(sequence(0, size(ws) - $DupN),
+                           i -> array_join(slice(ws, i + 1, $DupN), ' ')))
+            ELSE array() END""")).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+    val owner = g.groupBy("h").agg(min("doc_id").as("first_doc"))
+    val owned = g.join(owner, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_owned"))
+    docs.select(col("doc_id"))
+      .join(owned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_owned"), lit(0L)).as("n_owned"),
+        when(col("n_windows") > 0,
+          col("n_owned").cast(DoubleType) / col("n_windows"))
+          .otherwise(lit(0.0)).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val ngramNoveltySql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        g AS (SELECT DISTINCT doc_id,
+                md5(array_to_string(ws[i:i+${DupN - 1}], ' ')) AS h
+              FROM w, generate_series(1, $MaxWords) t(i)
+              WHERE i <= len(ws) - ${DupN - 1}),
+        own AS (SELECT h, min(doc_id) AS first_doc FROM g GROUP BY h),
+        agg AS (SELECT g.doc_id, count(*) AS n_windows,
+                  CAST(sum(CASE WHEN g.doc_id = own.first_doc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_owned
+                FROM g JOIN own ON g.h = own.h GROUP BY g.doc_id)
+        SELECT d.doc_id,
+          CAST(coalesce(agg.n_windows, 0) AS BIGINT) AS n_windows,
+          CAST(coalesce(agg.n_owned, 0) AS BIGINT) AS n_owned,
+          CASE WHEN agg.n_windows > 0
+               THEN CAST(agg.n_owned AS DOUBLE) / agg.n_windows
+               ELSE 0.0 END AS novelty
+        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        ORDER BY d.doc_id"""
+
+  /** Clusters reported by [[dedupSavings]]. */
+  val SavingsTopK = 20
+
+  /** Dedup ROI report: the [[SavingsTopK]] duplicate clusters ranked by
+    * wasted tokens, under the keep-the-LARGEST-copy policy — THE number a
+    * curation team asks for before paying for a dedup pass ("how many
+    * training tokens does dedup buy?"), and the per-cluster view that
+    * finds the one boilerplate document mirrored everywhere. Clusters come
+    * from the [[fingerprintDedup]] digest (sorted distinct tokens —
+    * order/repetition-invariant, so this corpus's permuted twins cluster;
+    * the exact-text digest finds nothing here); wasted = cluster token
+    * mass minus its largest member. All integer arithmetic; ranking ties
+    * break on the digest. Scale shape: one map pass (digest + token
+    * count), one map-side-combined digest rollup, TakeOrdered top-k —
+    * never a global sort of the cluster table. */
+  def dedupSavings(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", sort_array(array_distinct(split(col("text"), " ")))))
+          .as("fp"),
+        size(split(col("text"), " ")).cast(LongType).as("toks"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"),
+        sum("toks").as("total_tokens"), max("toks").as("kept_tokens"))
+      .filter(col("n_copies") > 1)
+      .withColumn("wasted_tokens", col("total_tokens") - col("kept_tokens"))
+      .orderBy(col("wasted_tokens").desc, col("fp"))
+      .limit(SavingsTopK)
+      .select("fp", "keeper", "n_copies", "total_tokens", "kept_tokens",
+        "wasted_tokens")
+
+  val dedupSavingsSql: String =
+    s"""WITH c AS (SELECT
+                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+                 count(*) AS n_copies, min(doc_id) AS keeper,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+                 CAST(max(len(string_split(text, ' '))) AS BIGINT) AS kept_tokens
+               FROM documents GROUP BY 1)
+        SELECT fp, keeper, n_copies, total_tokens, kept_tokens,
+          total_tokens - kept_tokens AS wasted_tokens
+        FROM c WHERE n_copies > 1
+        ORDER BY wasted_tokens DESC, fp LIMIT $SavingsTopK"""
+
   /** Connected components over the near-dup pair graph — the dedup DECISION
     * step: each document maps to its cluster (min doc_id reachable through
     * near-dup edges); keepers are cluster representatives. Spark side:

@@ -156,6 +156,40 @@ class DedupSpec extends SparkSpec {
     h.unpersist()
   }
 
+  test("novelty credits the first occurrence and zeroes a verbatim late copy") {
+    val original = (1 to 20).map(i => s"w$i").mkString(" ")
+    val unrelated = (1 to 20).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (10L, original),   // first owner of its windows
+      (20L, original),   // verbatim late copy — owns nothing
+      (30L, unrelated),  // disjoint — owns everything
+      (40L, "too short") // under DupN words — zero windows
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramNoveltyOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out(10L) == ((8L, 1.0)), "20 words = 8 distinct 13-gram windows, all first-owned")
+    assert(out(20L) == ((8L, 0.0)), "verbatim late copy owns nothing")
+    assert(out(30L) == ((8L, 1.0)))
+    assert(out(40L) == ((0L, 0.0)), "sub-window doc scores 0 with 0 windows")
+  }
+
+  test("savings clusters agree with the fingerprint dedup map") {
+    val savings = Dedup.dedupSavings(spark, Sf).collect()
+    assert(savings.nonEmpty && savings.length <= Dedup.SavingsTopK)
+    val fps = Dedup.fingerprintDedup(spark, Sf).collect()
+      .map(r => r.getAs[String]("fp") -> (r.getAs[Long]("keep_id"), r.getAs[Long]("n_docs")))
+      .toMap
+    savings.foreach { r =>
+      val (keeper, n) = fps(r.getAs[String]("fp"))
+      assert(r.getAs[Long]("keeper") == keeper, "keeper matches the dedup map")
+      assert(r.getAs[Long]("n_copies") == n, "cluster size matches the dedup map")
+      assert(r.getAs[Long]("n_copies") >= 2)
+      assert(r.getAs[Long]("wasted_tokens") ==
+        r.getAs[Long]("total_tokens") - r.getAs[Long]("kept_tokens"))
+      assert(r.getAs[Long]("wasted_tokens") > 0)
+    }
+  }
+
   test("containment flags a near-superset pair that Jaccard misses") {
     // doc 1 = 20 distinct words; doc 2 = doc 1 verbatim + 30 more words.
     // Shingle sets: |S(1)| = 18, S(1) ⊂ S(2) (the quote survives whole, plus
