@@ -224,6 +224,23 @@ object ScaleTest {
       val sBig = timeDocStream(name, docsDst)
       println(f"$name,$sSmall%.2f,$sBig%.2f,${sBig / sSmall}%.1f")
     }
+    // The vector-ingest gate streams EMBEDDINGS, so its 10x axis is the
+    // vecs-mode corpus (10x genuinely distinct vectors — corpus IVF index
+    // 10x, arrival stream 10x). Same warm-then-time discipline.
+    val vecsDst =
+      s"${System.getProperty("java.io.tmpdir")}/graft_vecs10x_c10_v1000000_${corpusStamp(src)}"
+    if (!new java.io.File(s"$vecsDst/_built").exists()) {
+      buildVecs(spark, src, vecsDst, 10)
+      new java.io.File(s"$vecsDst/_built").createNewFile()
+    }
+    println("query,vecs1x_s,vecs10x_s,ratio")
+    Seq("q_stream_vec_ingest").foreach { name =>
+      timeDocStream(name, src) // warm + stage the 1x zone
+      val sSmall = timeDocStream(name, src)
+      timeDocStream(name, vecsDst) // warm + stage the 10x zone, untimed
+      val sBig = timeDocStream(name, vecsDst)
+      println(f"$name,$sSmall%.2f,$sBig%.2f,${sBig / sSmall}%.1f")
+    }
     spark.stop()
   }
 
