@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures a bounded stdout TAIL of `sbt "runMain ..."` and
+// json-parses the last line it finds there. Two sbt behaviors would
+// otherwise corrupt that tail: the default LoggedOutput strategy prefixes
+// every forked-process line with "[info] ", and the "[success] Total time"
+// banner prints after the contract line. Route forked stdout through
+// verbatim and drop the banner so the contract JSON is the final clean line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by the command engine, not another task, so the
+// unused-key lint flags it falsely.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
