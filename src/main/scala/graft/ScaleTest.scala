@@ -37,16 +37,50 @@ import org.apache.spark.sql.functions._
   */
 object ScaleTest {
 
-  /** Fingerprint of the source corpus (total bytes of its parquet files),
-    * baked into every staged-corpus path alongside the generator parameters:
-    * when the driver regenerates /root/testdata the staged 10× corpora are
-    * rebuilt instead of silently reused, so a ratio can never compare a NEW
-    * 1× corpus against a 10× replica of the OLD one. */
+  /** Fingerprint of the source corpus, baked into every staged-corpus path
+    * alongside the generator parameters: when the driver regenerates
+    * /root/testdata the staged 10× corpora are rebuilt instead of silently
+    * reused, so a ratio can never compare a NEW 1× corpus against a 10×
+    * replica of the OLD one. Hashes per-file (name, size, mtime) — a
+    * regenerated corpus that happens to total the same byte count (the
+    * summed-length stamp's blind spot) still changes mtimes and therefore
+    * the stamp. */
   private def corpusStamp(src: String): String = {
-    val bytes = Option(new java.io.File(src).listFiles())
+    val sig = Option(new java.io.File(src).listFiles())
       .getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
-    java.lang.Long.toHexString(bytes)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
+      .mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+  }
+
+  /** Staged-corpus path for `prefix` (generator params included) + the
+    * current source stamp. Staged siblings carrying the SAME parameter
+    * prefix but a STALE stamp are corpora of a regenerated-away source:
+    * delete them here — each regeneration otherwise strands multi-GB
+    * orphans in tmpdir forever. */
+  private def stagedDir(prefix: String, src: String): String = {
+    val stamp = corpusStamp(src)
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val all = Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+    all.filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
+        f.getName != s"$prefix$stamp")
+      .foreach { stale =>
+        // Streaming landing zones embed the staged-corpus dir name; drop a
+        // stale corpus's zones with it or they orphan the same way.
+        all.filter(z => z.isDirectory && z != stale &&
+          z.getName.contains(stale.getName)).foreach(deleteRec)
+        deleteRec(stale)
+      }
+    s"$tmp/$prefix$stamp"
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+    f.delete(): Unit
   }
 
   def main(args: Array[String]): Unit = {
@@ -68,7 +102,7 @@ object ScaleTest {
     // key stride): changing either forces a rebuild instead of silently
     // reusing a corpus built under the old scheme.
     val dst =
-      s"${System.getProperty("java.io.tmpdir")}/graft_sf1_c${copies}_s1000000_${corpusStamp(src)}"
+      stagedDir(s"graft_sf1_c${copies}_s1000000_", src)
 
     if (!new java.io.File(s"$dst/_built").exists()) {
       build(spark, src, dst, copies)
@@ -114,7 +148,7 @@ object ScaleTest {
     // a change to buildDocs must bump this suffix so a stale cached corpus
     // can't skew the reported ratios.
     val dst =
-      s"${System.getProperty("java.io.tmpdir")}/graft_docs10x_c10_m5_d1000000_${corpusStamp(src)}"
+      stagedDir("graft_docs10x_c10_m5_d1000000_", src)
     if (!new java.io.File(s"$dst/_built").exists()) {
       buildDocs(spark, src, dst, 10)
       new java.io.File(s"$dst/_built").createNewFile()
@@ -163,7 +197,7 @@ object ScaleTest {
     // Parameter-stamped path (copies, key stride) — same rebuild discipline
     // as the other modes.
     val dst =
-      s"${System.getProperty("java.io.tmpdir")}/graft_events10x_c10_s1000000_${corpusStamp(src)}"
+      stagedDir("graft_events10x_c10_s1000000_", src)
     if (!new java.io.File(s"$dst/_built").exists()) {
       buildStreams(spark, src, dst, 10)
       new java.io.File(s"$dst/_built").createNewFile()
@@ -198,7 +232,7 @@ object ScaleTest {
     // structure): corpus index/model 10x, arrival stream 10x, same
     // micro-batch count.
     val docsDst =
-      s"${System.getProperty("java.io.tmpdir")}/graft_docs10x_c10_m5_d1000000_${corpusStamp(src)}"
+      stagedDir("graft_docs10x_c10_m5_d1000000_", src)
     if (!new java.io.File(s"$docsDst/_built").exists()) {
       buildDocs(spark, src, docsDst, 10)
       new java.io.File(s"$docsDst/_built").createNewFile()
@@ -228,7 +262,7 @@ object ScaleTest {
     // vecs-mode corpus (10x genuinely distinct vectors — corpus IVF index
     // 10x, arrival stream 10x). Same warm-then-time discipline.
     val vecsDst =
-      s"${System.getProperty("java.io.tmpdir")}/graft_vecs10x_c10_v1000000_${corpusStamp(src)}"
+      stagedDir("graft_vecs10x_c10_v1000000_", src)
     if (!new java.io.File(s"$vecsDst/_built").exists()) {
       buildVecs(spark, src, vecsDst, 10)
       new java.io.File(s"$vecsDst/_built").createNewFile()
@@ -273,7 +307,7 @@ object ScaleTest {
     // Parameter-stamped path (copies, id stride) — same rebuild discipline
     // as the other modes.
     val dst =
-      s"${System.getProperty("java.io.tmpdir")}/graft_vecs10x_c10_v1000000_${corpusStamp(src)}"
+      stagedDir("graft_vecs10x_c10_v1000000_", src)
     if (!new java.io.File(s"$dst/_built").exists()) {
       buildVecs(spark, src, dst, 10)
       new java.io.File(s"$dst/_built").createNewFile()
@@ -328,7 +362,64 @@ object ScaleTest {
     println("scale,k_cells,nprobe,scan_fraction,ivf_recall_at_10")
     ladder("vecs1x", src, Seq(6, 12, 14, 18, 24))
     ladder("vecs10x", dst, Seq(12, 24, 36, 42, 48, 72))
+    // CLUSTERED ladder — the uniform corpus above is the adversarial case
+    // that sized the shipped ~30% budget; real embeddings cluster. These
+    // mixture-of-Gaussians corpora (unit-norm centers, per-dim noise sigma
+    // far under the center separation) measure what structure buys: the
+    // same integer-exact training concentrates each cluster in few cells,
+    // so recall holds at scan fractions the uniform corpus cannot reach.
+    // RecallSpec gates the 1x point (recall >= 0.80 at fraction <= 0.10).
+    def clusteredDir(nc: Int, pc: Int): String = {
+      val d = clusteredVecsDir(nc, pc)
+      if (!new java.io.File(s"$d/_built").exists()) {
+        buildClusteredVecs(spark, d, nc, pc)
+        new java.io.File(s"$d/_built").createNewFile()
+      }
+      d
+    }
+    // k=45 cells at N=2000, k=141 at N=20000; sweeps cover 2-31% of cells
+    // including the shipped probesFor point (14 / 42) at each scale.
+    ladder("clustered1x", clusteredDir(40, 50), Seq(1, 2, 4, 9, 14))
+    ladder("clustered10x", clusteredDir(400, 50), Seq(2, 4, 7, 14, 42))
     spark.stop()
+  }
+
+  /** Parameter-stamped path of the synthetic clustered corpus (independent
+    * of /root/testdata — g1 is the generator version; bump it when
+    * [[buildClusteredVecs]] changes so a stale cached corpus cannot skew
+    * the ladder). Shared with RecallSpec's clustered gate. */
+  private[graft] def clusteredVecsDir(nClusters: Int, perCluster: Int): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_vecsclu_g1_c${nClusters}_p$perCluster"
+
+  /** Mixture-of-Gaussians embedding corpus: `nClusters` unit-norm centers,
+    * `perCluster` members each = center + per-dim N(0, 0.05^2) noise. With
+    * 64 dims the noise vector's norm is ~0.4, so intra-cluster cosine sits
+    * ~0.86 while inter-cluster cosine is ~0 (random unit centers) — tight,
+    * well-separated clusters, the geometry real text embeddings exhibit.
+    * vec_id v belongs to cluster v mod nClusters, so the query set
+    * (vec_id < NumQueries) spans NumQueries distinct clusters. All
+    * randomness is Box-Muller over murmur3-hash uniforms keyed by
+    * (cluster|vec_id, dim, salt): deterministic, partitioning-independent,
+    * and generated distributed (one map pass; centers broadcast). */
+  private[graft] def buildClusteredVecs(spark: SparkSession, dst: String,
+      nClusters: Int, perCluster: Int): Unit = {
+    // Box-Muller N(0,1) from two murmur3 uniforms in (0,1); +0.5 keeps the
+    // log argument strictly positive.
+    def gauss(k1: String, salt: Int): String =
+      s"""sqrt(-2.0d * ln((pmod(hash($k1, j, $salt), 1000000) + 0.5d) / 1000000.0d))
+          * cos(${2 * math.Pi}d * (pmod(hash($k1, j, ${salt + 1}), 1000000) + 0.5d) / 1000000.0d)"""
+    val centers = spark.range(0, nClusters).toDF("cl")
+      .withColumn("craw", expr(s"transform(sequence(0, 63), j -> ${gauss("cl", 11)})"))
+      .withColumn("cnorm", expr("sqrt(aggregate(craw, 0.0d, (a, x) -> a + x * x))"))
+      .select(col("cl"), expr("transform(craw, x -> x / cnorm)").as("center"))
+    spark.range(0, nClusters.toLong * perCluster).toDF("vec_id")
+      .withColumn("cl", pmod(col("vec_id"), lit(nClusters.toLong)))
+      .join(broadcast(centers), "cl")
+      .select(col("vec_id"), expr(
+        s"""transform(sequence(0, 63),
+              j -> CAST(center[j] + 0.05d * (${gauss("vec_id", 31)}) AS FLOAT))""")
+        .as("embedding"))
+      .repartition(32).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
   }
 
   /** embeddings replicated `copies`x: copy i rotates dimensions by i and

@@ -165,6 +165,7 @@ object SparkEntry {
     "q_bloom_join" -> (graft.ops.Sketches.bloomSemiJoin _),
     "q_approx_quantile" -> (graft.ops.Sketches.approxQuantile _),
     "q_pagerank" -> (graft.ops.Graph.pageRank _),
+    "q_pagerank_dist" -> (graft.ops.Graph.pageRankDistributed _),
     // Continuous-ingest curation surface
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
     "q_dup_ngram_fraction" -> (Dedup.dupNgramFraction _),
@@ -499,6 +500,9 @@ object SparkEntry {
     "q_bloom_join" -> graft.ops.Sketches.bloomSemiJoinSql,
     "q_approx_quantile" -> graft.ops.Sketches.approxQuantileSql,
     "q_pagerank" -> graft.ops.Graph.pageRankSql,
+    // Same oracle on purpose: the distributed formulation must be
+    // bit-identical to the broadcast one (Graph.pageRankDistributed doc).
+    "q_pagerank_dist" -> graft.ops.Graph.pageRankSql,
     "q_dedup_incremental" -> Dedup.incrementalDedupSql,
     "q_dup_ngram_fraction" -> Dedup.dupNgramFractionSql,
     "q_curation_funnel" -> TextAnalysis.curationFunnelSql,

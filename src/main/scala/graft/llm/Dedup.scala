@@ -536,11 +536,16 @@ object Dedup {
     * finds the one boilerplate document mirrored everywhere. Clusters come
     * from the [[fingerprintDedup]] digest (sorted distinct tokens —
     * order/repetition-invariant, so this corpus's permuted twins cluster;
-    * the exact-text digest finds nothing here); wasted = cluster token
-    * mass minus its largest member. All integer arithmetic; ranking ties
-    * break on the digest. Scale shape: one map pass (digest + token
-    * count), one map-side-combined digest rollup, TakeOrdered top-k —
-    * never a global sort of the cluster table. */
+    * the exact-text digest finds nothing here); the keeper IS the policy's
+    * survivor — the cluster's largest member (tie-break min doc_id), so
+    * kept_tokens is exactly the keeper's token count and wasted = cluster
+    * token mass minus the keeper. (The rest of the dedup family keeps
+    * min-doc_id; this report ranks by retainable mass, so its policy keeps
+    * the copy that preserves the most tokens — the point of the ROI view.)
+    * All integer arithmetic; ranking ties break on the digest. Scale
+    * shape: one map pass (digest + token count), one map-side-combined
+    * digest rollup (argmax via struct-min — no per-cluster sort),
+    * TakeOrdered top-k — never a global sort of the cluster table. */
   def dedupSavings(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
@@ -548,26 +553,34 @@ object Dedup {
           .as("fp"),
         size(split(col("text"), " ")).cast(LongType).as("toks"))
       .groupBy("fp")
-      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"),
-        sum("toks").as("total_tokens"), max("toks").as("kept_tokens"))
+      .agg(count(lit(1)).as("n_copies"),
+        // argmax(toks), ties to min doc_id, as one struct-min aggregate:
+        // smallest (-toks, doc_id) is the largest copy with the lowest id.
+        min(struct((-col("toks")).as("nt"), col("doc_id").as("id"))).as("m"),
+        sum("toks").as("total_tokens"))
       .filter(col("n_copies") > 1)
-      .withColumn("wasted_tokens", col("total_tokens") - col("kept_tokens"))
+      .select(col("fp"), col("m.id").as("keeper"), col("n_copies"),
+        col("total_tokens"), (-col("m.nt")).as("kept_tokens"),
+        (col("total_tokens") + col("m.nt")).as("wasted_tokens"))
       .orderBy(col("wasted_tokens").desc, col("fp"))
       .limit(SavingsTopK)
-      .select("fp", "keeper", "n_copies", "total_tokens", "kept_tokens",
-        "wasted_tokens")
 
   val dedupSavingsSql: String =
-    s"""WITH c AS (SELECT
+    s"""WITH t AS (SELECT doc_id,
                  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
-                 count(*) AS n_copies, min(doc_id) AS keeper,
-                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-                 CAST(max(len(string_split(text, ' '))) AS BIGINT) AS kept_tokens
-               FROM documents GROUP BY 1)
-        SELECT fp, keeper, n_copies, total_tokens, kept_tokens,
-          total_tokens - kept_tokens AS wasted_tokens
-        FROM c WHERE n_copies > 1
-        ORDER BY wasted_tokens DESC, fp LIMIT $SavingsTopK"""
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+               FROM documents),
+        c AS (SELECT fp, count(*) AS n_copies,
+                CAST(sum(toks) AS BIGINT) AS total_tokens
+              FROM t GROUP BY fp),
+        k AS (SELECT fp, doc_id AS keeper, toks AS kept_tokens FROM (
+                SELECT fp, doc_id, toks,
+                  row_number() OVER (PARTITION BY fp ORDER BY toks DESC, doc_id) AS rk
+                FROM t) WHERE rk = 1)
+        SELECT c.fp, k.keeper, c.n_copies, c.total_tokens, k.kept_tokens,
+          c.total_tokens - k.kept_tokens AS wasted_tokens
+        FROM c JOIN k USING (fp) WHERE c.n_copies > 1
+        ORDER BY wasted_tokens DESC, c.fp LIMIT $SavingsTopK"""
 
   /** Connected components over the near-dup pair graph — the dedup DECISION
     * step: each document maps to its cluster (min doc_id reachable through

@@ -217,11 +217,19 @@ object Similarity {
   // shipped probe budget scales WITH k — [[probesFor]] keeps ~30% of cells
   // probed (>= the 0.80-recall line at both measured scales, margin
   // included), with [[NumProbes]] as the small-corpus floor. Real clustered
-  // embeddings concentrate neighbors in few cells, so the same budget only
-  // over-delivers there; deployments tune the fraction against their own
-  // recall target via [[annIvfWith]]. Even at a fixed fraction the design
-  // beats flat scan: per-probe candidate cost is ~sqrt(N) (cell size), and
-  // the fraction constant is a tunable, not a hard-coded 62.5%.
+  // embeddings concentrate neighbors in few cells — MEASURED, not assumed:
+  // ScaleTest's clustered ladder (mixture-of-Gaussians via
+  // buildClusteredVecs, 40x50 and 400x50, same integer-exact training)
+  // holds recall@10 = 1.00 at EVERY swept fraction down to 1.4-2.2% of
+  // cells at both scales, because the trained cells recover the cluster
+  // structure and a query's true neighbors sit in its 1-2 nearest cells
+  // (RecallSpec gates recall >= 0.80 at <= 10% of cells on that fixture).
+  // So ~30% is the uniform-adversarial worst case; deployments with
+  // clustered data tune the fraction down via [[annIvfWith]] — there the
+  // effective per-query scan is ~1/k = ~1/sqrt(N) of the corpus, not a
+  // constant fraction. Even at a fixed fraction the design beats flat
+  // scan: per-probe candidate cost is ~sqrt(N) (cell size), and the
+  // fraction constant is a tunable, not a hard-coded 62.5%.
   val NumProbes = 12
 
   /** Percent of cells each query probes (see the ladder above). */

@@ -90,6 +90,61 @@ object Graph {
       .orderBy("node")
   }
 
+  /** One un-materialized round of the distributed formulation — [[prRound]]'s
+    * integer arithmetic with every broadcast replaced by a hinted
+    * shuffle-hash join (PlanShapeSpec audits this plan: no broadcast, no
+    * sort-merge of the edge list). */
+  private[graft] def prRoundDist(edges: DataFrame, deg: DataFrame,
+      pr: DataFrame): DataFrame = {
+    val contrib = pr.join(deg.hint("shuffle_hash"), pr("nid") === deg("src"))
+      .select(col("nid"), expr("pr div d").as("c"))
+    edges.join(contrib.hint("shuffle_hash"), edges("src") === contrib("nid"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      .select(col("dst").as("nid"),
+        (lit(PrBase) + expr(s"($PrDamp * m) div 100")).as("pr"))
+  }
+
+  /** [[pageRank]] without the driver-localized rank vector — the web-scale
+    * formulation the batch variant's scaladoc points at, executed: the rank
+    * vector stays a DISTRIBUTED dataset for the whole run (each round
+    * materializes via eager localCheckpoint — executor-resident partitions,
+    * no driver collect, lineage truncated so round t never re-plans rounds
+    * 1..t-1), edges are pre-bucketed on src ONCE and read from cache every
+    * round, and the per-round joins are hinted shuffle-hash so no side is
+    * ever broadcast — the shape that survives a vertex set too large for
+    * any single machine. Round arithmetic is [[prRound]]'s bit-for-bit
+    * (same integer formulas), so the output hash-matches [[pageRank]] and
+    * shares its DuckDB oracle; PlanShapeSpec additionally asserts the rank
+    * lineage carries no LocalTableScan (the driver-localization marker) and
+    * that the edge list is not re-shuffled per round.
+    *
+    * Cost trade vs [[pageRank]]: each round shuffles ~|nodes| rank rows on
+    * nid (deg and the post-agg rank vector share the src/nid partitioning,
+    * so the contribution join is co-partitioned) — at dims-scale the
+    * broadcast variant wins (nothing shuffles at all), which is why it
+    * stays the shipped default; at web scale the broadcast build itself is
+    * the bottleneck and THIS plan is the one that runs. */
+  def pageRankDistributed(s: SparkSession, d: String): DataFrame = {
+    val (edges0, _) = prGraph(s, d)
+    // Pre-bucket on src: every round's message join reuses this layout, so
+    // the fact-sized edge list is shuffled exactly once, here.
+    val edges = graft.TrackedCaches.track(
+      edges0.repartition(col("src")).cache())
+    // Degrees inherit the src bucketing (partial agg, no exchange).
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    var pr = deg.select(col("src").as("nid"), lit(PrInit).as("pr"))
+      .localCheckpoint(true)
+    (1 to PrIters).foreach { _ =>
+      pr = prRoundDist(edges, deg, pr).localCheckpoint(true)
+    }
+    pr.select(
+        when(col("nid") % 2 === 0, concat(lit("p:"), expr("nid div 2")))
+          .otherwise(concat(lit("s:"), expr("(nid - 1) div 2")))
+          .as("node"),
+        col("pr").as("rank"))
+      .orderBy("node")
+  }
+
   val pageRankSql: String = {
     // One CTE per round, the same integer formulas. DuckDB's sum(BIGINT) is
     // HUGEINT -> cast back before the next round's arithmetic.

@@ -219,11 +219,16 @@ class CurationSpec extends SparkSpec {
     assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b },
       "rows must be ranked by descending PMI")
     // A pair that always co-occurs (c2 == cL == cR) has PMI = ln(T/c2) —
-    // the maximum for its count — so every reported PMI is bounded by the
-    // corpus-wide ln(T / PmiMinCount).
-    val t = rows.map(_.getAs[Long]("n")).sum // lower bound on total mass
-    assert(pmis.head <= math.log(9e18), "finite scores")
+    // the maximum for its count — so every reported PMI is bounded by
+    // ln(T / PmiMinCount), with T the query's own total bigram mass,
+    // recomputed here as sum(len - 1) over >= 2-token docs (bigramsOf's
+    // definition). Epsilon covers the 6-dp rounding of the shipped score.
+    val t = Tables.documents(spark, Sf)
+      .where(size(split(col("text"), " ")) >= 2)
+      .agg(sum(size(split(col("text"), " ")) - 1)).head().getLong(0)
     assert(t > 0)
+    assert(pmis.head <= math.log(t.toDouble / TextAnalysis.PmiMinCount) + 1e-6,
+      f"max PMI ${pmis.head}%.6f exceeds ln(T/minCount) = ${math.log(t.toDouble / TextAnalysis.PmiMinCount)}%.6f")
   }
 
   test("cluster profile partitions the corpus over the trained cells") {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Physical-plan regression gates for the scale claims SCALING.md makes:
   * the fact build must broadcast all three dims (fact side never shuffles
@@ -264,6 +264,38 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val smj = collectWithSubqueries(plan) { case j: SortMergeJoinExec => j }
     assert(smj.isEmpty,
       s"the fact-sized edge list must never be shuffled for a join:\n$plan")
+    graft.TrackedCaches.release()
+  }
+
+  test("distributed PageRank: same output, no driver-local rank, no broadcast rounds") {
+    // The web-scale variant must be bit-identical to the broadcast one...
+    val a = graft.ops.Graph.pageRank(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val b0 = graft.ops.Graph.pageRankDistributed(spark, Sf)
+    val b = b0.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(a.sameElements(b), "distributed rounds must reproduce pageRank exactly")
+    // ...with the rank vector never driver-localized: pageRank's collect+
+    // createDataFrame shows up as LocalTableScan; the distributed lineage
+    // must carry none (its checkpointed rounds scan executor-resident RDDs).
+    assert(!b0.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "rank-vector lineage must not pass through a driver-local relation")
+    // And the per-round plan is the classic shuffle formulation: both rank
+    // joins shuffle-hash against the pre-bucketed edges; nothing broadcasts.
+    val (edges0, _) = graft.ops.Graph.prGraph(spark, Sf)
+    val edges = graft.TrackedCaches.track(edges0.repartition(col("src")).cache())
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val pr0 = deg.select(col("src").as("nid"),
+      lit(graft.ops.Graph.PrInit).as("pr")).localCheckpoint(true)
+    val round = graft.ops.Graph.prRoundDist(edges, deg, pr0)
+    round.collect()
+    val plan = round.queryExecution.executedPlan
+    val shj = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shj.size == 2,
+      s"deg + contrib joins must both shuffle-hash, got ${shj.size}:\n$plan")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.isEmpty, s"distributed rounds must not broadcast:\n$plan")
     graft.TrackedCaches.release()
   }
 

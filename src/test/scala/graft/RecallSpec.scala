@@ -121,6 +121,35 @@ class RecallSpec extends SparkSpec {
     assert(p99 <= 0.75, f"p99 cosine distortion $p99%.3f above the measured envelope")
   }
 
+  test("clustered corpus: IVF recall >= 0.80 at scan fraction <= 10%") {
+    // The shipped ~30% probe budget is sized by the UNIFORM random corpus —
+    // the adversarial case, where true neighbors spread evenly across cells.
+    // Real embeddings cluster; this gate measures what that structure buys:
+    // on a mixture-of-Gaussians corpus (40 clusters x 50 members, N=2000 —
+    // the sf0.1 corpus size, so k=45 cells like production) the SAME
+    // integer-exact training concentrates each cluster in few cells, and
+    // probing k/10 = 4 cells (8.9% — under a third of the uniform budget)
+    // holds recall@10 at >= 0.80. ScaleTest's clustered ladder extends this
+    // to N=20000 (k=141) and sweeps fractions 1.4-30%.
+    val dir = ScaleTest.clusteredVecsDir(40, 50)
+    if (!new java.io.File(s"$dir/_built").exists()) {
+      ScaleTest.buildClusteredVecs(spark, dir, 40, 50)
+      new java.io.File(s"$dir/_built").createNewFile()
+    }
+    val n = Tables.embeddings(spark, dir).count()
+    val k = Similarity.centroidsFor(n)
+    val nprobe = k / 10
+    val frac = nprobe.toDouble / k
+    assert(frac <= 0.10, f"clustered gate must probe <= 10%% of cells, got $frac%.3f")
+    val truthC = top10(Similarity.annTopK(spark, dir))
+    val got = top10(Similarity.annIvfWith(spark, dir, nprobe))
+    graft.TrackedCaches.release()
+    val r = (truthC intersect got).size.toDouble / truthC.size
+    info(f"clustered N=$n: k=$k, nprobe=$nprobe (scan fraction $frac%.3f), recall@10 = $r%.2f")
+    assert(r >= 0.80,
+      f"clustered recall@10 $r%.2f below 0.80 at scan fraction $frac%.3f")
+  }
+
   test("IVF probe budget holds a bounded scan fraction at corpus scale") {
     // The 100-TB contract of probesFor: once the corpus outgrows the
     // small-corpus floor (NumProbes), the probed share of cells — and with
