@@ -42,13 +42,38 @@ class ExecutionSpec extends SparkSpec {
   test("multimodal feature extraction is deterministic and complete") {
     val feats = Multimodal.mediaFeatures(spark, Sf).cache()
     assert(feats.count() == Tables.documents(spark, Sf).count())
-    // brightness of lowercase ASCII text must sit in the printable band
-    val bad = feats.filter(col("brightness") < 32 || col("brightness") > 122).count()
+    // Rec.601 luma of 8-bit pixels lives in [0, 255]
+    val bad = feats.filter(col("brightness") < 0 || col("brightness") > 255).count()
     assert(bad == 0)
-    // rerun -> identical output (stub is deterministic)
+    // rerun -> identical output (encode + decode are deterministic)
     val again = Multimodal.mediaFeatures(spark, Sf)
     assert(feats.exceptAll(again).count() == 0)
     feats.unpersist()
+  }
+
+  test("PPM decoder parses a crafted 2x2 image exactly") {
+    // Hand-built P6: red, green, blue, white. Integer Rec.601 sum:
+    // 255*299 + 255*587 + 255*114 + 255*(299+587+114) = 255 * 1000 * 2,
+    // so mean luma = 510000 / (1000 * 4) = 127.5 exactly.
+    val header = "P6\n2 2\n255\n".getBytes("US-ASCII")
+    val px = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255)
+      .map(_.toByte)
+    val (w, h, luma) = Multimodal.decodePpm(header ++ px)
+    assert(w == 2 && h == 2)
+    assert(luma == 127.5)
+    // Round-trips its own encoder: header dims survive the parse.
+    val (w2, h2, _) = Multimodal.decodePpm(Multimodal.encodePpm(5, 3, 42L))
+    assert(w2 == 5 && h2 == 3)
+    // Rejects junk, a wrong magic, and truncated pixel data.
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("not an image".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("P5\n2 2\n255\n".getBytes("US-ASCII") ++ px)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("P6\n9 9\n255\n".getBytes("US-ASCII") ++ px)
+    }
   }
 
   test("pivot row sums equal per-user event counts") {
