@@ -134,16 +134,34 @@ object Retrieval {
     * same candidate quality — a near-copy floods ALL its source's rare
     * terms, so detection needs few probes. */
   val RareTerms = 4
-  /** Candidates per screening query that reach full scoring. */
+  /** Candidates per screening query that reach full scoring. 100 is NOT
+    * arbitrary headroom — 50 was measured and rejected: on the
+    * selectivity-floor corpus the shared-rare-term counts tie massively
+    * (31-term vocabulary), the cap then truncates on the doc_id tiebreak,
+    * and at sf0.01 that moved 56 arrivals' top match and FLIPPED one admit
+    * verdict (a contamination suspect admitted). On a realistic Zipfian
+    * vocabulary the counts break ties and 50 would be safe; the shipped
+    * value pays ~2x stage-2 folds for verdict stability on the worst case. */
   val CandCap = 100
+
+  /** Sub-ceiling (query term, df) rows — the shared input of BOTH screening
+    * stages. Split out so a caller scoring many batches (the streaming
+    * decontam gate) can materialize it ONCE per batch instead of paying the
+    * tokenize + df join twice (the two stages live in one plan, and Spark
+    * does not dedupe common subtrees). */
+  private[graft] def subCeilingQueryDf(ix: Bm25Index, queryTerms: DataFrame): DataFrame =
+    queryTerms.join(ix.dft, "term")
+      .filter(col("df") * 100 <= lit(ix.n) * MaxDfPct)
 
   /** Stage 1: per query, docs sharing >= 1 of its [[RareTerms]] lowest-df
     * sub-ceiling terms, capped at [[CandCap]] by shared-rare-term count
     * (bounded heaps via TopKPerKey — never a per-query sort). The rare-term
     * rank window is per-query over its own term list: bounded. */
-  private[graft] def screenCandidates(ix: Bm25Index, queryTerms: DataFrame): DataFrame = {
-    val qd = queryTerms.join(ix.dft, "term")
-      .filter(col("df") * 100 <= lit(ix.n) * MaxDfPct)
+  private[graft] def screenCandidates(ix: Bm25Index, queryTerms: DataFrame): DataFrame =
+    screenCandidatesQd(ix, subCeilingQueryDf(ix, queryTerms))
+
+  /** [[screenCandidates]] over a precomputed [[subCeilingQueryDf]]. */
+  private[graft] def screenCandidatesQd(ix: Bm25Index, qd: DataFrame): DataFrame = {
     val wr = Window.partitionBy("query_id").orderBy(col("df"), col("term"))
     val rare = qd.withColumn("rrk", row_number().over(wr))
       .filter(col("rrk") <= RareTerms).select("query_id", "term")
@@ -166,9 +184,12 @@ object Retrieval {
     * Double.toString round-trips exactly, so both engines see the same
     * constants. */
   private[graft] def scoreCandidates(ix: Bm25Index, fwd: DataFrame,
-      queryTerms: DataFrame, cand: DataFrame): DataFrame = {
-    val qd = queryTerms.join(ix.dft, "term")
-      .filter(col("df") * 100 <= lit(ix.n) * MaxDfPct)
+      queryTerms: DataFrame, cand: DataFrame): DataFrame =
+    scoreCandidatesQd(ix, fwd, subCeilingQueryDf(ix, queryTerms), cand)
+
+  /** [[scoreCandidates]] over a precomputed [[subCeilingQueryDf]]. */
+  private[graft] def scoreCandidatesQd(ix: Bm25Index, fwd: DataFrame,
+      qd: DataFrame, cand: DataFrame): DataFrame = {
     val qmaps = qd.groupBy("query_id")
       .agg(map_from_entries(collect_list(struct(col("term"), col("df")))).as("qmap"))
     fwd.join(broadcast(cand.join(qmaps, "query_id")), "doc_id")

@@ -45,9 +45,26 @@ object Execution {
     * partition-unique surrogate, Analytics.scalableRowNumber for a dense
     * sequential one. Raw ids are partitioning-dependent, so the query outputs
     * partitioning-INdependent invariants (checked exactly by the oracle):
-    * distinct counts and the dense-id span. */
+    * distinct counts and the dense-id span.
+    *
+    * Cost note (the r7 bench doubling, 0.47 -> 1.00 s): an isolated
+    * best-of-2 at low ambient load reproduced ~1.3 s wall / 5.1 s cpu —
+    * real work, not starvation. The spend is the RDD boundary inside
+    * scalableRowNumber (Tungsten -> Row deserialization, persist, Row
+    * re-allocation per row) times the carried row width; pruning the unused
+    * columns below cut it to ~0.9 s / 3.2 s cpu. The remaining floor is
+    * structural: the range-partitioner's sampling scan, the persisted sort,
+    * two RDD passes (counts + numbering), and the multi-DISTINCT Expand in
+    * the final aggregate (3x rows through one agg) — each inherent to
+    * producing a dense global sequence plus its uniqueness proof. */
   def surrogateIds(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).select("event_id", "ts", "user_id")
+    // Prune to the columns the aggregate actually reads BEFORE numbering:
+    // scalableRowNumber crosses the RDD boundary (Tungsten rows deserialize
+    // to Row objects for the persisted sort), and that boundary blocks
+    // Catalyst's automatic column pruning — every byte carried across it is
+    // paid three times (deserialize, persist, re-materialize). Measured on
+    // this query: dropping the unused ts/user_id cut wall ~25%.
+    val ev = Tables.events(s, d).select("event_id")
       .withColumn("mono_id", monotonically_increasing_id())
     val numbered = Analytics.scalableRowNumber(ev, "event_id")
     numbered.agg(

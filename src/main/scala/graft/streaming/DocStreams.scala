@@ -387,8 +387,15 @@ object DocStreams {
     def screen(batch: DataFrame): DataFrame = {
       val qt = Retrieval.postings(batch.select(col("doc_id"), col("text")))
         .select(col("doc_id").as("query_id"), col("term"))
-      val cand = Retrieval.screenCandidates(ix, qt)
-      val scores = Retrieval.scoreCandidates(ix, fwd, qt, cand)
+      // Both screening stages read the (query term, df) rows; cache them
+      // per batch so the arrival tokenize + df join runs once, not twice
+      // (the stages share one plan and Spark does not dedupe subtrees).
+      // Tiny: |batch| x sub-ceiling vocabulary. Released after the batch's
+      // write by the foreachBatch body via TrackedCaches.
+      val qd = graft.TrackedCaches.track(
+        Retrieval.subCeilingQueryDf(ix, qt).cache())
+      val cand = Retrieval.screenCandidatesQd(ix, qd)
+      val scores = Retrieval.scoreCandidatesQd(ix, fwd, qd, cand)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
       val top = scores.withColumn("rk", row_number().over(w))
@@ -428,6 +435,16 @@ object DocStreams {
     // the slice-sized shuffle sizing of the sibling streams is right here
     // too (measured: full run 8.1 s at 8 partitions vs 11.3 s at 32 — the
     // 32-way variant just pays 4x task overhead on sub-MB partitions).
+    // Cost decomposition (round-8 isolated best-of-2): the per-batch qd
+    // cache cut process CPU 150 -> 119 s; the REMAINING spend is mostly
+    // micro-batch FIXED cost, not the data path — the same gate at sf0.01
+    // (20x less data) still costs ~8 s wall / 69 cpu-s, because foreachBatch
+    // re-analyzes, re-optimizes and re-codegens the full two-stage screen
+    // plan (window + TopKPerKey + two broadcasts + the DECIMAL fold expr)
+    // every batch. That overhead amortizes with batch SIZE, which is the
+    // production lever; the knobs that would cut it here were measured and
+    // rejected: CandCap 100 -> 50 flipped an admit verdict (see CandCap's
+    // scaladoc), RareTerms 4 -> 3 moved CPU inside noise.
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val qs = q.start()
