@@ -98,6 +98,19 @@ object PlanDump {
       "combined shingle aggregate, broadcast anti-join cap, ONE equi-join " +
       "on the shingle hash) — both direction scores come off the single " +
       "intersection row, so there is no second candidate join."),
+    "q_ngram_novelty" -> ("First-occurrence n-gram novelty. Expect: ONE " +
+      "shingle stream (map-side-combined), a window-hash aggregation join " +
+      "back onto it for the first-owner (min doc_id) — linear in " +
+      "occurrences, no df cap needed because ownership is an aggregate, " +
+      "not a pair join — then a left join onto the doc spine so zero-window " +
+      "docs still report. No self-join, no global window."),
+    "q_pagerank_dist" -> ("Distributed PageRank output stage (the web-scale " +
+      "formulation). The rank vector stays executor-resident: rounds " +
+      "materialize via eager localCheckpoint, so this plan shows the final " +
+      "decode/sort over a Scan ExistingRDD — and must contain NO " +
+      "LocalTableScan (that is q_pagerank's driver-localized marker; " +
+      "PlanShapeSpec asserts both this and the per-round shuffle-hash, " +
+      "broadcast-free round shape)."),
     "q_pmi_pairs" -> ("PMI collocations. Expect: ONE map-side-combined " +
       "bigram count aggregate (the corpus pass), the PmiMinCount filter " +
       "BELOW the joins, and both vocab-arity marginals joined back by " +
