@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * at natural size (replicating them would plant artificial duplicate
   * clusters and measure a different problem).
   *
-  * Usage: runMain graft.ScaleTest [copies]   (default 10)
-  *        runMain graft.ScaleTest docs       (dedup-family 10x experiment)
-  *        runMain graft.ScaleTest streams    (streaming-family 10x experiment)
+  * Usage: runMain graft.ScaleTest [copies]        (default 10)
+  *        runMain graft.ScaleTest docs [copies]   (dedup-family Nx experiment; SCALING.md carries 10x + 30x)
+  *        runMain graft.ScaleTest streams         (streaming-family 10x experiment)
+  *        runMain graft.ScaleTest vecs            (vector-family 10x + clustered recall ladders)
   *
   * The `streams` mode replicates events (and customers, for the stream-static
   * join) 10x with consistent key offsets — 10x the events in the SAME time
@@ -84,7 +85,8 @@ object ScaleTest {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.headOption.contains("docs")) return docsMain()
+    if (args.headOption.contains("docs"))
+      return docsMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
     if (args.headOption.contains("streams")) return streamsMain()
     if (args.headOption.contains("vecs")) return vecsMain()
     val copies = if (args.nonEmpty) args(0).toInt else 10
@@ -134,7 +136,11 @@ object ScaleTest {
     spark.stop()
   }
 
-  private def docsMain(): Unit = {
+  /** Dedup/curation-family scale experiment at `copies`x documents (10 by
+    * default; `runMain graft.ScaleTest docs 30` runs the 30x ladder —
+    * 150k docs, still far under this host's memory, and the point where a
+    * super-linear candidate generator would visibly bend). */
+  private def docsMain(copies: Int): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -148,9 +154,9 @@ object ScaleTest {
     // a change to buildDocs must bump this suffix so a stale cached corpus
     // can't skew the reported ratios.
     val dst =
-      stagedDir("graft_docs10x_c10_m5_d1000000_", src)
+      stagedDir(s"graft_docs10x_c${copies}_m5_d1000000_", src)
     if (!new java.io.File(s"$dst/_built").exists()) {
-      buildDocs(spark, src, dst, 10)
+      buildDocs(spark, src, dst, copies)
       new java.io.File(s"$dst/_built").createNewFile()
     }
     val subset = Seq(
@@ -176,7 +182,7 @@ object ScaleTest {
     time(src) // warm code paths
     val small = time(src)
     val big = time(dst)
-    println("query,docs1x_s,docs10x_s,ratio")
+    println(s"query,docs1x_s,docs${copies}x_s,ratio")
     subset.foreach { q =>
       println(f"$q,${small(q)}%.2f,${big(q)}%.2f,${big(q) / small(q)}%.1f")
     }

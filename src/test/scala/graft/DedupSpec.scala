@@ -173,16 +173,33 @@ class DedupSpec extends SparkSpec {
     assert(out(40L) == ((0L, 0.0)), "sub-window doc scores 0 with 0 windows")
   }
 
-  test("savings clusters agree with the fingerprint dedup map") {
+  test("savings clusters agree with the dedup map and the keep-largest policy") {
     val savings = Dedup.dedupSavings(spark, Sf).collect()
     assert(savings.nonEmpty && savings.length <= Dedup.SavingsTopK)
     val fps = Dedup.fingerprintDedup(spark, Sf).collect()
-      .map(r => r.getAs[String]("fp") -> (r.getAs[Long]("keep_id"), r.getAs[Long]("n_docs")))
-      .toMap
+      .map(r => r.getAs[String]("fp") -> r.getAs[Long]("n_docs")).toMap
+    // Recompute each cluster's membership from the raw documents: the
+    // keeper must BE the policy's survivor — the largest member, ties to
+    // the smallest doc_id — and kept/total/wasted its real token ledger.
+    val byFp = Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", sort_array(array_distinct(split(col("text"), " ")))))
+          .as("fp"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .collect()
+      .map(r => (r.getAs[String]("fp"), r.getAs[Long]("doc_id"), r.getAs[Long]("toks")))
+      .groupBy(_._1)
     savings.foreach { r =>
-      val (keeper, n) = fps(r.getAs[String]("fp"))
-      assert(r.getAs[Long]("keeper") == keeper, "keeper matches the dedup map")
-      assert(r.getAs[Long]("n_copies") == n, "cluster size matches the dedup map")
+      val members = byFp(r.getAs[String]("fp"))
+      val maxToks = members.map(_._3).max
+      val expectKeeper = members.filter(_._3 == maxToks).map(_._2).min
+      assert(r.getAs[Long]("keeper") == expectKeeper,
+        "keeper is the largest member, ties to min doc_id")
+      assert(r.getAs[Long]("kept_tokens") == maxToks,
+        "kept_tokens is the keeper's own token count")
+      assert(r.getAs[Long]("total_tokens") == members.map(_._3).sum)
+      assert(r.getAs[Long]("n_copies") == fps(r.getAs[String]("fp")),
+        "cluster size matches the dedup map")
       assert(r.getAs[Long]("n_copies") >= 2)
       assert(r.getAs[Long]("wasted_tokens") ==
         r.getAs[Long]("total_tokens") - r.getAs[Long]("kept_tokens"))
