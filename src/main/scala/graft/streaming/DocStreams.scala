@@ -396,10 +396,12 @@ object DocStreams {
         Retrieval.subCeilingQueryDf(ix, qt).cache())
       val cand = Retrieval.screenCandidatesQd(ix, qd)
       val scores = Retrieval.scoreCandidatesQd(ix, fwd, qd, cand)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
-      val top = scores.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+      // Top-1 per arrival via the bounded-heap operator rather than a
+      // row_number window: same (score DESC, doc_id) ordering, no per-batch
+      // WindowExec sort, and one fewer operator in the plan foreachBatch
+      // re-codegens every micro-batch.
+      val top = graft.plans.TopKPerKey.topKPerKey(scores, 1, Seq("query_id"),
+          Seq("score" -> false, "doc_id" -> true))
         .select(col("query_id").as("doc_id"), col("doc_id").as("top_match"),
           col("score").as("top_score"))
       batch.select(col("doc_id"))
