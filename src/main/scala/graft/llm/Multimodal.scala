@@ -209,55 +209,140 @@ object Multimodal {
          round(CAST(lum.lsum AS DOUBLE) / (1000.0 * m.w * m.h), 4) AS brightness
        FROM m JOIN lum USING (doc_id) ORDER BY m.doc_id"""
 
-  /** Frame sampling + stride-2 resize over "video" payloads — the frame
-    * buffer is a fixture (the document's UTF-8 bytes stand in for a raw
-    * width×height frame sequence); every piece of the Spark plumbing is
-    * real: per-video frame geometry, every-2nd-frame sampling via a
-    * generated sequence (bounded, no row explosion beyond sampled frames),
-    * per-frame byte slicing, and a half-resolution downsample that
-    * reassembles every 2nd row INSIDE one `transform` expression — array
-    * functions, no UDF, no shuffle except the presentation sort. A real
-    * codec swaps into the substring step without touching the plan shape. */
-  def mediaFrames(s: SparkSession, d: String): DataFrame =
+  /** Frame geometry of the video fixture: small grayscale frames so the
+    * multi-frame payloads stay modest (w <= 16, h <= 12, 2-5 frames). */
+  private def videoGeometry(docId: Long, nChars: Long): (Int, Int, Int) =
+    ((nChars % 16 + 1).toInt, (docId % 12 + 1).toInt, (docId % 4 + 2).toInt)
+
+  /** Multi-frame P5 PGM stream encoder — the video fixture's "camera": a
+    * raw grayscale video as `nf` concatenated binary PGM images (the
+    * netpbm multi-image convention: each frame is a complete
+    * `P5\n{w} {h}\n255\n` header + w*h gray bytes). Frame f's pixel i is
+    * `(seed*17 + f*101 + i*7) mod 256` — deterministic, frame-distinct,
+    * oracle-reproducible. */
+  private[graft] def encodePgmStream(w: Int, h: Int, nf: Int,
+      seed: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until nf).foreach { f =>
+      out.write(s"P5\n$w $h\n255\n".getBytes("US-ASCII"))
+      var i = 0
+      while (i < w * h) {
+        out.write(((seed * 17 + f.toLong * 101 + i.toLong * 7) % 256).toInt)
+        i += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  case class FrameRow(
+      doc_id: Long,
+      frame_no: Int,
+      width: Int,
+      height: Int,
+      frame_md5: String,
+      half_res_md5: String)
+
+  private def hexMd5(bytes: Array[Byte]): String = {
+    val hex = bytes.map(b => f"${b & 0xff}%02X").mkString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(hex.getBytes("US-ASCII"))
+      .map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** REAL multi-frame P5 parser: walks the payload sequentially — each
+    * frame's pixel offset depends on its parsed header length, so a wrong
+    * parse shifts every later frame and the digest gate catches it. Emits
+    * every SECOND frame (the sampling step) with the decoded dims, a
+    * digest of the frame's pixel bytes, and a digest of its stride-2
+    * vertical downsample (every 2nd pixel row). Digests are md5 over the
+    * uppercase hex rendering — the [[mediaMeta]] convention, because the
+    * differential oracle's md5 is VARCHAR-only. */
+  private[graft] def decodePgmFrames(docId: Long,
+      payload: Array[Byte]): Seq[FrameRow] = {
+    val rows = scala.collection.mutable.ListBuffer.empty[FrameRow]
+    var pos = 0
+    var frameNo = 0
+    while (pos < payload.length) {
+      require(pos + 2 <= payload.length &&
+        payload(pos) == 'P' && payload(pos + 1) == '5',
+        s"not a P5 frame header at offset $pos")
+      pos += 2
+      def nextInt(): Int = {
+        while (pos < payload.length && payload(pos).toChar.isWhitespace) pos += 1
+        require(pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9',
+          "malformed PGM header")
+        var v = 0
+        while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
+          v = v * 10 + (payload(pos) - '0')
+          pos += 1
+        }
+        v
+      }
+      val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+      require(maxv == 255, s"unsupported PGM maxval $maxv")
+      pos += 1 // single whitespace before pixel data
+      require(payload.length >= pos + w * h, "truncated PGM frame")
+      if (frameNo % 2 == 0) {
+        val frame = java.util.Arrays.copyOfRange(payload, pos, pos + w * h)
+        val half = (0 until h by 2).flatMap(r =>
+          frame.slice(r * w, (r + 1) * w)).toArray
+        rows += FrameRow(docId, frameNo, w, h, hexMd5(frame), hexMd5(half))
+      }
+      pos += w * h
+      frameNo += 1
+    }
+    rows.toList
+  }
+
+  /** Frame sampling + stride-2 resize over REAL video payloads: the video
+    * slice encodes a genuine multi-frame binary P5 stream per document
+    * (per-partition, the typed-batch shape), and the decoder re-parses
+    * those bytes frame by frame — header-length-dependent offsets and all —
+    * sampling every 2nd frame and digesting each sampled frame plus its
+    * half-vertical-resolution downsample. The DuckDB oracle reproduces
+    * every digest from the generator arithmetic, so a single mis-parsed
+    * header byte fails the hash gate. No shuffle except the presentation
+    * sort; a production codec (e.g. MJPEG) swaps into the two
+    * encode/decode bodies without touching the pipeline. */
+  def mediaFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     Tables.documents(s, d)
       .filter(col("doc_id") % 3 === 2) // the mediaTable "video" slice
-      .select(col("doc_id"),
-        (col("n_chars") % 64 + 1).cast(IntegerType).as("width"),
-        (col("doc_id") % 48 + 1).cast(IntegerType).as("height"),
-        col("text"), col("n_chars"))
-      .withColumn("fs", col("width") * col("height"))
-      .withColumn("nf", expr("n_chars div fs"))
-      .filter(col("nf") >= 1)
-      .select(col("doc_id"), col("width"), col("height"), col("fs"), col("text"),
-        explode(expr("sequence(0, cast(least(nf - 1, 6) as int), 2)"))
-          .as("frame_no"))
-      .withColumn("off", col("frame_no") * col("fs"))
-      .select(
-        col("doc_id"), col("frame_no"),
-        md5(expr("substring(text, off + 1, fs)")).as("frame_md5"),
-        md5(expr(
-          """array_join(transform(sequence(0, height - 1, 2),
-               r -> substring(text, off + r * width + 1, width)), '')"""))
-          .as("half_res_md5"))
+      .select(col("doc_id"), col("n_chars").cast(LongType).as("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.flatMap { case (id, nChars) =>
+        val (w, h, nf) = videoGeometry(id, nChars)
+        decodePgmFrames(id, encodePgmStream(w, h, nf, id))
+      })
+      .toDF()
       .orderBy("doc_id", "frame_no")
+  }
 
+  // Per sampled frame: rebuild the pixel hex (and its even-row subset) from
+  // the generator arithmetic and hash it. Constant series bounds with WHERE
+  // filters (DuckDB's generate_series takes no lateral column bounds).
   val mediaFramesSql: String =
     """WITH v AS (SELECT doc_id,
-                    CAST(n_chars % 64 + 1 AS INT) AS w,
-                    CAST(doc_id % 48 + 1 AS INT) AS h,
-                    text, n_chars
+                    CAST(n_chars % 16 + 1 AS INT) AS w,
+                    CAST(doc_id % 12 + 1 AS INT) AS h,
+                    CAST(doc_id % 4 + 2 AS INT) AS nf
                   FROM documents WHERE doc_id % 3 = 2),
-        f AS (SELECT doc_id, w, h, text, w * h AS fs,
-                     n_chars // (w * h) AS nf
-              FROM v WHERE n_chars // (w * h) >= 1),
-        e AS (SELECT doc_id, w, h, text, fs,
-                     unnest(generate_series(0, CAST(least(nf - 1, 6) AS INT), 2))
-                       AS frame_no
-              FROM f)
-        SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
-               md5(substring(text, frame_no * fs + 1, fs)) AS frame_md5,
-               md5(array_to_string(list_transform(generate_series(0, h - 1, 2),
-                     r -> substring(text, frame_no * fs + CAST(r AS INT) * w + 1, w)),
-                   '')) AS half_res_md5
-        FROM e ORDER BY doc_id, frame_no"""
+        e AS (SELECT doc_id, w, h, f.f AS frame_no
+              FROM v, generate_series(0, 4, 2) f(f)
+              WHERE f.f < nf),
+        px AS (SELECT e.doc_id, e.frame_no,
+                 string_agg(lpad(to_hex((e.doc_id * 17 + e.frame_no * 101 + i * 7) % 256),
+                                 2, '0'), '' ORDER BY i) AS fhex,
+                 string_agg(lpad(to_hex((e.doc_id * 17 + e.frame_no * 101 + i * 7) % 256),
+                                 2, '0'), '' ORDER BY i)
+                   FILTER (WHERE (i // e.w) % 2 = 0) AS hhex
+               FROM e, generate_series(0, 16 * 12 - 1) t(i)
+               WHERE i < e.w * e.h
+               GROUP BY e.doc_id, e.frame_no)
+        SELECT e.doc_id, CAST(e.frame_no AS INT) AS frame_no,
+               e.w AS width, e.h AS height,
+               md5(upper(px.fhex)) AS frame_md5,
+               md5(upper(px.hhex)) AS half_res_md5
+        FROM e JOIN px USING (doc_id, frame_no)
+        ORDER BY e.doc_id, e.frame_no"""
 }

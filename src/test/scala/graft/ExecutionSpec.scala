@@ -76,6 +76,40 @@ class ExecutionSpec extends SparkSpec {
     }
   }
 
+  test("PGM stream parser walks frame headers and samples every 2nd frame") {
+    // Hand-built 3-frame stream with DIFFERENT header lengths per frame
+    // (1-digit vs 2-digit width), so a parser that assumes fixed-size
+    // headers lands mid-pixel and fails the digest comparison.
+    def frame(w: Int, h: Int, fill: Int): Array[Byte] =
+      s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++
+        Array.fill(w * h)(fill.toByte)
+    val stream = frame(3, 2, 10) ++ frame(12, 1, 20) ++ frame(2, 2, 30)
+    val rows = Multimodal.decodePgmFrames(7L, stream)
+    // Frames 0 and 2 sampled; frame 1 (the 12-wide one) skipped but its
+    // bytes must still be stepped over exactly.
+    assert(rows.map(_.frame_no) == Seq(0, 2))
+    assert(rows.map(r => (r.width, r.height)) == Seq((3, 2), (2, 2)))
+    // Digest = md5 of the uppercase hex of the pixel bytes.
+    def hx(bytes: Array[Byte]): String = {
+      val hex = bytes.map(b => f"${b & 0xff}%02X").mkString
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(hex.getBytes("US-ASCII"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    }
+    assert(rows.head.frame_md5 == hx(Array.fill(6)(10.toByte)))
+    // Half-res of a 3x2 frame keeps row 0 only (3 bytes).
+    assert(rows.head.half_res_md5 == hx(Array.fill(3)(10.toByte)))
+    assert(rows(1).frame_md5 == hx(Array.fill(4)(30.toByte)))
+    // Encoder round-trip: geometry survives, frames 0 and 2 of 4 sampled.
+    val rt = Multimodal.decodePgmFrames(9L, Multimodal.encodePgmStream(5, 3, 4, 9L))
+    assert(rt.map(_.frame_no) == Seq(0, 2))
+    assert(rt.forall(r => r.width == 5 && r.height == 3))
+    // Truncated trailing frame is rejected, not silently dropped.
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePgmFrames(1L, stream.dropRight(1))
+    }
+  }
+
   test("pivot row sums equal per-user event counts") {
     val p = Execution.pivotCounts(spark, Sf)
       .withColumn("total",
