@@ -209,6 +209,126 @@ object Multimodal {
          round(CAST(lum.lsum AS DOUBLE) / (1000.0 * m.w * m.h), 4) AS brightness
        FROM m JOIN lum USING (doc_id) ORDER BY m.doc_id"""
 
+  // ==========================================================================
+  // Audio: real RIFF/WAVE (8-bit mono PCM) — binary little-endian headers,
+  // the OTHER format family (netpbm headers are ASCII; WAV fields are raw
+  // LE integers, so this parser exercises byte-order handling too).
+  // ==========================================================================
+
+  /** Audio geometry: sample rate 8-15 kHz, 100-599 samples. */
+  private def audioGeometry(docId: Long, nChars: Long): (Int, Int) =
+    ((8000 + (docId % 8) * 1000).toInt, (nChars % 500 + 100).toInt)
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  /** Canonical 44-byte-header WAV encoder: RIFF/WAVE + fmt (PCM, mono,
+    * 8-bit) + data, samples s_i = (seed*13 + 11i) mod 256 (unsigned PCM,
+    * 128 = silence). */
+  private[graft] def encodeWav(sampleRate: Int, nSamples: Int,
+      seed: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32(36 + nSamples), 0, 4)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII"))
+    out.write(le32(16), 0, 4)       // fmt chunk size
+    out.write(le16(1), 0, 2)        // PCM
+    out.write(le16(1), 0, 2)        // mono
+    out.write(le32(sampleRate), 0, 4)
+    out.write(le32(sampleRate), 0, 4) // byte rate (8-bit mono)
+    out.write(le16(1), 0, 2)        // block align
+    out.write(le16(8), 0, 2)        // bits per sample
+    out.write("data".getBytes("US-ASCII"))
+    out.write(le32(nSamples), 0, 4)
+    var i = 0
+    while (i < nSamples) {
+      out.write(((seed * 13 + i.toLong * 11) % 256).toInt)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Int,
+      n_samples: Int,
+      duration_ms: Long,
+      mean_abs_dev: Double)
+
+  /** REAL WAV parser: validates the RIFF/WAVE/fmt/data magics, reads the
+    * little-endian format fields, requires 8-bit mono PCM, then one pass
+    * over the sample bytes for mean absolute deviation from silence
+    * (Σ|s−128| as an exact integer; one double division at the end — the
+    * engine-portability discipline). duration_ms is integer arithmetic. */
+  private[graft] def decodeWav(payload: Array[Byte]): (Int, Int, Long, Double) = {
+    def ascii(off: Int, s: String): Boolean =
+      payload.length >= off + s.length &&
+        s.indices.forall(i => payload(off + i) == s.charAt(i))
+    def rdLe32(off: Int): Int =
+      (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
+        ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
+    def rdLe16(off: Int): Int =
+      (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
+    require(ascii(0, "RIFF") && ascii(8, "WAVE"), "not a RIFF/WAVE payload")
+    require(ascii(12, "fmt ") && rdLe32(16) == 16, "unsupported fmt chunk")
+    require(rdLe16(20) == 1, "not PCM")
+    require(rdLe16(22) == 1, "not mono")
+    val sampleRate = rdLe32(24)
+    require(rdLe16(34) == 8, "not 8-bit samples")
+    require(ascii(36, "data"), "missing data chunk")
+    val n = rdLe32(40)
+    require(payload.length >= 44 + n, "truncated sample data")
+    var dev = 0L
+    var i = 0
+    while (i < n) {
+      dev += math.abs((payload(44 + i) & 0xff) - 128)
+      i += 1
+    }
+    (sampleRate, n, n.toLong * 1000 / sampleRate, dev / n.toDouble)
+  }
+
+  /** Audio feature extraction over the "audio" slice: encode a real WAV
+    * per document (typed batch shape), re-parse it with [[decodeWav]] —
+    * every reported field comes from the DECODED header/samples, not the
+    * generator — and report rate, sample count, duration and mean absolute
+    * deviation. The oracle reproduces all of it from the generator
+    * arithmetic; a mis-read LE field or sample offset fails the gate. */
+  def mediaAudio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 1) // the mediaTable "audio" slice
+      .select(col("doc_id"), col("n_chars").cast(LongType).as("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val (rate, ns) = audioGeometry(id, nChars)
+        val (dRate, dn, durMs, dev) = decodeWav(encodeWav(rate, ns, id))
+        AudioFeatures(id, dRate, dn, durMs, dev)
+      })
+      .toDF()
+      .withColumn("mean_abs_dev", round(col("mean_abs_dev"), 4))
+      .orderBy("doc_id")
+  }
+
+  val mediaAudioSql: String =
+    """WITH a AS (SELECT doc_id,
+            CAST(8000 + (doc_id % 8) * 1000 AS INT) AS rate,
+            CAST(n_chars % 500 + 100 AS INT) AS ns
+          FROM documents WHERE doc_id % 3 = 1),
+        dev AS (SELECT doc_id,
+                  CAST(sum(abs(((doc_id * 13 + i * 11) % 256) - 128)) AS BIGINT) AS sdev
+                FROM a, generate_series(0, 598) t(i)
+                WHERE i < ns
+                GROUP BY doc_id)
+        SELECT a.doc_id, a.rate AS sample_rate, a.ns AS n_samples,
+               CAST(a.ns * 1000 // a.rate AS BIGINT) AS duration_ms,
+               round(CAST(dev.sdev AS DOUBLE) / a.ns, 4) AS mean_abs_dev
+        FROM a JOIN dev USING (doc_id) ORDER BY a.doc_id"""
+
   /** Frame geometry of the video fixture: small grayscale frames so the
     * multi-frame payloads stay modest (w <= 16, h <= 12, 2-5 frames). */
   private def videoGeometry(docId: Long, nChars: Long): (Int, Int, Int) =

@@ -110,6 +110,35 @@ class ExecutionSpec extends SparkSpec {
     }
   }
 
+  test("WAV parser reads little-endian headers and sample deviations exactly") {
+    // Encoder round-trip: fields come from the DECODED header.
+    val (rate, n, durMs, dev) = Multimodal.decodeWav(
+      Multimodal.encodeWav(11000, 250, 42L))
+    assert(rate == 11000 && n == 250)
+    assert(durMs == 250L * 1000 / 11000) // 22 ms, integer arithmetic
+    // Mean |s-128| over s_i = (42*13 + 11i) mod 256 — recompute directly.
+    val expect = (0 until 250).map(i => math.abs((42L * 13 + 11L * i) % 256 - 128))
+      .sum / 250.0
+    assert(dev == expect)
+    // A hand-built 4-sample WAV: samples 128, 0, 255, 128 -> mean dev
+    // (0 + 128 + 127 + 0) / 4 = 63.75.
+    val crafted = Multimodal.encodeWav(8000, 4, 0L)
+    // overwrite the 4 sample bytes (offset 44) with the crafted values
+    crafted(44) = 128.toByte; crafted(45) = 0.toByte
+    crafted(46) = 255.toByte; crafted(47) = 128.toByte
+    assert(Multimodal.decodeWav(crafted)._4 == 63.75)
+    // Rejects junk, a stereo claim, and truncated sample data.
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav("not audio at all, far too short".getBytes("US-ASCII"))
+    }
+    val stereo = Multimodal.encodeWav(8000, 4, 0L)
+    stereo(22) = 2.toByte // channels LE16 -> 2
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(stereo) }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(Multimodal.encodeWav(8000, 4, 0L).dropRight(1))
+    }
+  }
+
   test("pivot row sums equal per-user event counts") {
     val p = Execution.pivotCounts(spark, Sf)
       .withColumn("total",
