@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.llm.{Dedup, Multimodal, Packing, Retrieval, Similarity, TextAnalysis}
+import graft.llm.{CorpusStats, Dedup, Multimodal, Packing, QualitySignals, Retrieval, Similarity, TextAnalysis}
 import graft.ops.{Advanced, Analytics, Execution, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -117,6 +117,13 @@ object SparkEntry {
     "q_semdedup" -> (Similarity.semDedup _),
     "q_diverse_sample" -> (Similarity.diverseSample _),
     "q_text_quality" -> (TextAnalysis.quality _),
+    "q_gopher_rules" -> (QualitySignals.gopherRules _),
+    "q_word_entropy" -> (QualitySignals.wordEntropy _),
+    "q_dsir_weights" -> (QualitySignals.dsirWeights _),
+    "q_source_drift" -> (QualitySignals.sourceDrift _),
+    "q_quality_sample" -> (QualitySignals.qualityWeightedSample _),
+    "q_zipf_slope" -> (CorpusStats.zipfSlope _),
+    "q_bpe_pairs" -> (CorpusStats.bpePairs _),
     "q_lang_id" -> (TextAnalysis.langId _),
     "q_token_counts" -> (TextAnalysis.tokenCounts _),
     "q_hash_sample" -> (TextAnalysis.hashSample _),
@@ -451,6 +458,13 @@ object SparkEntry {
     "q_semdedup" -> Similarity.semDedupSql,
     "q_diverse_sample" -> Similarity.diverseSampleSql,
     "q_text_quality" -> TextAnalysis.qualitySql,
+    "q_gopher_rules" -> QualitySignals.gopherRulesSql,
+    "q_word_entropy" -> QualitySignals.wordEntropySql,
+    "q_dsir_weights" -> QualitySignals.dsirWeightsSql,
+    "q_source_drift" -> QualitySignals.sourceDriftSql,
+    "q_quality_sample" -> QualitySignals.qualityWeightedSampleSql,
+    "q_zipf_slope" -> CorpusStats.zipfSlopeSql,
+    "q_bpe_pairs" -> CorpusStats.bpePairsSql,
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_token_counts" -> TextAnalysis.tokenCountsSql,
     "q_hash_sample" -> TextAnalysis.hashSampleSql,
