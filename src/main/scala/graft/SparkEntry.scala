@@ -178,6 +178,17 @@ object SparkEntry {
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
     "q_dup_ngram_fraction" -> (Dedup.dupNgramFraction _),
     "q_curation_funnel" -> (TextAnalysis.curationFunnel _),
+    // Product/event analytics over the event stream
+    "q_event_funnel" -> (graft.ops.EventAnalytics.eventFunnel _),
+    "q_cohort_retention" -> (graft.ops.EventAnalytics.cohortRetention _),
+    "q_event_transitions" -> (graft.ops.EventAnalytics.eventTransitions _),
+    "q_gap_fill" -> (graft.ops.EventAnalytics.gapFill _),
+    "q_anomaly_mad" -> (graft.ops.EventAnalytics.anomalyMad _),
+    "q_rfm_segments" -> (graft.ops.EventAnalytics.rfmSegments _),
+    // Record linkage / entity resolution
+    "q_fuzzy_join" -> (graft.ops.Linkage.fuzzyJoin _),
+    "q_jw_linkage" -> (graft.ops.Linkage.jwLinkage _),
+    "q_entity_resolve" -> (graft.ops.Linkage.resolveEntities _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -522,5 +533,14 @@ object SparkEntry {
     "q_dedup_incremental" -> Dedup.incrementalDedupSql,
     "q_dup_ngram_fraction" -> Dedup.dupNgramFractionSql,
     "q_curation_funnel" -> TextAnalysis.curationFunnelSql,
+    "q_event_funnel" -> graft.ops.EventAnalytics.eventFunnelSql,
+    "q_cohort_retention" -> graft.ops.EventAnalytics.cohortRetentionSql,
+    "q_event_transitions" -> graft.ops.EventAnalytics.eventTransitionsSql,
+    "q_gap_fill" -> graft.ops.EventAnalytics.gapFillSql,
+    "q_anomaly_mad" -> graft.ops.EventAnalytics.anomalyMadSql,
+    "q_rfm_segments" -> graft.ops.EventAnalytics.rfmSegmentsSql,
+    "q_fuzzy_join" -> graft.ops.Linkage.fuzzyJoinSql,
+    "q_jw_linkage" -> graft.ops.Linkage.jwLinkageSql,
+    "q_entity_resolve" -> graft.ops.Linkage.resolveEntitiesSql,
   )
 }

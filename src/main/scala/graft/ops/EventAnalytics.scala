@@ -1,0 +1,374 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import graft.Tables
+
+/** Product/event analytics over the `events` stream table — the funnel /
+  * cohort / sequence / time-series operators a clickstream warehouse runs
+  * daily. The reference's pipeline stops at the star-schema fact build
+  * (reference transform-data.py:229-266); these are the downstream consumers
+  * of that fact table, expressed Spark-first.
+  *
+  * Scale notes common to the family: every aggregate is keyed by `user_id`
+  * (or a small derived dimension), so each stage is one map-side-combined
+  * shuffle on the user key; window functions are always PARTITIONED BY
+  * user_id (never a global single-partition window), so WindowExec
+  * parallelism is user-cardinality wide. At 100 TB the user dimension is
+  * orders of magnitude smaller than the event stream, which keeps every
+  * per-user aggregate broadcastable back onto the stream when needed.
+  */
+object EventAnalytics {
+
+  /** Ordered conversion funnel signup -> view -> click -> purchase: a user
+    * counts for step k only with an event of step k's type STRICTLY AFTER
+    * their step-(k-1) qualifying time (min-after chaining, the standard
+    * funnel semantics — an out-of-order click before signup does not
+    * convert). Output: one row per step with the surviving-user count and
+    * the conversion rate vs step 1.
+    *
+    * Scale shape: each step is filter -> per-user min -> equi-join on
+    * user_id with the (already user-aggregated, hence small) previous step.
+    * The per-step aggregate shrinks monotonically, so joins 2..k are
+    * broadcast-sized long before 100 TB of raw events matter. */
+  def eventFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    def firstOf(tpe: String): DataFrame =
+      ev.filter(col("event_type") === tpe)
+        .groupBy("user_id").agg(min("ts").as("t"))
+    def nextAfter(prev: DataFrame, tpe: String): DataFrame =
+      ev.filter(col("event_type") === tpe)
+        .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
+        .filter(col("ts") > col("t_prev"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+    val stepDfs = FunnelSteps.tail.scanLeft(firstOf(FunnelSteps.head))(nextAfter)
+    val counts = stepDfs.zip(FunnelSteps).zipWithIndex.map {
+      case ((df, tpe), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("step_idx"), lit(tpe).as("step"), col("n_users"))
+    }.reduce(_.union(_))
+    val base = counts.filter(col("step_idx") === 1)
+      .select(col("n_users").as("base_users"))
+    counts.crossJoin(broadcast(base))
+      .select(col("step_idx"), col("step"), col("n_users"),
+        round(col("n_users").cast("double") / col("base_users"), 4)
+          .as("conv_pct"))
+      .orderBy("step_idx")
+  }
+
+  /** Funnel step order — strict event-type chain over the corpus's five
+    * types (signup precedes engagement which precedes purchase). */
+  val FunnelSteps: Seq[String] = Seq("signup", "view", "click", "purchase")
+
+  val eventFunnelSql: String = {
+    val Seq(t1, t2, t3, t4) = FunnelSteps
+    s"""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                    WHERE event_type = '$t1' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+               JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+               WHERE e.event_type = '$t2' GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+               JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+               WHERE e.event_type = '$t3' GROUP BY e.user_id),
+        s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+               JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+               WHERE e.event_type = '$t4' GROUP BY e.user_id),
+        c AS (SELECT 1 AS step_idx, '$t1' AS step, count(*) AS n_users FROM s1
+              UNION ALL
+              SELECT 2, '$t2', count(*) FROM s2
+              UNION ALL
+              SELECT 3, '$t3', count(*) FROM s3
+              UNION ALL
+              SELECT 4, '$t4', count(*) FROM s4)
+        SELECT step_idx, step, n_users,
+          round(CAST(n_users AS DOUBLE)
+                / (SELECT n_users FROM c WHERE step_idx = 1), 4) AS conv_pct
+        FROM c ORDER BY step_idx"""
+  }
+
+  /** Weekly cohort retention: users are cohorted by the Monday-truncated
+    * week of their FIRST event; each (cohort, active-week) cell counts the
+    * cohort's users active that week, with retention as a fraction of the
+    * cohort size. The offset-0 cell is the cohort size by construction.
+    *
+    * Scale shape: two per-user aggregates (first-event, distinct active
+    * weeks — both map-side combined), one equi-join on user_id, then a
+    * low-cardinality (cohort, offset) aggregate. No global windows. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id", "ts")
+    val firsts = ev.groupBy("user_id")
+      .agg(date_trunc("week", min("ts")).as("cohort_week"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    val cells = active.join(firsts, "user_id")
+      .select(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7)
+          .cast(IntegerType).as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = cells.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    cells.join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        round(col("n_users").cast("double") / col("cohort_size"), 4)
+          .as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH f AS (SELECT user_id,
+           CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+         FROM events GROUP BY user_id),
+       a AS (SELECT DISTINCT user_id,
+           CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events),
+       cells AS (SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INT) AS week_offset,
+           count(*) AS n_users
+         FROM a JOIN f ON a.user_id = f.user_id
+         GROUP BY 1, 2),
+       sz AS (SELECT cohort_week, n_users AS cohort_size FROM cells
+              WHERE week_offset = 0)
+       SELECT c.cohort_week, c.week_offset, c.n_users,
+         round(CAST(c.n_users AS DOUBLE) / sz.cohort_size, 4) AS retention
+       FROM cells c JOIN sz ON c.cohort_week = sz.cohort_week
+       ORDER BY c.cohort_week, c.week_offset"""
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * count (prev_type -> type) for consecutive events ordered by
+    * (ts, event_id) within each user, with the row-normalized transition
+    * probability. The standard behavioral-sequence model input.
+    *
+    * Scale shape: one user-partitioned lag window (WindowExec parallel in
+    * user cardinality), then a 5x5-cardinality aggregate and a tiny
+    * broadcast join for the row totals. */
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts", "event_id")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = ev
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val cnt = pairs.groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = cnt.groupBy("prev_type").agg(sum("cnt").as("total"))
+    cnt.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("event_type"), col("cnt"),
+        round(col("cnt").cast("double") / col("total"), 4).as("prob"))
+      .orderBy("prev_type", "event_type")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH p AS (SELECT user_id, event_type,
+           lag(event_type, 1) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev_type
+         FROM events),
+       cnt AS (SELECT prev_type, event_type, count(*) AS cnt FROM p
+               WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       t AS (SELECT prev_type, sum(cnt) AS total FROM cnt GROUP BY 1)
+       SELECT cnt.prev_type, cnt.event_type, cnt.cnt,
+         round(CAST(cnt.cnt AS DOUBLE) / t.total, 4) AS prob
+       FROM cnt JOIN t ON cnt.prev_type = t.prev_type
+       ORDER BY cnt.prev_type, cnt.event_type"""
+
+  /** Sampled-user modulus for the gap-fill grid — keeps the densified
+    * output at dashboard size (the grid is per-user-hours, so an unsampled
+    * run at high SF would dwarf every other verify artifact). */
+  val GapFillUserMod = 50
+
+  /** Hourly gap-fill with forward fill (time-series densification): for
+    * each sampled user, materialize every hour between their first and last
+    * event, carry the hour's LAST observed value (latest (ts, event_id))
+    * forward across silent hours, and flag which grid rows were observed.
+    * The standard resample-and-ffill primitive for telemetry/IoT feeds.
+    *
+    * Scale shape: the grid is generated per user with `sequence()` (no
+    * driver loop, no cross join against a global calendar); the fill is a
+    * user-partitioned running `last(ignoreNulls)` window. Grid width is
+    * bounded by each user's own activity span. */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("user_id") % GapFillUserMod === 0)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    // Last observed value per (user, hour): max over a (ts, event_id, value)
+    // struct — lexicographic struct ordering picks the latest event without
+    // a window, and event_id uniqueness makes the pick deterministic.
+    val hourly = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value")))
+        .getField("value").as("hv"))
+    val grids = ev.groupBy("user_id")
+      .agg(date_trunc("hour", min("ts")).as("h0"),
+           date_trunc("hour", max("ts")).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grids.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h").as("hour"),
+        last("hv", ignoreNulls = true).over(w).as("value"),
+        col("hv").isNotNull.as("observed"))
+      .orderBy("user_id", "hour")
+  }
+
+  val gapFillSql: String =
+    s"""WITH ev AS (SELECT user_id, ts, event_id, value FROM events
+                    WHERE user_id % $GapFillUserMod = 0),
+        hourly AS (SELECT user_id, date_trunc('hour', ts) AS h,
+            (max({'ts': ts, 'eid': event_id, 'v': value})).v AS hv
+          FROM ev GROUP BY 1, 2),
+        grid AS (SELECT user_id, unnest(generate_series(
+              date_trunc('hour', min(ts)), date_trunc('hour', max(ts)),
+              INTERVAL 1 HOUR)) AS h
+          FROM ev GROUP BY user_id)
+        SELECT g.user_id, g.h AS hour,
+          last_value(hourly.hv IGNORE NULLS) OVER (
+            PARTITION BY g.user_id ORDER BY g.h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+          hourly.hv IS NOT NULL AS observed
+        FROM grid g LEFT JOIN hourly
+          ON g.user_id = hourly.user_id AND g.h = hourly.h
+        ORDER BY g.user_id, hour"""
+
+  /** MAD anomaly threshold multiplier (the classic 3-sigma-equivalent
+    * robust cut; deviations beyond 3x the median absolute deviation). */
+  val MadK = 3
+
+  /** Per-user robust anomaly detection: flag events whose value deviates
+    * from the user's median by more than [[MadK]]x the user's median
+    * absolute deviation. All order statistics are computed over integer
+    * cents via the doubled-middle-sum trick (m2 = lo+hi middle order
+    * stats), so median and MAD are EXACT integers on both engines — no
+    * interpolated-double drift — and the flag predicate
+    * 2*dev > [[MadK]]*mad2 is pure integer arithmetic.
+    *
+    * Scale shape: two user-partitioned sort windows (row_number + count)
+    * and two user-keyed aggregates; the per-user stats table then joins
+    * back onto the stream once. Nothing global. */
+  def anomalyMad(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"),
+        round(col("value") * 100, 0).cast(LongType).as("c"))
+    def middleSum(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("user_id").orderBy(col(valueCol), col("event_id"))
+      val n = Window.partitionBy("user_id")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(n))
+        .groupBy("user_id")
+        .agg(sum(
+          when(col("rn") === expr("(cnt + 1) div 2"), col(valueCol)).otherwise(0L) +
+          when(col("rn") === expr("cnt div 2 + 1"), col(valueCol)).otherwise(0L))
+          .as(out))
+    }
+    val med = middleSum(ev, "c", "m2")
+    val dev = ev.join(med, "user_id")
+      .withColumn("dev", abs(lit(2) * col("c") - col("m2")))
+    val mad = middleSum(dev.select(col("user_id"), col("event_id"),
+      col("dev").as("c")), "c", "mad2")
+    dev.join(mad, "user_id")
+      .filter(lit(2) * col("dev") > lit(MadK) * col("mad2"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("dev"), col("m2"), col("mad2"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val anomalyMadSql: String =
+    s"""WITH ev AS (SELECT user_id, event_id, value,
+            CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        r AS (SELECT user_id, event_id, c,
+            row_number() OVER (PARTITION BY user_id ORDER BY c, event_id) AS rn,
+            count(*) OVER (PARTITION BY user_id) AS cnt
+          FROM ev),
+        med AS (SELECT user_id,
+            CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN c ELSE 0 END
+              + CASE WHEN rn = cnt // 2 + 1 THEN c ELSE 0 END) AS BIGINT) AS m2
+          FROM r GROUP BY user_id),
+        dv AS (SELECT ev.user_id, ev.event_id, ev.value,
+            CAST(abs(2 * ev.c - med.m2) AS BIGINT) AS dev, med.m2
+          FROM ev JOIN med ON ev.user_id = med.user_id),
+        r2 AS (SELECT user_id, event_id, dev,
+            row_number() OVER (PARTITION BY user_id ORDER BY dev, event_id) AS rn,
+            count(*) OVER (PARTITION BY user_id) AS cnt
+          FROM dv),
+        mad AS (SELECT user_id,
+            CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN dev ELSE 0 END
+              + CASE WHEN rn = cnt // 2 + 1 THEN dev ELSE 0 END) AS BIGINT) AS mad2
+          FROM r2 GROUP BY user_id)
+        SELECT dv.user_id, dv.event_id, dv.value, dv.dev, dv.m2, mad.mad2
+        FROM dv JOIN mad ON dv.user_id = mad.user_id
+        WHERE 2 * dv.dev > $MadK * mad.mad2
+        ORDER BY dv.user_id, dv.event_id"""
+
+  /** RFM (recency / frequency / monetary) customer segmentation over
+    * purchase events, scored into quartiles AGAINST THRESHOLDS rather than
+    * with a global ntile: a single-partition ntile window is the classic
+    * scale-killer at a 10^9-user dimension, while three quartile cut
+    * points (one tiny percentile aggregate, broadcast back) score the same
+    * segments with one embarrassingly parallel comparison pass.
+    *
+    * Recency is measured in whole days back from the corpus's last event;
+    * monetary is exact integer cents. Quartile thresholds interpolate over
+    * integers at .25/.5/.75, which both engines compute bit-identically
+    * (same a + (b-a)*f form over exactly-representable integers). */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val anchor = ev.agg(max("ts").as("anchor"))
+    val rfm = ev.filter(col("event_type") === "purchase")
+      .crossJoin(broadcast(anchor))
+      .groupBy("user_id")
+      .agg(
+        min(datediff(col("anchor"), col("ts"))).cast(LongType).as("rec_days"),
+        count(lit(1)).as("n_purch"),
+        sum(round(col("value") * 100, 0).cast(LongType)).as("cents"))
+    val cuts = rfm.agg(
+      expr("percentile(rec_days, array(0.25, 0.5, 0.75))").as("rq"),
+      expr("percentile(n_purch, array(0.25, 0.5, 0.75))").as("fq"),
+      expr("percentile(cents, array(0.25, 0.5, 0.75))").as("mq"))
+    def score(metric: String, qs: String, higherIsBetter: Boolean) = {
+      val cmp = (i: Int) =>
+        if (higherIsBetter) col(metric) >= col(qs).getItem(i)
+        else col(metric) <= col(qs).getItem(i)
+      (lit(1) + cmp(0).cast(IntegerType) + cmp(1).cast(IntegerType) +
+        cmp(2).cast(IntegerType)).cast(IntegerType)
+    }
+    rfm.crossJoin(broadcast(cuts))
+      .select(col("user_id"), col("rec_days"), col("n_purch"), col("cents"),
+        score("rec_days", "rq", higherIsBetter = false).as("r_score"),
+        score("n_purch", "fq", higherIsBetter = true).as("f_score"),
+        score("cents", "mq", higherIsBetter = true).as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")))
+      .orderBy("user_id")
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH anchor AS (SELECT max(ts) AS anchor FROM events),
+       rfm AS (SELECT user_id,
+           CAST(min(date_diff('day', e.ts, a.anchor)) AS BIGINT) AS rec_days,
+           count(*) AS n_purch,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM events e CROSS JOIN anchor a
+         WHERE event_type = 'purchase' GROUP BY user_id),
+       cuts AS (SELECT
+           quantile_cont(rec_days, 0.25) AS r1, quantile_cont(rec_days, 0.5) AS r2,
+           quantile_cont(rec_days, 0.75) AS r3,
+           quantile_cont(n_purch, 0.25) AS f1, quantile_cont(n_purch, 0.5) AS f2,
+           quantile_cont(n_purch, 0.75) AS f3,
+           quantile_cont(cents, 0.25) AS m1, quantile_cont(cents, 0.5) AS m2,
+           quantile_cont(cents, 0.75) AS m3
+         FROM rfm),
+       scored AS (SELECT user_id, rec_days, n_purch, cents,
+           CAST(1 + CAST(rec_days <= r3 AS INT) + CAST(rec_days <= r2 AS INT)
+              + CAST(rec_days <= r1 AS INT) AS INT) AS r_score,
+           CAST(1 + CAST(n_purch >= f1 AS INT) + CAST(n_purch >= f2 AS INT)
+              + CAST(n_purch >= f3 AS INT) AS INT) AS f_score,
+           CAST(1 + CAST(cents >= m1 AS INT) + CAST(cents >= m2 AS INT)
+              + CAST(cents >= m3 AS INT) AS INT) AS m_score
+         FROM rfm CROSS JOIN cuts)
+       SELECT user_id, rec_days, n_purch, cents, r_score, f_score, m_score,
+         CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+           || CAST(m_score AS VARCHAR) AS segment
+       FROM scored ORDER BY user_id"""
+}

@@ -1,0 +1,133 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.EventAnalytics
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-analytics family: the oracle gate hash-checks end results at
+  * sf0.01; these specs gate the semantic guarantees the oracle can't see —
+  * funnel ordering strictness, grid contiguity, forward-fill carry, the
+  * MAD=0 edge, and quartile-score bounds. */
+class EventAnalyticsSpec extends SparkSpec {
+
+  /** Write a crafted events table (full corpus schema) into a temp sf-dir so
+    * Tables.events reads it through the normal path. */
+  private def craftEvents(rows: Seq[(Long, String, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev_spec").toString
+    rows.toDF("event_id", "tss", "user_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("""{"k": 1}""").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("funnel: step counts are monotone non-increasing, base converts at 1.0") {
+    val rows = EventAnalytics.eventFunnel(spark, Sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"funnel grew: ${counts.toSeq}")
+    assert(rows.head.getDouble(3) == 1.0)
+  }
+
+  test("funnel: an out-of-order step does not convert; a later one does") {
+    val dir = craftEvents(Seq(
+      // user 1 converts signup -> view -> click -> purchase in order
+      (1L, "2024-01-01 10:00:00", 1L, "signup", 1.0),
+      (2L, "2024-01-01 11:00:00", 1L, "view", 1.0),
+      (3L, "2024-01-01 12:00:00", 1L, "click", 1.0),
+      (4L, "2024-01-01 13:00:00", 1L, "purchase", 1.0),
+      // user 2's only view precedes their signup -> stops after step 1,
+      // and their purchase (later) cannot skip the missing view/click
+      (5L, "2024-01-01 09:00:00", 2L, "view", 1.0),
+      (6L, "2024-01-01 10:00:00", 2L, "signup", 1.0),
+      (7L, "2024-01-01 13:00:00", 2L, "purchase", 1.0)))
+    val got = EventAnalytics.eventFunnel(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got == Map("signup" -> 2L, "view" -> 1L, "click" -> 1L, "purchase" -> 1L))
+  }
+
+  test("cohort retention: offset 0 is the cohort size at retention 1.0") {
+    val rows = EventAnalytics.cohortRetention(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.filter(_.getInt(1) == 0).foreach { r =>
+      assert(r.getDouble(3) == 1.0, s"offset-0 retention != 1: $r")
+    }
+    assert(rows.forall(_.getInt(1) >= 0), "negative week offset")
+    // every cell's n_users is bounded by its cohort size (offset-0 cell)
+    val sizes = rows.filter(_.getInt(1) == 0)
+      .map(r => r.getTimestamp(0) -> r.getLong(2)).toMap
+    rows.foreach(r => assert(r.getLong(2) <= sizes(r.getTimestamp(0))))
+  }
+
+  test("transitions: rows normalize to ~1 per source state, counts conserve") {
+    val rows = EventAnalytics.eventTransitions(spark, Sf).collect()
+    val bySrc = rows.groupBy(_.getString(0))
+    bySrc.foreach { case (src, rs) =>
+      val p = rs.map(_.getDouble(3)).sum
+      // probs are rounded to 4dp, so the row sum is 1 within rounding slack
+      assert(math.abs(p - 1.0) <= rs.length * 5e-5, s"$src prob sum $p")
+    }
+    val total = rows.map(_.getLong(2)).sum
+    val ev = Tables.events(spark, Sf)
+    val users = ev.select("user_id").distinct().count()
+    assert(total == ev.count() - users,
+      "transition count != events - one-per-user (first events have no prev)")
+  }
+
+  test("gap fill: hourly grid is contiguous and forward fill carries") {
+    val rows = EventAnalytics.gapFill(spark, Sf).collect()
+    assert(rows.nonEmpty, "no sampled users in the gap-fill grid")
+    val byUser = rows.groupBy(_.getLong(0)).values
+    byUser.foreach { rs =>
+      val hours = rs.map(_.getTimestamp(1).getTime).sorted
+      hours.zip(hours.tail).foreach { case (a, b) =>
+        assert(b - a == 3600000L, "grid gap != 1 hour")
+      }
+      // first grid row is the user's first active hour -> observed
+      val inOrder = rs.sortBy(_.getTimestamp(1).getTime)
+      assert(inOrder.head.getBoolean(3), "first grid hour not observed")
+      // replay the forward fill
+      var carry = Double.NaN
+      inOrder.foreach { r =>
+        if (r.getBoolean(3)) carry = r.getDouble(2)
+        else assert(r.getDouble(2) == carry, "ffill broke the carry")
+      }
+    }
+  }
+
+  test("anomaly MAD: a lone spike is flagged; zero-MAD users flag only movers") {
+    val base = (1L to 9L).map(i =>
+      (i, f"2024-01-01 10:0$i%01d:00", 1L, "click", 10.0))
+    val dir = craftEvents(base :+
+      (10L, "2024-01-01 11:00:00", 1L, "click", 1000.0))
+    val got = EventAnalytics.anomalyMad(spark, dir).collect()
+    // median 10.00 (m2=2000 cents-doubled), MAD 0 -> only the spike moves
+    assert(got.map(_.getLong(1)).toSeq == Seq(10L))
+    assert(got.head.getLong(4) == 2000L, "doubled median cents")
+    assert(got.head.getLong(5) == 0L, "doubled MAD")
+  }
+
+  test("rfm: scores bound to quartile range and cents are exact") {
+    val rows = EventAnalytics.rfmSegments(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rs, fs, ms) = (r.getInt(4), r.getInt(5), r.getInt(6))
+      assert(rs >= 1 && rs <= 4 && fs >= 1 && fs <= 4 && ms >= 1 && ms <= 4)
+      assert(r.getString(7) == s"$rs$fs$ms")
+    }
+    // the most recent purchaser always lands in the top recency quartile
+    val minRec = rows.map(_.getLong(1)).min
+    rows.filter(_.getLong(1) == minRec).foreach(r => assert(r.getInt(4) == 4))
+    // exact integer monetary: recompute one user's cents from the raw table
+    val u = rows.head.getLong(0)
+    val cents = Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase" && col("user_id") === u)
+      .agg(sum(round(col("value") * 100, 0).cast("long"))).head().getLong(0)
+    assert(rows.head.getLong(3) == cents)
+  }
+}
