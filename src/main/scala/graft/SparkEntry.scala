@@ -79,6 +79,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
     "q_containment" -> (Dedup.containmentPairs _),
     "q_ngram_novelty" -> (Dedup.ngramNovelty _),
+    "q_dup_spans" -> (Dedup.dupSpans _),
     "q_dedup_savings" -> (Dedup.dedupSavings _),
     "q_winnow_fps" -> (Dedup.winnowFingerprints _),
     "q_dedup_winnow" -> (Dedup.winnowPairs _),
@@ -96,6 +97,7 @@ object SparkEntry {
     "q_ann_lsh" -> (Similarity.annLsh _),
     "q_ann_ivf" -> (Similarity.annIvf _),
     "q_ann_ivf_rescore" -> (Similarity.annIvfRescore _),
+    "q_mmr_rerank" -> (Similarity.mmrRerank _),
     "q_bm25_topk" -> (Retrieval.bm25TopK _),
     "q_hybrid_rrf" -> (Retrieval.hybridRrf _),
     "q_tfidf_top" -> (TextAnalysis.tfidfTop _),
@@ -429,6 +431,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql,
     "q_containment" -> Dedup.containmentPairsSql,
     "q_ngram_novelty" -> Dedup.ngramNoveltySql,
+    "q_dup_spans" -> Dedup.dupSpansSql,
     "q_dedup_savings" -> Dedup.dedupSavingsSql,
     "q_winnow_fps" -> Dedup.winnowFingerprintsSql,
     "q_dedup_winnow" -> Dedup.winnowPairsSql,
@@ -446,6 +449,7 @@ object SparkEntry {
     "q_ann_lsh" -> Similarity.annLshSql,
     "q_ann_ivf" -> Similarity.annIvfSql,
     "q_ann_ivf_rescore" -> Similarity.annIvfRescoreSql,
+    "q_mmr_rerank" -> Similarity.mmrRerankSql,
     "q_bm25_topk" -> Retrieval.bm25Sql,
     "q_hybrid_rrf" -> Retrieval.hybridRrfSql,
     "q_tfidf_top" -> TextAnalysis.tfidfTopSql,

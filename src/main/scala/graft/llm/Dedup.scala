@@ -526,6 +526,63 @@ object Dedup {
         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         ORDER BY d.doc_id"""
 
+  /** Maximal duplicated-span extraction — the span-level view the per-doc
+    * [[dupNgramFraction]] aggregate summarizes: for each document, every
+    * MAXIMAL run of consecutive word positions whose [[DupN]]-word windows
+    * all occur in at least one other document. A run of k consecutive
+    * duplicated windows covers k + DupN - 1 words, which is exactly the
+    * substring an exact-substring deduper would cut — so this is the
+    * "where to cut" report for span-level dedup (the memorization-span
+    * literature's unit of removal), not just "how much".
+    *
+    * Scale shape: the window stream and its df aggregate are the same
+    * LINEAR aggregation join as [[dupNgramFraction]]; the island grouping
+    * (pos - row_number) is a doc-partitioned window, parallel in document
+    * count. No pair joins anywhere. */
+  def dupSpans(s: SparkSession, d: String): DataFrame =
+    dupSpansOf(Tables.documents(s, d))
+
+  /** [[dupSpans]] over an explicit (doc_id, text) frame — exposed so
+    * DedupSpec can prove span maximality on crafted copies. */
+  private[graft] def dupSpansOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val g = w.select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(ws) >= $DupN
+            THEN transform(sequence(0, size(ws) - $DupN),
+                           i -> array_join(slice(ws, i + 1, $DupN), ' '))
+            ELSE array() END""")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), md5(col("col")).as("h"))
+    val df_ = g.groupBy("h").agg(countDistinct("doc_id").as("df"))
+    val dup = g.join(df_.filter(col("df") > 1), "h")
+      .select("doc_id", "pos")
+    val island = dup.withColumn("rn",
+      row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .withColumn("grp", col("pos") - col("rn"))
+    island.groupBy("doc_id", "grp")
+      .agg(min("pos").cast(IntegerType).as("span_start"),
+        (max("pos") - min("pos") + DupN).cast(IntegerType).as("span_words"))
+      .select("doc_id", "span_start", "span_words")
+      .orderBy("doc_id", "span_start")
+  }
+
+  val dupSpansSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        g AS (SELECT doc_id, i AS pos,
+                md5(array_to_string(ws[i:i+${DupN - 1}], ' ')) AS h
+              FROM w, generate_series(1, $MaxWords) t(i)
+              WHERE i <= len(ws) - ${DupN - 1}),
+        df AS (SELECT h, count(DISTINCT doc_id) AS df FROM g GROUP BY h),
+        dup AS (SELECT g.doc_id, g.pos FROM g
+                JOIN df ON g.h = df.h AND df.df > 1),
+        isl AS (SELECT doc_id, pos,
+                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM dup)
+        SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+          CAST(max(pos) - min(pos) + $DupN AS INT) AS span_words
+        FROM isl GROUP BY doc_id, grp
+        ORDER BY doc_id, span_start"""
+
   /** Clusters reported by [[dedupSavings]]. */
   val SavingsTopK = 20
 

@@ -842,4 +842,124 @@ object Similarity {
                    FROM scored)
         SELECT query_id, rk, neighbor_id, cos FROM ranked
         WHERE rk <= $TopK ORDER BY query_id, rk"""
+
+  /** Candidate pool width and selection depth for [[mmrRerank]]. */
+  val MmrCand = 20
+  val MmrK = 5
+
+  /** MMR (maximal-marginal-relevance) diversity re-ranking of ANN results:
+    * from each query's [[MmrCand]]-deep candidate pool, greedily pick
+    * [[MmrK]] items maximizing `relevance - max-similarity-to-selected` —
+    * the λ=1/2 MMR objective up to a positive constant, which keeps every
+    * comparison in EXACT INTEGERS because both terms are int8-code dot
+    * products (the [[annIvfRescore]] compressed representation). The answer
+    * serving-side dedup needs when the top-k is a wall of near-copies.
+    *
+    * Scale shape: candidate generation is one scored pass with the
+    * bounded-heap TopKPerKey (swap in the IVF probe at corpus scale — the
+    * re-rank is agnostic to how the pool was built). The greedy loop runs
+    * [[MmrK]]-1 rounds of (candidates x selected-so-far) equi-joins on
+    * query_id — per-query cost MmrCand * MmrK * dim, independent of corpus
+    * size, and the loop is over a CONSTANT k, not data (no driver-data
+    * dependence). Ties break on doc_id everywhere. */
+  def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.longDot
+    val qv = graft.TrackedCaches.track(q8Vectors(s, d).cache())
+    val queries = qv.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("qarr").as("qq"))
+    val scored = qv.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("qarr"),
+        longDot(col("qarr"), col("qq")).as("rel"))
+    val cand = graft.TrackedCaches.track(
+      graft.plans.TopKPerKey.topKPerKey(scored, MmrCand,
+        Seq("query_id"), Seq("rel" -> false, "doc_id" -> true)).cache())
+    def pickBest(pool: DataFrame, step: Int): DataFrame =
+      pool.groupBy("query_id")
+        .agg(max(struct(col("obj"), (-col("doc_id")).as("nd"), col("doc_id"),
+          col("rel"), col("pen"))).as("m"))
+        .select(col("query_id"), lit(step).as("step"),
+          col("m.doc_id").as("doc_id"), col("m.rel").as("rel"),
+          col("m.pen").as("pen"))
+    var selected = pickBest(
+      cand.select(col("query_id"), col("doc_id"), col("rel"),
+        col("rel").as("obj"), lit(0L).as("pen")), 1)
+    for (step <- 2 to MmrK) {
+      val selArr = selected.join(cand, Seq("query_id", "doc_id"))
+        .select(col("query_id"), col("doc_id").as("sel_id"),
+          col("qarr").as("sarr"))
+      val pool = cand
+        .join(selArr, "query_id")
+        .filter(col("doc_id") =!= col("sel_id"))
+        .withColumn("sim", longDot(col("qarr"), col("sarr")))
+        .groupBy("query_id", "doc_id", "rel")
+        .agg(max("sim").as("pen"), count(lit(1)).as("n_sel"))
+        // a doc joined against FEWER than the selected count is itself
+        // selected (its own pairing was filtered out) -> exclude it
+        .filter(col("n_sel") === step - 1)
+        .withColumn("obj", col("rel") - col("pen"))
+      selected = selected.union(pickBest(pool, step))
+    }
+    selected.select(col("query_id"), col("step"), col("doc_id"),
+      col("rel"), col("pen"))
+      .orderBy("query_id", "step")
+  }
+
+  val mmrRerankSql: String = {
+    val stages = (2 to MmrK).map { i =>
+      s"""pen$i AS (SELECT c.query_id, c.doc_id, c.rel, max(s.d) AS pen
+               FROM cand c
+               JOIN selu${i - 1} p ON p.query_id = c.query_id
+               JOIN sims s ON s.query_id = c.query_id
+                 AND s.a = c.doc_id AND s.b = p.doc_id
+               WHERE NOT EXISTS (SELECT 1 FROM selu${i - 1} x
+                 WHERE x.query_id = c.query_id AND x.doc_id = c.doc_id)
+               GROUP BY 1, 2, 3),
+          sel$i AS (SELECT query_id, doc_id, rel, pen FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY rel - pen DESC, doc_id) AS rk FROM pen$i)
+               WHERE rk = 1),
+          selu$i AS (SELECT query_id, doc_id FROM selu${i - 1}
+               UNION ALL SELECT query_id, doc_id FROM sel$i)"""
+    }.mkString(",\n        ")
+    val out = (2 to MmrK).map(i =>
+      s"SELECT query_id, $i AS step, doc_id, rel, pen FROM sel$i")
+      .mkString("\n          UNION ALL ")
+    s"""WITH mx AS (SELECT vec_id,
+               (SELECT max(abs(CAST(u.x AS DOUBLE)))
+                FROM unnest(embedding) AS u(x)) AS ma
+             FROM embeddings),
+        q8 AS (SELECT e.vec_id, t.i,
+                 CAST(greatest(-127, least(127,
+                   floor(CAST(e.embedding[i] AS DOUBLE) * 127.0 / m.ma + 0.5))) AS BIGINT) AS q
+               FROM embeddings e JOIN mx m USING (vec_id),
+                    generate_series(1, 64) t(i)),
+        relx AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                   CAST(sum(a.q * b.q) AS BIGINT) AS rel
+                 FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+                 JOIN q8 a ON a.vec_id = q.vec_id
+                 JOIN q8 b ON b.vec_id = c.vec_id AND b.i = a.i
+                 WHERE q.vec_id < $NumQueries GROUP BY 1, 2),
+        cand AS (SELECT query_id, doc_id, rel FROM (
+                   SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY rel DESC, doc_id) AS rk FROM relx)
+                 WHERE rk <= $MmrCand),
+        sims AS (SELECT c1.query_id, c1.doc_id AS a, c2.doc_id AS b,
+                   CAST(sum(x.q * y.q) AS BIGINT) AS d
+                 FROM cand c1 JOIN cand c2
+                   ON c1.query_id = c2.query_id AND c1.doc_id <> c2.doc_id
+                 JOIN q8 x ON x.vec_id = c1.doc_id
+                 JOIN q8 y ON y.vec_id = c2.doc_id AND y.i = x.i
+                 GROUP BY 1, 2, 3),
+        sel1 AS (SELECT query_id, doc_id, rel, CAST(0 AS BIGINT) AS pen FROM (
+                   SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY rel DESC, doc_id) AS rk FROM cand)
+                 WHERE rk = 1),
+        selu1 AS (SELECT query_id, doc_id FROM sel1),
+        $stages
+        SELECT query_id, step, doc_id, rel, pen FROM (
+          SELECT query_id, 1 AS step, doc_id, rel, pen FROM sel1
+          UNION ALL $out)
+        ORDER BY query_id, step"""
+  }
 }

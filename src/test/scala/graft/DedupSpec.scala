@@ -156,6 +156,29 @@ class DedupSpec extends SparkSpec {
     h.unpersist()
   }
 
+  test("dup spans are maximal and cover exactly the copied words") {
+    // doc 2 copies words 21..40 of doc 1 verbatim (its own words elsewhere),
+    // so both docs carry exactly one maximal 20-word duplicated span.
+    val shared = (21 to 40).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"a$i").mkString(" ") + " " + shared),
+      (2L, shared + " " + (1 to 20).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 30).map(i => s"c$i").mkString(" "))  // no copies -> no spans
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpansOf(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // 20 shared words = 8 consecutive DupN=13 windows; span covers 8+12=20
+    assert(spans.toSeq == Seq((1L, 21, 20), (2L, 1, 20)),
+      s"unexpected spans: ${spans.toSeq}")
+    // maximality cross-check vs the per-doc aggregate: total span window
+    // count equals dupNgramFraction's n_dup for these docs
+    val frac = Dedup.dupSpansOf(docs)  // spans -> windows per doc
+      .groupBy("doc_id")
+      .agg(sum(col("span_words") - (Dedup.DupN - 1)).as("win"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frac == Map(1L -> 8L, 2L -> 8L))
+  }
+
   test("novelty credits the first occurrence and zeroes a verbatim late copy") {
     val original = (1 to 20).map(i => s"w$i").mkString(" ")
     val unrelated = (1 to 20).map(i => s"x$i").mkString(" ")
