@@ -120,7 +120,35 @@ object PlanDump {
       "single map stage over the pruned (vec_id, embedding) scan — 16 " +
       "codegen'd long_dot kernels against literal matrix rows (no " +
       "broadcast, no exchange except the presentation sort). The map-pass " +
-      "shape is the whole point at 100 TB."))
+      "shape is the whole point at 100 TB."),
+    "q_dup_spans" -> ("Maximal duplicated-span extraction. Expect: the SAME " +
+      "linear window-stream + df aggregation join as q_dup_ngram_fraction " +
+      "(map-side-combined distinct-doc count, ONE equi-join back on the " +
+      "window hash), then the island grouping as a doc-PARTITIONED window " +
+      "(row_number over doc_id — parallel in documents, never global) and " +
+      "a doc-keyed aggregate. No pair join, no self cross join."),
+    "q_gap_fill" -> ("Hourly gap-fill with forward fill. Expect: per-user " +
+      "grid generation via sequence()+explode (no calendar cross join), a " +
+      "left join of grid onto the hourly last-value aggregate keyed on " +
+      "(user, hour), and the running last(ignoreNulls) as a USER-partitioned " +
+      "WindowExec (PlanShapeSpec asserts no global window in the family)."),
+    "q_rfm_segments" -> ("RFM quartile segmentation. Expect: one purchase " +
+      "aggregate keyed on user, the 1-row anchor and the 1-row quartile-cut " +
+      "aggregate each attached by BROADCAST nested-loop (constant side), and " +
+      "ZERO WindowExec — the global-ntile scale-killer is replaced by " +
+      "threshold comparisons (PlanShapeSpec gates no-window + 2 broadcasts)."),
+    "q_fuzzy_join" -> ("Blocked Levenshtein linkage. Expect: the distinct-" +
+      "name dictionary aggregate (vocabulary-bounded) self-joined ONLY " +
+      "through the block-key equi-join — broadcast hash, no cartesian " +
+      "product, no sort-merge — with the edit-distance filter above the " +
+      "join. Fact rows are never paired; at 100 TB this plan's size scales " +
+      "with vocabulary, not corpus."),
+    "q_mmr_rerank" -> ("MMR diversity re-rank final stage. Expect: candidate " +
+      "generation as a broadcast of the query side onto the int8-code scan " +
+      "into the bounded-heap TopKPerKey (partial heaps below ONE exchange " +
+      "on query_id), then MmrK-1 rounds of (candidate x selected) " +
+      "query_id-keyed joins over MmrCand-bounded frames — integer long_dot " +
+      "kernels, no cartesian, no global sort until the 25-row presentation."))
 
   /** Streaming queries return a sink read whose plan says nothing; what
     * scales (or doesn't) is the per-micro-batch KERNEL. These dump the same

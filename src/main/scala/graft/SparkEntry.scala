@@ -154,6 +154,7 @@ object SparkEntry {
     "q_stream_quality_gate" -> (graft.streaming.DocStreams.streamQualityGate _),
     "q_stream_decontam" -> (graft.streaming.DocStreams.streamDecontam _),
     "q_stream_vec_ingest" -> (graft.streaming.VecStreams.streamVecIngest _),
+    "q_stream_anomaly_gate" -> (graft.streaming.EventStreams.streamAnomalyGate _),
     "q_range_join" -> (Advanced.rangeJoin _),
     "q_sliding_window" -> (Analytics.slidingWindow _),
     // Advanced: JSON source, as-of join, deterministic order stats
@@ -191,6 +192,9 @@ object SparkEntry {
     "q_fuzzy_join" -> (graft.ops.Linkage.fuzzyJoin _),
     "q_jw_linkage" -> (graft.ops.Linkage.jwLinkage _),
     "q_entity_resolve" -> (graft.ops.Linkage.resolveEntities _),
+    // ANALYZE-style statistics collection
+    "q_table_stats" -> (graft.ops.Stats.tableStats _),
+    "q_equidepth_hist" -> (graft.ops.Stats.equidepthHist _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -510,6 +514,7 @@ object SparkEntry {
     "q_stream_quality_gate" -> graft.streaming.DocStreams.streamQualityGateSql,
     "q_stream_decontam" -> graft.streaming.DocStreams.streamDecontamSql,
     "q_stream_vec_ingest" -> graft.streaming.VecStreams.streamVecIngestSql,
+    "q_stream_anomaly_gate" -> graft.streaming.EventStreams.streamAnomalyGateSql,
     "q_range_join" -> Advanced.rangeJoinSql,
     "q_sliding_window" -> Analytics.slidingWindowSql,
     "q_json_roundtrip" -> Advanced.jsonRoundtripSql,
@@ -546,5 +551,7 @@ object SparkEntry {
     "q_fuzzy_join" -> graft.ops.Linkage.fuzzyJoinSql,
     "q_jw_linkage" -> graft.ops.Linkage.jwLinkageSql,
     "q_entity_resolve" -> graft.ops.Linkage.resolveEntitiesSql,
+    "q_table_stats" -> graft.ops.Stats.tableStatsSql,
+    "q_equidepth_hist" -> graft.ops.Stats.equidepthHistSql,
   )
 }

@@ -898,7 +898,11 @@ object Similarity {
         // selected (its own pairing was filtered out) -> exclude it
         .filter(col("n_sel") === step - 1)
         .withColumn("obj", col("rel") - col("pen"))
+      // Eager checkpoint per round: `selected` feeds BOTH the next round's
+      // penalty join and the final union, so an unbroken lineage would
+      // re-derive every earlier round twice per step (2^k plan growth).
       selected = selected.union(pickBest(pool, step))
+        .localCheckpoint(eager = true)
     }
     selected.select(col("query_id"), col("step"), col("doc_id"),
       col("rel"), col("pen"))

@@ -250,6 +250,20 @@ object EventAnalytics {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("value"),
         round(col("value") * 100, 0).cast(LongType).as("c"))
+    ev.join(userRobustStats(ev), "user_id")
+      .withColumn("dev", abs(lit(2) * col("c") - col("m2")))
+      .filter(lit(2) * col("dev") > lit(MadK) * col("mad2"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("dev"), col("m2"), col("mad2"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Per-user robust stats over integer cents: doubled median (`m2` = sum of
+    * the two middle order stats) and doubled MAD (`mad2`, same trick over
+    * the doubled deviations) — exact integers end to end, shared by
+    * [[anomalyMad]] and the streaming anomaly gate. Input must carry
+    * (user_id, event_id, c). */
+  private[graft] def userRobustStats(ev: DataFrame): DataFrame = {
     def middleSum(df: DataFrame, valueCol: String, out: String): DataFrame = {
       val w = Window.partitionBy("user_id").orderBy(col(valueCol), col("event_id"))
       val n = Window.partitionBy("user_id")
@@ -266,11 +280,7 @@ object EventAnalytics {
       .withColumn("dev", abs(lit(2) * col("c") - col("m2")))
     val mad = middleSum(dev.select(col("user_id"), col("event_id"),
       col("dev").as("c")), "c", "mad2")
-    dev.join(mad, "user_id")
-      .filter(lit(2) * col("dev") > lit(MadK) * col("mad2"))
-      .select(col("user_id"), col("event_id"), col("value"),
-        col("dev"), col("m2"), col("mad2"))
-      .orderBy("user_id", "event_id")
+    med.join(mad, "user_id")
   }
 
   val anomalyMadSql: String =

@@ -577,4 +577,117 @@ object EventStreams {
        CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts_us,
        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
        FROM events GROUP BY user_id ORDER BY user_id"""
+
+  /** Training cutoff for the streaming anomaly gate: per-user robust stats
+    * come from events BEFORE this instant (the first 20 days of the
+    * 30-day corpus); events at/after it are the screened arrivals.
+    * 2024-01-21T00:00:00Z in epoch micros. */
+  val AnomalyCutoffUs: Long = 1705795200L * 1000000L
+
+  /** One micro-batch's anomaly screening: arrivals flagged against the
+    * once-built per-user robust stats. Factored out so PlanShapeSpec can
+    * audit the per-batch plan: the ARRIVAL side is explicitly broadcast
+    * into the stats equi-join — the (possibly 10^9-user) stats table is
+    * probed in place, never re-shuffled per micro-batch. Unknown users
+    * (first seen after the cutoff) carry sentinel stats -1 and are never
+    * flagged — a monitor cannot judge a user it has no baseline for. */
+  private[graft] def screenAnomalyBatch(batch: DataFrame, stats: DataFrame): DataFrame = {
+    val arr = batch
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(col("value") * 100, 0).cast(LongType).as("c"))
+    val flagged = stats.join(broadcast(arr), "user_id")
+      .select(col("event_id"),
+        abs(lit(2) * col("c") - col("m2")).as("dev"),
+        col("m2"), col("mad2"))
+    arr.join(flagged, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("value"),
+        coalesce(col("dev"), lit(-1L)).as("dev"),
+        coalesce(col("m2"), lit(-1L)).as("m2"),
+        coalesce(col("mad2"), lit(-1L)).as("mad2"),
+        (col("dev").isNotNull &&
+          lit(2) * col("dev") > lit(graft.ops.EventAnalytics.MadK) * col("mad2"))
+          .as("is_anomaly"))
+  }
+
+  /** Streaming anomaly gate — continuous robust monitoring: per-user
+    * median/MAD baselines train ONCE on the pre-[[AnomalyCutoffUs]] window
+    * (the [[graft.ops.EventAnalytics.anomalyMad]] integer-exact kernel);
+    * every arriving post-cutoff event is flagged per micro-batch against
+    * those standing baselines. Each verdict depends only on the static
+    * stats and the event itself, so results are micro-batch-partitioning-
+    * invariant and the batch DuckDB oracle gates the streaming run
+    * bit-for-bit (the [[DocStreams]] gate contract). */
+  def streamAnomalyGate(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file._
+    val dir = stageEvents(s, d)
+    val train = Tables.events(s, d)
+      .filter(unix_micros(col("ts")) < AnomalyCutoffUs)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100, 0).cast(LongType).as("c"))
+    val stats = graft.TrackedCaches.track(
+      graft.ops.EventAnalytics.userRobustStats(train).cache())
+    stats.count() // materialize the baseline once, before the stream starts
+    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_anomaly")
+    if (Files.exists(base)) {
+      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(base)
+    @volatile var latest = -1L
+    val stream = s.readStream.schema(stagedSchema)
+      .option("maxFilesPerTrigger", FilesPerTrigger).parquet(dir)
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        screenAnomalyBatch(
+          batch.filter(col("ts_us") >= AnomalyCutoffUs).toDF(), stats)
+          .write.mode("overwrite")
+          .parquet(base.resolve(s"v$batchId").toString)
+        latest = batchId
+        ()
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    require(latest >= 1, s"anomaly gate ran ${latest + 1} micro-batches — " +
+      "need >= 2 for the screening to actually be incremental")
+    s.read.parquet((0L to latest).map(b => base.resolve(s"v$b").toString): _*)
+      .orderBy("event_id")
+  }
+
+  val streamAnomalyGateSql: String =
+    s"""WITH train AS (SELECT user_id, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE epoch_us(ts) < $AnomalyCutoffUs),
+        r AS (SELECT user_id, event_id, c,
+            row_number() OVER (PARTITION BY user_id ORDER BY c, event_id) AS rn,
+            count(*) OVER (PARTITION BY user_id) AS cnt
+          FROM train),
+        med AS (SELECT user_id,
+            CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN c ELSE 0 END
+              + CASE WHEN rn = cnt // 2 + 1 THEN c ELSE 0 END) AS BIGINT) AS m2
+          FROM r GROUP BY user_id),
+        dv AS (SELECT t.user_id, t.event_id,
+            CAST(abs(2 * t.c - med.m2) AS BIGINT) AS dev
+          FROM train t JOIN med ON t.user_id = med.user_id),
+        r2 AS (SELECT user_id, event_id, dev,
+            row_number() OVER (PARTITION BY user_id ORDER BY dev, event_id) AS rn,
+            count(*) OVER (PARTITION BY user_id) AS cnt
+          FROM dv),
+        mad AS (SELECT user_id,
+            CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN dev ELSE 0 END
+              + CASE WHEN rn = cnt // 2 + 1 THEN dev ELSE 0 END) AS BIGINT) AS mad2
+          FROM r2 GROUP BY user_id),
+        arr AS (SELECT event_id, user_id, value,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE epoch_us(ts) >= $AnomalyCutoffUs)
+        SELECT a.event_id, a.user_id, a.value,
+          CAST(coalesce(abs(2 * a.c - med.m2), -1) AS BIGINT) AS dev,
+          coalesce(med.m2, -1) AS m2,
+          coalesce(mad.mad2, -1) AS mad2,
+          (med.m2 IS NOT NULL AND
+           2 * abs(2 * a.c - med.m2) > ${graft.ops.EventAnalytics.MadK} * mad.mad2)
+            AS is_anomaly
+        FROM arr a
+        LEFT JOIN med ON a.user_id = med.user_id
+        LEFT JOIN mad ON a.user_id = mad.user_id
+        ORDER BY a.event_id"""
 }

@@ -353,4 +353,80 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"expected ${graft.llm.Similarity.RpDims} long_dot kernels in:\n$plan")
     graft.TrackedCaches.release()
   }
+
+  test("event-analytics windows are always user-partitioned, never global") {
+    // The family's scale contract: every WindowExec partitions by user_id
+    // (parallel in user cardinality); a global window would funnel the
+    // stream through one task.
+    for (df <- Seq(
+        graft.ops.EventAnalytics.gapFill(spark, Sf),
+        graft.ops.EventAnalytics.anomalyMad(spark, Sf),
+        graft.ops.EventAnalytics.eventTransitions(spark, Sf))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val windows = collectWithSubqueries(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, s"expected a partitioned window in:\n$plan")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"global (unpartitioned) window in:\n$plan"))
+    }
+  }
+
+  test("rfm scores by broadcast thresholds — no window anywhere in the plan") {
+    val df = graft.ops.EventAnalytics.rfmSegments(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val windows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"quartile scoring must not reintroduce a global ntile window:\n$plan")
+    val bcast = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(bcast.size >= 2,
+      s"anchor and cut points must broadcast onto the user aggregate:\n$plan")
+  }
+
+  test("anomaly gate batches broadcast the arrival side; stats never re-shuffle") {
+    import org.apache.spark.sql.functions.{round => fround, unix_micros}
+    val ev = Tables.events(spark, Sf)
+    val train = ev
+      .filter(unix_micros(col("ts")) < graft.streaming.EventStreams.AnomalyCutoffUs)
+      .select(col("user_id"), col("event_id"),
+        fround(col("value") * 100, 0).cast("long").as("c"))
+    val stats = graft.ops.EventAnalytics.userRobustStats(train).cache()
+    stats.count()
+    val batch = ev
+      .filter(unix_micros(col("ts")) >= graft.streaming.EventStreams.AnomalyCutoffUs)
+      .limit(200).select("event_id", "user_id", "value")
+    val df = graft.streaming.EventStreams.screenAnomalyBatch(batch, stats)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val smj = collectWithSubqueries(plan) { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty,
+      s"per-batch screening must probe stats in place, not sort-merge:\n$plan")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"arrival side must broadcast onto the stats:\n$plan")
+    stats.unpersist()
+  }
+
+  test("linkage and mmr never go cartesian; candidate pools join by key") {
+    for (df <- Seq(
+        graft.ops.Linkage.fuzzyJoin(spark, Sf),
+        graft.llm.Similarity.mmrRerank(spark, Sf))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val cart = collectWithSubqueries(plan) {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(cart.isEmpty, s"unbounded cartesian in:\n$plan")
+      val smj = collectWithSubqueries(plan) { case j: SortMergeJoinExec => j }
+      assert(smj.isEmpty,
+        s"dictionary/candidate joins must broadcast, not sort-merge:\n$plan")
+      graft.TrackedCaches.release()
+    }
+  }
 }

@@ -412,4 +412,34 @@ class StreamingSpec extends SparkSpec {
       s"final state covers ${totals.last} events, corpus has $batchTotal")
     finalState.unpersist()
   }
+
+  test("anomaly gate: both verdicts exercised; batch kernel agrees per event") {
+    val got = EventStreams.streamAnomalyGate(spark, Sf).collect()
+    assert(got.nonEmpty, "no post-cutoff arrivals screened")
+    val verdicts = got.map(_.getBoolean(6)).toSet
+    assert(verdicts == Set(true, false),
+      "threshold must flag some arrivals and pass others")
+    // every flagged event satisfies the integer predicate against its stats
+    got.filter(_.getBoolean(6)).foreach { r =>
+      assert(2 * r.getLong(3) > graft.ops.EventAnalytics.MadK * r.getLong(5))
+    }
+    graft.TrackedCaches.release()
+  }
+
+  test("anomaly gate screens unknown users to sentinel stats, never flagged") {
+    import spark.implicits._
+    val train = Seq((1L, 1L, 1000L), (1L, 2L, 1010L), (1L, 3L, 1020L))
+      .toDF("user_id", "event_id", "c")
+    val stats = graft.ops.EventAnalytics.userRobustStats(train)
+    val batch = Seq(
+      (10L, 1L, 99.99),   // known user, wild value -> flagged
+      (11L, 1L, 10.10),   // known user, at median -> passed
+      (12L, 7L, 500.0))   // user 7 never trained -> sentinel, not flagged
+      .toDF("event_id", "user_id", "value")
+    val out = EventStreams.screenAnomalyBatch(batch, stats).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(6))).toMap
+    assert(out(10L)._2, "wild value for a known user must flag")
+    assert(!out(11L)._2, "median value must pass")
+    assert(out(12L) == ((-1L, false)), "unknown user must carry sentinel, unflagged")
+  }
 }
