@@ -89,6 +89,7 @@ object ScaleTest {
       return docsMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
     if (args.headOption.contains("streams")) return streamsMain()
     if (args.headOption.contains("vecs")) return vecsMain()
+    if (args.headOption.contains("events")) return eventsMain()
     val copies = if (args.nonEmpty) args(0).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -116,7 +117,8 @@ object ScaleTest {
       "q_sessionize", "q_salted_join", "q_topk", "q_join_left",
       "q_tumbling_window", "q_asof_join", "q_pagerank", "q_bloom_join",
       "q_approx_quantile", "q5_shape", "q_merge_upsert",
-      "q_window_range_frame", "q_asof_native")
+      "q_window_range_frame", "q_asof_native",
+      "q_table_stats", "q_equidepth_hist")
 
     def time(dir: String): Map[String, Double] =
       subset.map { name =>
@@ -183,6 +185,54 @@ object ScaleTest {
     val small = time(src)
     val big = time(dst)
     println(s"query,docs1x_s,docs${copies}x_s,ratio")
+    subset.foreach { q =>
+      println(f"$q,${small(q)}%.2f,${big(q)}%.2f,${big(q) / small(q)}%.1f")
+    }
+    spark.stop()
+  }
+
+  /** Event-analytics-family 10x experiment: the streams-mode corpus (10x
+    * events AND 10x users at the same per-user density — the realistic
+    * growth axis for product analytics) timed over the funnel / cohort /
+    * transition / gap-fill / MAD / RFM family plus the streaming anomaly
+    * gate. Every operator is user-keyed, so the expectation is ~linear
+    * wall growth with flat per-user cost. */
+  private def eventsMain(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    // Same replicated corpus (and stamp discipline) as the streams mode.
+    val dst = stagedDir("graft_events10x_c10_s1000000_", src)
+    if (!new java.io.File(s"$dst/_built").exists()) {
+      buildStreams(spark, src, dst, 10)
+      new java.io.File(s"$dst/_built").createNewFile()
+    }
+    val subset = Seq(
+      "q_event_funnel", "q_cohort_retention", "q_event_transitions",
+      "q_gap_fill", "q_anomaly_mad", "q_rfm_segments",
+      "q_stream_anomaly_gate")
+    def time(dir: String): Map[String, Double] =
+      subset.map { name =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        TrackedCaches.release()
+        spark.catalog.clearCache()
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    graft.streaming.EventStreams.stageEvents(spark, src)
+    time(src) // warm
+    val small = time(src)
+    graft.streaming.EventStreams.stageEvents(spark, dst)
+    time(dst) // stage + warm the 10x landing zone untimed (streams-mode rule)
+    val big = time(dst)
+    println("query,events1x_s,events10x_s,ratio")
     subset.foreach { q =>
       println(f"$q,${small(q)}%.2f,${big(q)}%.2f,${big(q) / small(q)}%.1f")
     }

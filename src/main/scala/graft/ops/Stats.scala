@@ -26,7 +26,12 @@ object Stats {
   private def numOf(c: String): Option[Column] = c match {
     case "o_orderkey" | "o_custkey" => Some(col(c).cast("double"))
     case "o_totalprice"             => Some(col(c))
-    case "o_orderdate"              => Some(unix_micros(col(c)).cast("double"))
+    // cast-to-timestamp first: the source corpus scans as LTZ (no-op cast)
+    // but Spark-written replicas (ScaleTest) carry TIMESTAMP_NTZ, which
+    // unix_micros rejects; the NTZ->LTZ cast is wall-clock-exact in the
+    // UTC session.
+    case "o_orderdate" =>
+      Some(unix_micros(col(c).cast("timestamp")).cast("double"))
     case _                          => None
   }
   private val StatCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
