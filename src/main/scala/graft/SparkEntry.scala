@@ -195,6 +195,11 @@ object SparkEntry {
     // ANALYZE-style statistics collection
     "q_table_stats" -> (graft.ops.Stats.tableStats _),
     "q_equidepth_hist" -> (graft.ops.Stats.equidepthHist _),
+    // Round-8 batch 4: graph density, change-points, versioning, evolution
+    "q_triangle_count" -> (graft.ops.Graph.triangleCounts _),
+    "q_cusum_shift" -> (graft.ops.EventAnalytics.cusumShift _),
+    "q_snapshot_diff" -> (graft.ops.Quality.snapshotDiff _),
+    "q_schema_merge" -> (Relational.schemaMergeRoundtrip _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -553,5 +558,9 @@ object SparkEntry {
     "q_entity_resolve" -> graft.ops.Linkage.resolveEntitiesSql,
     "q_table_stats" -> graft.ops.Stats.tableStatsSql,
     "q_equidepth_hist" -> graft.ops.Stats.equidepthHistSql,
+    "q_triangle_count" -> graft.ops.Graph.triangleCountsSql,
+    "q_cusum_shift" -> graft.ops.EventAnalytics.cusumShiftSql,
+    "q_snapshot_diff" -> graft.ops.Quality.snapshotDiffSql,
+    "q_schema_merge" -> Relational.schemaMergeRoundtripSql,
   )
 }

@@ -310,6 +310,92 @@ object EventAnalytics {
         WHERE 2 * dv.dev > $MadK * mad.mad2
         ORDER BY dv.user_id, dv.event_id"""
 
+  /** CUSUM shift threshold multiplier: flag when the one-sided cumulative
+    * sum exceeds [[CusumK]] x the user's daily-total MAD (D-scaled). At 4,
+    * ~10% of user-days flag on this corpus — both verdicts exercised. */
+  val CusumK = 4
+
+  /** Per-user CUSUM level-shift detection over daily spend — the classic
+    * sequential change-point statistic, flagging SUSTAINED upward drifts
+    * the pointwise MAD detector ([[anomalyMad]]) cannot see. Everything is
+    * exact integer arithmetic: daily totals in cents, deviations scaled by
+    * the user's day count D (d_i = D*t_i - T avoids the mean division),
+    * and the clipped recurrence S_i = max(0, S_{i-1} + d_i) computed
+    * DISTRIBUTED via the prefix-min identity
+    * `S_i = P_i - min(0, min_{j<=i} P_j)` — two user-partitioned running
+    * windows instead of an inherently-sequential loop. Flag when
+    * 2*S_i > [[CusumK]] * D * mad2 (the doubled-MAD robust scale from
+    * [[userRobustStats]] over the daily totals).
+    *
+    * Scale shape: one daily aggregate, one per-user aggregate, the
+    * order-stat windows and the two running windows — all keyed or
+    * partitioned on user_id, nothing global. */
+  def cusumShift(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast(LongType)).as("t"))
+      .withColumn("dn", expr("unix_micros(day) div 86400000000"))
+    val tot = daily.groupBy("user_id")
+      .agg(count(lit(1)).as("days"), sum("t").as("total"))
+    val stats = userRobustStats(
+      daily.select(col("user_id"), col("dn").as("event_id"), col("t").as("c")))
+    val w = Window.partitionBy("user_id").orderBy("dn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(tot, "user_id")
+      .withColumn("dd", col("days") * col("t") - col("total"))
+      .withColumn("p", sum("dd").over(w))
+      .withColumn("s2",
+        lit(2) * (col("p") - least(lit(0L), min("p").over(w))))
+      .join(stats, "user_id")
+      .filter(col("s2") > lit(CusumK) * col("days") * col("mad2"))
+      .select(col("user_id"), col("day"), col("t").as("t_cents"),
+        col("s2"), (lit(CusumK) * col("days") * col("mad2")).as("thresh2"))
+      .orderBy("user_id", "day")
+  }
+
+  val cusumShiftSql: String =
+    s"""WITH daily AS (SELECT user_id,
+            CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS t,
+            epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) // 86400000000 AS dn
+          FROM events GROUP BY 1, 2),
+        tot AS (SELECT user_id, count(*) AS days,
+            CAST(sum(t) AS BIGINT) AS total FROM daily GROUP BY 1),
+        r AS (SELECT user_id, dn, t,
+            row_number() OVER (PARTITION BY user_id ORDER BY t, dn) AS rn,
+            count(*) OVER (PARTITION BY user_id) AS cnt
+          FROM daily),
+        med AS (SELECT user_id,
+            CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN t ELSE 0 END
+              + CASE WHEN rn = cnt // 2 + 1 THEN t ELSE 0 END) AS BIGINT) AS m2
+          FROM r GROUP BY user_id),
+        dv AS (SELECT daily.user_id, dn,
+            CAST(abs(2 * t - m2) AS BIGINT) AS dev
+          FROM daily JOIN med USING (user_id)),
+        r2 AS (SELECT user_id, dn, dev,
+            row_number() OVER (PARTITION BY user_id ORDER BY dev, dn) AS rn,
+            count(*) OVER (PARTITION BY user_id) AS cnt
+          FROM dv),
+        mad AS (SELECT user_id,
+            CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN dev ELSE 0 END
+              + CASE WHEN rn = cnt // 2 + 1 THEN dev ELSE 0 END) AS BIGINT) AS mad2
+          FROM r2 GROUP BY user_id),
+        sc AS (SELECT d.user_id, d.day, d.t, d.dn, tot.days,
+            CAST(tot.days * d.t - tot.total AS BIGINT) AS dd
+          FROM daily d JOIN tot USING (user_id)),
+        pf AS (SELECT *, CAST(sum(dd) OVER (PARTITION BY user_id ORDER BY dn
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+          FROM sc),
+        s AS (SELECT *, CAST(2 * (p - least(CAST(0 AS BIGINT),
+              min(p) OVER (PARTITION BY user_id ORDER BY dn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS BIGINT) AS s2
+          FROM pf)
+        SELECT s.user_id, s.day, s.t AS t_cents, s.s2,
+          CAST($CusumK * s.days * mad.mad2 AS BIGINT) AS thresh2
+        FROM s JOIN mad USING (user_id)
+        WHERE s.s2 > $CusumK * s.days * mad.mad2
+        ORDER BY s.user_id, s.day"""
+
   /** RFM (recency / frequency / monetary) customer segmentation over
     * purchase events, scored into quartiles AGAINST THRESHOLDS rather than
     * with a global ntile: a single-partition ntile window is the classic

@@ -170,4 +170,90 @@ object Graph {
                pr AS rank
         FROM r3 ORDER BY node"""
   }
+
+  /** Hot-part cap for the co-supply edge builder: a part supplied by f
+    * suppliers contributes f(f-1)/2 candidate edges, so an unbounded hot
+    * part is a quadratic reducer — the SAME failure mode as a stop-shingle
+    * in the Jaccard index, and the same fix ([[graft.llm.Dedup.ShingleDfCap]]
+    * discipline): parts above the cap carry no co-supply signal worth a
+    * quadratic blowup and are dropped BEFORE pairing. The oracle applies
+    * the identical cap. */
+  val CoSupplyCap = 50
+
+  /** Per-node triangle counts over the supplier co-supply graph (suppliers
+    * sharing at least one sub-[[CoSupplyCap]] part) — the standard cluster-
+    * coefficient / community-density signal.
+    *
+    * Scale shape: the classic DEGREE-ORDERED orientation. Each undirected
+    * edge is directed from the (degree, id)-smaller endpoint to the larger,
+    * which makes every node's out-degree O(sqrt(|E|)) on any graph; the
+    * wedge join (paths u→v, u→w) therefore touches sum(outdeg²) =
+    * O(|E|^1.5) candidate wedges instead of sum(deg²), which a hub node
+    * would otherwise drive quadratic. Wedge closure is ONE equi-join of
+    * the wedge list against the directed edge list — everything is
+    * equi-joins over integer keys. */
+  def triangleCounts(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    val keep = ps.groupBy("p").agg(count(lit(1)).as("f"))
+      .filter(col("f") <= CoSupplyCap)
+    val capped = ps.join(keep.select("p"), "p")
+    val edges = capped.select(col("p"), col("sk").as("a"))
+      .join(capped.select(col("p"), col("sk").as("b")), "p")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val deg = edges.select(col("a").as("n")).union(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // Orient a->b iff (deg(a), a) < (deg(b), b)
+    val dirEdges = edges
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val wedges = dirEdges.select(col("src"), col("dst").as("v"))
+      .join(dirEdges.select(col("src"), col("dst").as("w")), "src")
+      .filter(col("v") < col("w"))
+    val tris = wedges.join(
+      dirEdges.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(col("src").as("x"), col("v").as("y"), col("w").as("z"))
+    val perNode = tris.select(col("x").as("n"))
+      .union(tris.select(col("y").as("n")))
+      .union(tris.select(col("z").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("supplier"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .orderBy("supplier")
+  }
+
+  val triangleCountsSql: String =
+    s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+        keep AS (SELECT p FROM ps GROUP BY p HAVING count(*) <= $CoSupplyCap),
+        capped AS (SELECT ps.p, ps.sk FROM ps JOIN keep ON ps.p = keep.p),
+        edges AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+                  FROM capped x JOIN capped y ON x.p = y.p AND x.sk < y.sk),
+        deg AS (SELECT n, count(*) AS deg FROM (
+                  SELECT a AS n FROM edges UNION ALL SELECT b FROM edges)
+                GROUP BY n),
+        de AS (SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+                           THEN e.a ELSE e.b END AS src,
+                      CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+                           THEN e.b ELSE e.a END AS dst
+               FROM edges e
+               JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+        tri AS (SELECT w1.src AS x, w1.dst AS y, w2.dst AS z
+                FROM de w1 JOIN de w2
+                  ON w1.src = w2.src AND w1.dst < w2.dst
+                JOIN de c ON c.src = w1.dst AND c.dst = w2.dst),
+        pn AS (SELECT n, count(*) AS n_tri FROM (
+                 SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+                 UNION ALL SELECT z FROM tri)
+               GROUP BY n)
+        SELECT deg.n AS supplier, deg.deg,
+          coalesce(pn.n_tri, 0) AS n_tri
+        FROM deg LEFT JOIN pn ON deg.n = pn.n
+        ORDER BY supplier"""
 }

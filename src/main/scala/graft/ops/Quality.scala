@@ -259,4 +259,60 @@ object Quality {
          CAST(top10_rows AS DOUBLE) / total_rows AS top10_share,
          CAST(ceil(max_sz * n_keys / total_rows) AS BIGINT) AS rec_salt
        FROM a, t10"""
+
+  /** Snapshot diff — the table-versioning primitive (lakehouse time-travel
+    * diff / CDC backfill audit): given version v1 (the events table) and v2
+    * (v1 with a deterministic synthetic edit set: deletes where
+    * event_id % 97 = 0, value updates where % 89 = 0, inserts cloned at
+    * +10M ids where % 101 = 0), emit every changed key with its change
+    * type and the before/after values in cents.
+    *
+    * Scale shape: ONE full-outer equi-join on the key — the canonical diff;
+    * unchanged rows are filtered AFTER the join by an integer comparison,
+    * so the output is change-sized. At 100 TB both sides bucket on the key
+    * and the join co-locates without a shuffle. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val v1 = Tables.events(s, d)
+      .select(col("event_id"),
+        round(col("value") * 100, 0).cast(LongType).as("cents"))
+    val v2 = v1.filter(col("event_id") % 97 =!= 0)
+      .select(col("event_id"),
+        when(col("event_id") % 89 === 0, col("cents") + 100)
+          .otherwise(col("cents")).as("cents"))
+      .union(v1.filter(col("event_id") % 101 === 0)
+        .select((col("event_id") + 10000000L).as("event_id"), col("cents")))
+    v1.select(col("event_id"), col("cents").as("old_cents"))
+      .join(v2.select(col("event_id"), col("cents").as("new_cents")),
+        Seq("event_id"), "full_outer")
+      .withColumn("change_type",
+        when(col("new_cents").isNull, "D")
+          .when(col("old_cents").isNull, "I")
+          .when(col("old_cents") =!= col("new_cents"), "U"))
+      .filter(col("change_type").isNotNull)
+      .select(col("event_id"), col("change_type"),
+        coalesce(col("old_cents"), lit(-1L)).as("old_cents"),
+        coalesce(col("new_cents"), lit(-1L)).as("new_cents"))
+      .orderBy("event_id")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH v1 AS (SELECT event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+       v2 AS (SELECT event_id,
+           CASE WHEN event_id % 89 = 0 THEN cents + 100 ELSE cents END AS cents
+         FROM v1 WHERE event_id % 97 <> 0
+         UNION ALL
+         SELECT event_id + 10000000, cents FROM v1 WHERE event_id % 101 = 0),
+       j AS (SELECT coalesce(v1.event_id, v2.event_id) AS event_id,
+           v1.cents AS old_cents, v2.cents AS new_cents
+         FROM v1 FULL OUTER JOIN v2 ON v1.event_id = v2.event_id)
+       SELECT event_id,
+         CASE WHEN new_cents IS NULL THEN 'D'
+              WHEN old_cents IS NULL THEN 'I'
+              ELSE 'U' END AS change_type,
+         coalesce(old_cents, -1) AS old_cents,
+         coalesce(new_cents, -1) AS new_cents
+       FROM j
+       WHERE new_cents IS NULL OR old_cents IS NULL OR old_cents <> new_cents
+       ORDER BY event_id"""
 }

@@ -183,6 +183,43 @@ object Relational {
       .orderBy("r_regionkey")
   }
 
+  /** Schema-evolution roundtrip: batch A writes the original nation schema,
+    * batch B the evolved one (an added n_pop column); a `mergeSchema` read
+    * reconciles both generations, null-filling the added column for
+    * pre-evolution files — the lakehouse schema-drift pattern (new
+    * producers add fields, old files stay readable). The report counts
+    * per-batch null fill so drift is observable, not silent.
+    *
+    * Scale note: mergeSchema reconciles FOOTERS (one per file), not data;
+    * the read itself stays a normal pruned columnar scan. */
+  def schemaMergeRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_pq_evolve"
+    val n = Tables.nation(s, d)
+    n.select(col("n_nationkey"), col("n_name"), lit("a").as("batch"))
+      .write.mode("overwrite").parquet(s"$out/gen_a")
+    n.select(col("n_nationkey"), col("n_name"), lit("b").as("batch"),
+        (col("n_nationkey") * 1000 + 7).as("n_pop"))
+      .write.mode("overwrite").parquet(s"$out/gen_b")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$out/gen_a", s"$out/gen_b")
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_pop").isNull.cast(LongType)).as("n_nullfilled"),
+        sum(coalesce(col("n_pop"), lit(0L))).as("pop_sum"))
+      .orderBy("batch")
+  }
+
+  val schemaMergeRoundtripSql: String =
+    """SELECT batch, count(*) AS n_rows,
+       CAST(sum(CASE WHEN n_pop IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nullfilled,
+       CAST(sum(coalesce(n_pop, 0)) AS BIGINT) AS pop_sum
+       FROM (
+         SELECT n_nationkey, 'a' AS batch, NULL AS n_pop FROM nation
+         UNION ALL
+         SELECT n_nationkey, 'b', n_nationkey * 1000 + 7 FROM nation)
+       GROUP BY batch ORDER BY batch"""
+
   /** Partitioned-parquet sink + partition-pruned read-back (S3, T:313-327):
     * write events hive-partitioned by (year, month), read back only one
     * partition — the scan must prune to that directory. */

@@ -112,6 +112,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.head.getLong(5) == 0L, "doubled MAD")
   }
 
+  test("cusum flags a sustained shift but not the noisy baseline") {
+    // days 1-10 alternate 9.00/11.00 (noisy flat baseline), days 11-15 jump
+    // to 30.00: D=15, doubled-MAD 800, threshold 48000 -> the CUSUM path
+    // crosses on day 12 and stays up; no baseline day may flag.
+    val rows = (1 to 15).map { day =>
+      val v = if (day <= 10) { if (day % 2 == 1) 9.00 else 11.00 } else 30.00
+      (day.toLong, f"2024-01-$day%02d 12:00:00", 1L, "purchase", v)
+    }
+    val dir = craftEvents(rows)
+    val got = EventAnalytics.cusumShift(spark, dir).collect()
+      .map(r => r.getTimestamp(1).toString.take(10))
+    assert(got.toSeq == Seq("2024-01-12", "2024-01-13", "2024-01-14", "2024-01-15"),
+      s"unexpected flagged days: ${got.toSeq}")
+  }
+
   test("rfm: scores bound to quartile range and cents are exact") {
     val rows = EventAnalytics.rfmSegments(spark, Sf).collect()
     assert(rows.nonEmpty)

@@ -55,6 +55,36 @@ class QualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(n("customer") <= 2 && n("nation") <= 1, s"dims over-scanned: $scans")
   }
 
+  test("snapshot diff change counts obey the synthetic edit moduli") {
+    import org.apache.spark.sql.functions.col
+    val diff = graft.ops.Quality.snapshotDiff(spark, Sf).collect()
+    val ids = Tables.events(spark, Sf).select("event_id").collect()
+      .map(_.getLong(0))
+    val byType = diff.groupBy(_.getString(1)).map { case (t, rs) => t -> rs.length }
+    assert(byType("D") == ids.count(_ % 97 == 0))
+    assert(byType("I") == ids.count(_ % 101 == 0))
+    // updates exclude ids the delete already removed
+    assert(byType("U") == ids.count(i => i % 89 == 0 && i % 97 != 0))
+    // every U row moved by exactly the planted +100 cents
+    diff.filter(_.getString(1) == "U").foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) == 100L)
+    }
+    // inserts carry the clone offset and a real payload
+    diff.filter(_.getString(1) == "I").foreach { r =>
+      assert(r.getLong(0) >= 10000000L && r.getLong(2) == -1L && r.getLong(3) >= 0L)
+    }
+  }
+
+  test("schema-merge read null-fills exactly the pre-evolution batch") {
+    val rows = graft.ops.Relational.schemaMergeRoundtrip(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val n = Tables.nation(spark, Sf).count()
+    assert(rows("a")._1 == n && rows("b")._1 == n)
+    assert(rows("a")._2 == n, "every pre-evolution row must null-fill n_pop")
+    assert(rows("b")._2 == 0L, "no post-evolution row may null-fill")
+    assert(rows("a")._3 == 0L && rows("b")._3 > 0L)
+  }
+
   test("dqReport violation counts match independently computed checks") {
     val li = Tables.lineitem(spark, Sf)
     val o = Tables.orders(spark, Sf)

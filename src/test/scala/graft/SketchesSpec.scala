@@ -66,4 +66,31 @@ class SketchesSpec extends SparkSpec {
     assert(r.collect().toSeq == again.toSeq, "fixed-iteration integer PageRank must be deterministic")
     r.unpersist()
   }
+
+  test("triangle counts match a brute-force in-memory recount") {
+    val got = Graph.triangleCounts(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // rebuild the capped co-supply edge set directly and count naively
+    val ps = Tables.lineitem(spark, Sf)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byPart = ps.groupBy(_._1).filter(_._2.length <= Graph.CoSupplyCap)
+    val edges = byPart.values.flatMap { sup =>
+      val sk = sup.map(_._2).distinct.sorted
+      for (i <- sk.indices; j <- i + 1 until sk.length) yield (sk(i), sk(j))
+    }.toSet
+    def nbrs(n: Long): Set[Long] =
+      edges.collect { case (a, b) if a == n => b
+                      case (a, b) if b == n => a }
+    val triPerNode = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- edges; c <- nbrs(a) if c > b && edges.contains((b, c))) {
+      triPerNode(a) += 1; triPerNode(b) += 1; triPerNode(c) += 1
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    assert(nodes.nonEmpty && triPerNode.nonEmpty, "corpus graph has no triangles")
+    nodes.foreach { n =>
+      assert(got(n)._2 == triPerNode(n),
+        s"node $n: pipeline ${got(n)._2} vs brute ${triPerNode(n)}")
+    }
+  }
 }
