@@ -198,6 +198,8 @@ object SparkEntry {
     // Round-8 batch 4: graph density, change-points, versioning, evolution
     "q_triangle_count" -> (graft.ops.Graph.triangleCounts _),
     "q_cusum_shift" -> (graft.ops.EventAnalytics.cusumShift _),
+    "q_funnel_latency" -> (graft.ops.EventAnalytics.funnelLatency _),
+    "q_attribution" -> (graft.ops.EventAnalytics.lastTouchAttribution _),
     "q_snapshot_diff" -> (graft.ops.Quality.snapshotDiff _),
     "q_schema_merge" -> (Relational.schemaMergeRoundtrip _),
   )
@@ -560,6 +562,8 @@ object SparkEntry {
     "q_equidepth_hist" -> graft.ops.Stats.equidepthHistSql,
     "q_triangle_count" -> graft.ops.Graph.triangleCountsSql,
     "q_cusum_shift" -> graft.ops.EventAnalytics.cusumShiftSql,
+    "q_funnel_latency" -> graft.ops.EventAnalytics.funnelLatencySql,
+    "q_attribution" -> graft.ops.EventAnalytics.lastTouchAttributionSql,
     "q_snapshot_diff" -> graft.ops.Quality.snapshotDiffSql,
     "q_schema_merge" -> Relational.schemaMergeRoundtripSql,
   )

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -35,15 +35,7 @@ object EventAnalytics {
     * broadcast-sized long before 100 TB of raw events matter. */
   def eventFunnel(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
-    def firstOf(tpe: String): DataFrame =
-      ev.filter(col("event_type") === tpe)
-        .groupBy("user_id").agg(min("ts").as("t"))
-    def nextAfter(prev: DataFrame, tpe: String): DataFrame =
-      ev.filter(col("event_type") === tpe)
-        .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
-        .filter(col("ts") > col("t_prev"))
-        .groupBy("user_id").agg(min("ts").as("t"))
-    val stepDfs = FunnelSteps.tail.scanLeft(firstOf(FunnelSteps.head))(nextAfter)
+    val stepDfs = funnelTimes(ev)
     val counts = stepDfs.zip(FunnelSteps).zipWithIndex.map {
       case ((df, tpe), i) =>
         df.agg(count(lit(1)).as("n_users"))
@@ -61,6 +53,152 @@ object EventAnalytics {
   /** Funnel step order — strict event-type chain over the corpus's five
     * types (signup precedes engagement which precedes purchase). */
   val FunnelSteps: Seq[String] = Seq("signup", "view", "click", "purchase")
+
+  /** The funnel's per-step qualifying-time chain: one (user_id, t) frame
+    * per step, each built from the previous step's aggregate by min-after
+    * chaining. Shared by [[eventFunnel]] and [[funnelLatency]]. */
+  private def funnelTimes(ev: DataFrame): Seq[DataFrame] = {
+    def firstOf(tpe: String): DataFrame =
+      ev.filter(col("event_type") === tpe)
+        .groupBy("user_id").agg(min("ts").as("t"))
+    def nextAfter(prev: DataFrame, tpe: String): DataFrame =
+      ev.filter(col("event_type") === tpe)
+        .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
+        .filter(col("ts") > col("t_prev"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+    FunnelSteps.tail.scanLeft(firstOf(FunnelSteps.head))(nextAfter)
+  }
+
+  /** Median time-to-convert between consecutive funnel steps: for each
+    * adjacent step pair, the EXACT median gap (doubled-middle-sum over
+    * integer micros — the [[anomalyMad]] order-stat discipline) across the
+    * users who reached the later step, reported in seconds. The product
+    * question behind every funnel chart: where do users stall, and for how
+    * long.
+    *
+    * Scale shape: the step chain is [[funnelTimes]] (shrinking user-keyed
+    * aggregates); each pair's median runs order-stat windows PARTITIONED BY
+    * the pair label over user-count rows — pair cardinality is the
+    * parallelism floor, but the input is the (tiny) converted-user set, not
+    * the event stream. */
+  def funnelLatency(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val steps = funnelTimes(ev)
+    val gaps = steps.zip(steps.tail).zip(
+      FunnelSteps.zip(FunnelSteps.tail)).map { case ((a, b), (na, nb)) =>
+        a.select(col("user_id"), col("t").as("ta"))
+          .join(b.select(col("user_id"), col("t").as("tb")), "user_id")
+          .select(lit(s"$na->$nb").as("pair"), col("user_id"),
+            (unix_micros(col("tb")) - unix_micros(col("ta"))).as("gap_us"))
+      }.reduce(_.union(_))
+    val w = Window.partitionBy("pair").orderBy("gap_us", "user_id")
+    val n = Window.partitionBy("pair")
+    gaps.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(n))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n_users"),
+        sum(
+          when(col("rn") === expr("(cnt + 1) div 2"), col("gap_us")).otherwise(0L) +
+          when(col("rn") === expr("cnt div 2 + 1"), col("gap_us")).otherwise(0L))
+          .as("med2_us"))
+      .select(col("pair"), col("n_users"),
+        (col("med2_us") / 2000000.0).as("median_s"))
+      .orderBy("pair")
+  }
+
+  val funnelLatencySql: String = {
+    val pairs = FunnelSteps.zip(FunnelSteps.tail).zipWithIndex
+    val stepCtes = FunnelSteps.zipWithIndex.map { case (tpe, i) =>
+      if (i == 0)
+        s"""s1 AS (SELECT user_id, min(ts) AS t FROM events
+                   WHERE event_type = '$tpe' GROUP BY user_id)"""
+      else
+        s"""s${i + 1} AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                 JOIN s$i ON e.user_id = s$i.user_id AND e.ts > s$i.t
+                 WHERE e.event_type = '$tpe' GROUP BY e.user_id)"""
+    }.mkString(",\n        ")
+    val gapSel = pairs.map { case ((na, nb), i) =>
+      s"""SELECT '$na->$nb' AS pair, a.user_id,
+          epoch_us(b.t) - epoch_us(a.t) AS gap_us
+          FROM s${i + 1} a JOIN s${i + 2} b ON a.user_id = b.user_id"""
+    }.mkString("\n          UNION ALL ")
+    s"""WITH $stepCtes,
+        gaps AS ($gapSel),
+        r AS (SELECT pair, gap_us,
+            row_number() OVER (PARTITION BY pair ORDER BY gap_us, user_id) AS rn,
+            count(*) OVER (PARTITION BY pair) AS cnt
+          FROM gaps)
+        SELECT pair, count(*) AS n_users,
+          CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN gap_us ELSE 0 END
+            + CASE WHEN rn = cnt // 2 + 1 THEN gap_us ELSE 0 END) AS BIGINT)
+            / 2000000.0 AS median_s
+        FROM r GROUP BY pair ORDER BY pair"""
+  }
+
+  /** Channel encoding for [[lastTouchAttribution]]: small ids packed into
+    * the LastBefore value's low bits (value = ts_us * 8 + id). */
+  val TouchChannels: Seq[(String, Int)] =
+    Seq("click" -> 1, "view" -> 2, "signup" -> 3, "error" -> 4)
+
+  /** Last-touch revenue attribution through the library's [[graft.plans
+    * .LastBefore]] CUSTOM PHYSICAL OPERATOR (O(1)-state forward merge-scan
+    * — no WindowExec row-group buffering): each purchase credits the last
+    * strictly-preceding non-purchase event by the same user; purchases
+    * with no preceding touch credit the 'none' channel. The packed value
+    * (ts_us * 8 + channel_id) rides the operator's single value slot and
+    * decodes with one modulus.
+    *
+    * Scale shape: one exchange+sort on (user, time) driven by the
+    * operator's requiredChildDistribution, then a channel-arity rollup. */
+  def lastTouchAttribution(s: SparkSession, d: String): DataFrame = {
+    val chCase = TouchChannels.foldRight(lit(null).cast(LongType): Column) {
+      case ((tpe, id), rest) =>
+        when(col("event_type") === tpe, lit(id.toLong)).otherwise(rest)
+    }
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("ch", chCase)
+      .withColumn("is_touch", col("event_type") =!= "purchase")
+      .withColumn("packed", col("ts_us") * 8 + coalesce(col("ch"), lit(0L)))
+    val attributed = graft.plans.LastBefore.lastBefore(ev,
+        keyNames = Seq("user_id"), orderNames = Seq("ts_us", "event_id"),
+        condCol = "is_touch", valueCol = "packed", outName = "last_touch")
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        TouchChannels.foldRight(lit("none"): Column) { case ((tpe, id), rest) =>
+          when(col("last_touch") % 8 === id, tpe).otherwise(rest)
+        })
+    attributed.groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(round(col("value") * 100, 0).cast(LongType)).as("cents"))
+      .orderBy("channel")
+  }
+
+  val lastTouchAttributionSql: String = {
+    val chCase = TouchChannels.map { case (tpe, id) =>
+      s"WHEN event_type = '$tpe' THEN CAST($id AS BIGINT)"
+    }.mkString(" ")
+    val decode = TouchChannels.map { case (tpe, id) =>
+      s"WHEN last_touch % 8 = $id THEN '$tpe'"
+    }.mkString(" ")
+    s"""WITH ev AS (SELECT event_id, user_id, event_type, value,
+            epoch_us(ts) AS ts_us,
+            CASE $chCase ELSE NULL END AS ch
+          FROM events),
+        m AS (SELECT event_id, user_id, event_type, value,
+            last_value(CASE WHEN event_type <> 'purchase'
+                THEN ts_us * 8 + coalesce(ch, 0) END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS last_touch
+          FROM ev),
+        p AS (SELECT CASE $decode ELSE 'none' END AS channel, value
+              FROM m WHERE event_type = 'purchase')
+        SELECT channel, count(*) AS n_purchases,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM p GROUP BY channel ORDER BY channel"""
+  }
 
   val eventFunnelSql: String = {
     val Seq(t1, t2, t3, t4) = FunnelSteps

@@ -112,6 +112,38 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.head.getLong(5) == 0L, "doubled MAD")
   }
 
+  test("funnel latency covers each step pair; users match the funnel counts") {
+    val lat = EventAnalytics.funnelLatency(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val funnel = EventAnalytics.eventFunnel(spark, Sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val pairs = EventAnalytics.FunnelSteps.zip(EventAnalytics.FunnelSteps.tail)
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      val (n, med) = lat(s"$a->$b")
+      assert(n == funnel(i + 2), s"$a->$b users != step ${i + 2} converts")
+      assert(med > 0.0, "strict min-after chaining forces positive gaps")
+    }
+  }
+
+  test("attribution: purchases conserve across channels; crafted last-touch") {
+    val attr = EventAnalytics.lastTouchAttribution(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val purchases = Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(attr.values.sum == purchases,
+      "every purchase must land in exactly one channel")
+    val dir = craftEvents(Seq(
+      (1L, "2024-01-01 08:00:00", 1L, "purchase", 10.0), // nothing before -> none
+      (2L, "2024-01-01 09:00:00", 2L, "click", 0.0),
+      (3L, "2024-01-01 09:30:00", 2L, "view", 0.0),
+      (4L, "2024-01-01 10:00:00", 2L, "purchase", 25.0), // last touch = view
+      (5L, "2024-01-01 11:00:00", 2L, "purchase", 5.0))) // last non-purchase = view
+    val got = EventAnalytics.lastTouchAttribution(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("none" -> ((1L, 1000L)), "view" -> ((2L, 3000L))),
+      s"unexpected attribution: $got")
+  }
+
   test("cusum flags a sustained shift but not the noisy baseline") {
     // days 1-10 alternate 9.00/11.00 (noisy flat baseline), days 11-15 jump
     // to 30.00: D=15, doubled-MAD 800, threshold 48000 -> the CUSUM path
