@@ -148,7 +148,28 @@ object PlanDump {
       "into the bounded-heap TopKPerKey (partial heaps below ONE exchange " +
       "on query_id), then MmrK-1 rounds of (candidate x selected) " +
       "query_id-keyed joins over MmrCand-bounded frames — integer long_dot " +
-      "kernels, no cartesian, no global sort until the 25-row presentation."))
+      "kernels, no cartesian, no global sort until the 25-row presentation."),
+    "q_basket_pairs" -> ("Market-basket association rules. Expect: ONE self " +
+      "equi-join of the distinct (order, part) incidence on the order key " +
+      "(per-key quadratic bounded by basket size), map-side-combined pair " +
+      "counts, the part-frequency and 1-row order-total sides as " +
+      "BROADCASTS, and TakeOrdered for the top-100 — no global sort, no " +
+      "cartesian."),
+    "q_incr_agg" -> ("Incremental MV maintenance. Expect: TWO partition-" +
+      "filtered scans of orders (base below cutoff, delta at/after — on a " +
+      "date-partitioned lake the delta scan prunes to the fresh partition), " +
+      "each feeding a map-side-combined customer-arity aggregate, merged by " +
+      "ONE full-outer equi-join on custkey. Nothing rescans the union."),
+    "q_dpp_join" -> ("Dynamic partition pruning. Expect: the hive-" +
+      "partitioned fact scan carrying `dynamicpruning` in PartitionFilters " +
+      "(the runtime IN-subquery fed by the broadcast calendar dim), " +
+      "5 of 30 date directories surviving (LayoutSpec asserts the " +
+      "numPartitions metric), and the per-date aggregate above the pruned " +
+      "join."),
+    "q_pad_waste" -> ("Length-bucketed padding-waste report. Expect: one " +
+      "corpus scan, per-row integer bucket arithmetic, a <=64-row bucket " +
+      "aggregate (map-side combined) and the 1-row corpus max as a " +
+      "BROADCAST cross join — no windows, no wide joins."))
 
   /** Streaming queries return a sink read whose plan says nothing; what
     * scales (or doesn't) is the per-micro-batch KERNEL. These dump the same

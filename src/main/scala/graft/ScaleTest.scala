@@ -118,7 +118,8 @@ object ScaleTest {
       "q_tumbling_window", "q_asof_join", "q_pagerank", "q_bloom_join",
       "q_approx_quantile", "q5_shape", "q_merge_upsert",
       "q_window_range_frame", "q_asof_native",
-      "q_table_stats", "q_equidepth_hist")
+      "q_table_stats", "q_equidepth_hist",
+      "q_basket_pairs", "q_incr_agg", "q_dpp_join", "q_triangle_count")
 
     def time(dir: String): Map[String, Double] =
       subset.map { name =>

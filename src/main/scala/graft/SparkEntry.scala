@@ -36,6 +36,7 @@ object SparkEntry {
     "q_csv_roundtrip" -> (Relational.csvRoundtrip _),
     "q_orc_roundtrip" -> (Relational.orcRoundtrip _),
     "q_zorder_layout" -> (graft.ops.Layout.zOrderLayout _),
+    "q_dpp_join" -> (graft.ops.Layout.dppJoin _),
     "q_partitioned_parquet" -> (Relational.partitionedParquetRoundtrip _),
     // M2 — analytics breadth
     "q1_agg" -> (Analytics.q1Agg _),
@@ -115,6 +116,7 @@ object SparkEntry {
     "q_source_scorecard" -> (TextAnalysis.sourceScorecard _),
     "q_seq_pack" -> (Packing.seqPack _),
     "q_doc_chunks" -> (Packing.docChunks _),
+    "q_pad_waste" -> (Packing.padWaste _),
     "q_cosine_pairs" -> (Similarity.cosinePairs _),
     "q_semdedup" -> (Similarity.semDedup _),
     "q_diverse_sample" -> (Similarity.diverseSample _),
@@ -157,6 +159,7 @@ object SparkEntry {
     "q_stream_anomaly_gate" -> (graft.streaming.EventStreams.streamAnomalyGate _),
     "q_range_join" -> (Advanced.rangeJoin _),
     "q_sliding_window" -> (Analytics.slidingWindow _),
+    "q_basket_pairs" -> (Analytics.basketPairs _),
     // Advanced: JSON source, as-of join, deterministic order stats
     "q_json_roundtrip" -> (Advanced.jsonRoundtrip _),
     "q_asof_join" -> (Advanced.asofJoin _),
@@ -201,6 +204,7 @@ object SparkEntry {
     "q_funnel_latency" -> (graft.ops.EventAnalytics.funnelLatency _),
     "q_attribution" -> (graft.ops.EventAnalytics.lastTouchAttribution _),
     "q_snapshot_diff" -> (graft.ops.Quality.snapshotDiff _),
+    "q_incr_agg" -> (graft.ops.Quality.incrAgg _),
     "q_schema_merge" -> (Relational.schemaMergeRoundtrip _),
   )
 
@@ -283,6 +287,7 @@ object SparkEntry {
          FROM orders GROUP BY o_orderstatus, o_orderpriority
          ORDER BY o_orderstatus, o_orderpriority""",
     "q_zorder_layout" -> graft.ops.Layout.zOrderLayoutSql,
+    "q_dpp_join" -> graft.ops.Layout.dppJoinSql,
     "q_partitioned_parquet" ->
       """SELECT event_type, count(*) AS cnt FROM events
          WHERE year(ts) = 2024 AND month(ts) = 1
@@ -480,6 +485,7 @@ object SparkEntry {
     "q_source_scorecard" -> TextAnalysis.sourceScorecardSql,
     "q_seq_pack" -> Packing.seqPackSql,
     "q_doc_chunks" -> Packing.docChunksSql,
+    "q_pad_waste" -> Packing.padWasteSql,
     "q_cosine_pairs" -> Similarity.cosinePairsSql,
     "q_semdedup" -> Similarity.semDedupSql,
     "q_diverse_sample" -> Similarity.diverseSampleSql,
@@ -524,6 +530,7 @@ object SparkEntry {
     "q_stream_anomaly_gate" -> graft.streaming.EventStreams.streamAnomalyGateSql,
     "q_range_join" -> Advanced.rangeJoinSql,
     "q_sliding_window" -> Analytics.slidingWindowSql,
+    "q_basket_pairs" -> Analytics.basketPairsSql,
     "q_json_roundtrip" -> Advanced.jsonRoundtripSql,
     "q_asof_join" -> Advanced.asofJoinSql,
     "q_asof_native" -> Advanced.asofJoinSql,
@@ -565,6 +572,7 @@ object SparkEntry {
     "q_funnel_latency" -> graft.ops.EventAnalytics.funnelLatencySql,
     "q_attribution" -> graft.ops.EventAnalytics.lastTouchAttributionSql,
     "q_snapshot_diff" -> graft.ops.Quality.snapshotDiffSql,
+    "q_incr_agg" -> graft.ops.Quality.incrAggSql,
     "q_schema_merge" -> Relational.schemaMergeRoundtripSql,
   )
 }

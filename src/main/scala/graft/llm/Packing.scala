@@ -119,4 +119,57 @@ object Packing {
             chunk_id * $T + least($C, toks - chunk_id * $T)), ' ') AS chunk_text
         FROM k ORDER BY doc_id, chunk_id"""
   }
+
+  /** Length-bucketed batching padding-waste report: assign every document to
+    * its next-power-of-two token-length bucket (the standard bucketed-batch
+    * policy — each batch's tensor is the bucket ceiling, so a doc pads
+    * bucket_len − toks slots) and report, per bucket, the padded capacity
+    * and the pad fraction — plus `naive_pad_frac`, the fraction the SAME
+    * docs would waste padded to the corpus-wide max length (the
+    * no-bucketing baseline a trainer compares against). All integer
+    * arithmetic until the two final 6-dp ratios.
+    *
+    * next_pow2(n) = 1 << bit_length(n−1) with the n = 1 special case (both
+    * engines render bin(0) as "0", length 1, which would misbucket 1 → 2).
+    *
+    * Scale shape: one corpus scan → per-row integer ops → a ≤64-row bucket
+    * aggregate (map-side combined) with the 1-row corpus max broadcast back.
+    * No windows, no joins wider than bucket-arity. */
+  def padWaste(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(size(split(col("text"), " ")).cast(LongType).as("nw"))
+      .filter(col("nw") >= 1)
+      .withColumn("bkt",
+        when(col("nw") === 1, 0)
+          .otherwise(length(bin(col("nw") - 1)).cast(IntegerType)))
+    val maxNw = docs.agg(max("nw").as("max_nw"))
+    docs.groupBy("bkt")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("tokens"))
+      .withColumn("bucket_len",
+        expr("cast(shiftleft(cast(1 as bigint), bkt) as bigint)"))
+      .crossJoin(broadcast(maxNw))
+      .select(col("bkt"), col("bucket_len"), col("n_docs"), col("tokens"),
+        (col("n_docs") * col("bucket_len")).as("padded_tokens"),
+        round(lit(1.0) - col("tokens").cast(DoubleType)
+          / (col("n_docs") * col("bucket_len")), 6).as("pad_frac"),
+        round(lit(1.0) - col("tokens").cast(DoubleType)
+          / (col("n_docs") * col("max_nw")), 6).as("naive_pad_frac"))
+      .orderBy("bkt")
+  }
+
+  val padWasteSql: String =
+    """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+          FROM documents WHERE len(string_split(text, ' ')) >= 1),
+       b AS (SELECT nw, CASE WHEN nw = 1 THEN 0
+                 ELSE CAST(length(bin(nw - 1)) AS INT) END AS bkt FROM d),
+       m AS (SELECT max(nw) AS max_nw FROM d),
+       g AS (SELECT bkt, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS tokens
+             FROM b GROUP BY bkt)
+       SELECT bkt, CAST(1 << bkt AS BIGINT) AS bucket_len, n_docs, tokens,
+         CAST(n_docs * (1 << bkt) AS BIGINT) AS padded_tokens,
+         round(1.0 - CAST(tokens AS DOUBLE) / (n_docs * (1 << bkt)), 6)
+           AS pad_frac,
+         round(1.0 - CAST(tokens AS DOUBLE) / (n_docs * max_nw), 6)
+           AS naive_pad_frac
+       FROM g CROSS JOIN m ORDER BY bkt"""
 }

@@ -516,6 +516,76 @@ object Analytics {
          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
        FROM w GROUP BY 1 ORDER BY win_start"""
 
+  /** Minimum co-occurrence count for a part pair to appear in the
+    * market-basket report — drops the pair_n = 1 noise floor (112k of 116k
+    * candidate pairs at sf0.01) before the ratio joins. */
+  val MinPairSupport = 2L
+
+  /** Market-basket association mining over order line items: the top pairs
+    * of parts bought together, with the three classic association-rule
+    * measures — support (pair frequency over all orders), confidence
+    * (P(b | a), directional), and lift (observed co-rate over the
+    * independence expectation). Counts are integer-exact; ratios are
+    * IEEE-double divisions of those integers rounded at 6 dp.
+    *
+    * Scale shape: pair generation is ONE self equi-join of the distinct
+    * (order, part) incidence list on the order key — the per-key quadratic
+    * is bounded by basket size (≤ 13 parts per order in this corpus, ≤ 7 in
+    * TPC-H proper; a retail schema bounds it by the cart), so the join
+    * output is O(rows × basket), never all-pairs in the part dimension. The
+    * part-frequency table used for confidence/lift is part-arity (dimension
+    * scale, ≪ facts) and broadcasts onto the pair counts; the order total is
+    * a 1-row broadcast. Pairs below [[MinPairSupport]] are dropped BEFORE
+    * the ratio joins, and the final top-100 is a TakeOrdered, not a global
+    * sort. */
+  def basketPairs(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val nOrders = items.select(countDistinct("okey").as("n_orders"))
+    val partCounts = items.groupBy("part").agg(count(lit(1)).as("n_part"))
+    val pairs = items.toDF("okey", "part_a")
+      .join(items.toDF("okey", "part_b"), "okey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= MinPairSupport)
+    pairs
+      .join(broadcast(partCounts.toDF("part_a", "n_a")), "part_a")
+      .join(broadcast(partCounts.toDF("part_b", "n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("pair_n"),
+        round(col("pair_n").cast(DoubleType) / col("n_orders"), 6)
+          .as("support"),
+        round(col("pair_n").cast(DoubleType) / col("n_a"), 6)
+          .as("conf_a_to_b"),
+        round(col("pair_n").cast(DoubleType) * col("n_orders")
+          / (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy(col("pair_n").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
+  val basketPairsSql: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+                       FROM lineitem),
+        n AS (SELECT count(DISTINCT okey) AS n_orders FROM items),
+        ic AS (SELECT part, count(*) AS n_part FROM items GROUP BY part),
+        pc AS (SELECT a.part AS part_a, b.part AS part_b,
+                 count(*) AS pair_n
+               FROM items a JOIN items b
+                 ON a.okey = b.okey AND a.part < b.part
+               GROUP BY 1, 2)
+        SELECT part_a, part_b, pair_n,
+          round(CAST(pair_n AS DOUBLE) / n_orders, 6) AS support,
+          round(CAST(pair_n AS DOUBLE) / ia.n_part, 6) AS conf_a_to_b,
+          round(CAST(pair_n AS DOUBLE) * n_orders
+                / (ia.n_part * ib.n_part), 6) AS lift
+        FROM pc
+        JOIN ic ia ON pc.part_a = ia.part
+        JOIN ic ib ON pc.part_b = ib.part
+        CROSS JOIN n
+        WHERE pair_n >= ${MinPairSupport}
+        ORDER BY pair_n DESC, part_a, part_b LIMIT 100"""
+
   /** Sessionization (30-min inactivity gap) via gaps-and-islands: lag to mark
     * session starts, running sum to assign session ids, then per-session agg.
     * Same shape Structured Streaming's session window computes incrementally. */

@@ -180,9 +180,22 @@ object Graph {
     * the identical cap. */
   val CoSupplyCap = 50
 
-  /** Per-node triangle counts over the supplier co-supply graph (suppliers
-    * sharing at least one sub-[[CoSupplyCap]] part) — the standard cluster-
-    * coefficient / community-density signal.
+  /** Strong-tie floor for the triangle graph: supplier pairs are edges only
+    * with at least this many shared parts. Corpus-wide co-occurrence over a
+    * small supplier dimension saturates — at sf0.1 EVERY pair shares ≥ 1 of
+    * the 20k parts (mean 17), making the ≥1 graph the complete K_1000 with
+    * C(1000,3) ≈ 166M triangles, an output-size blowup no enumeration
+    * algorithm can dodge (measured: 756 cpu-s). Thresholding on tie
+    * STRENGTH is the standard projection fix for dense co-occurrence
+    * graphs: the ≥30 upper tail keeps 2 015 of 499 500 pairs at sf0.1
+    * (avg degree 4) while at the small correctness SFs — where shared-part
+    * counts run 130–190 — every edge clears the bar, so the graph (and the
+    * brute-force spec replay) is unchanged there. */
+  val MinSharedParts = 30L
+
+  /** Per-node triangle counts over the supplier STRONG co-supply graph
+    * (pairs sharing ≥ [[MinSharedParts]] sub-[[CoSupplyCap]] parts) — the
+    * standard cluster-coefficient / community-density signal.
     *
     * Scale shape: the classic DEGREE-ORDERED orientation. Each undirected
     * edge is directed from the (degree, id)-smaller endpoint to the larger,
@@ -191,7 +204,10 @@ object Graph {
     * O(|E|^1.5) candidate wedges instead of sum(deg²), which a hub node
     * would otherwise drive quadratic. Wedge closure is ONE equi-join of
     * the wedge list against the directed edge list — everything is
-    * equi-joins over integer keys. */
+    * equi-joins over integer keys. Edge building aggregates the per-part
+    * pair stream (bounded by [[CoSupplyCap]]²/2 per part) into weighted
+    * pairs BEFORE the threshold filter — one map-side-combined shuffle on
+    * the pair key. */
   def triangleCounts(s: SparkSession, d: String): DataFrame = {
     val ps = Tables.lineitem(s, d)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
@@ -201,7 +217,9 @@ object Graph {
     val edges = capped.select(col("p"), col("sk").as("a"))
       .join(capped.select(col("p"), col("sk").as("b")), "p")
       .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= MinSharedParts)
+      .select("a", "b")
     val deg = edges.select(col("a").as("n")).union(edges.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     // Orient a->b iff (deg(a), a) < (deg(b), b)
@@ -233,8 +251,9 @@ object Graph {
     s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
         keep AS (SELECT p FROM ps GROUP BY p HAVING count(*) <= $CoSupplyCap),
         capped AS (SELECT ps.p, ps.sk FROM ps JOIN keep ON ps.p = keep.p),
-        edges AS (SELECT DISTINCT x.sk AS a, y.sk AS b
-                  FROM capped x JOIN capped y ON x.p = y.p AND x.sk < y.sk),
+        edges AS (SELECT x.sk AS a, y.sk AS b
+                  FROM capped x JOIN capped y ON x.p = y.p AND x.sk < y.sk
+                  GROUP BY 1, 2 HAVING count(*) >= $MinSharedParts),
         deg AS (SELECT n, count(*) AS deg FROM (
                   SELECT a AS n FROM edges UNION ALL SELECT b FROM edges)
                 GROUP BY n),

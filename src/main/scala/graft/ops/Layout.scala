@@ -111,4 +111,58 @@ object Layout {
          AND ts >= TIMESTAMP '2024-01-10 00:00:00'
          AND ts < TIMESTAMP '2024-01-20 00:00:00'
        GROUP BY event_type ORDER BY event_type"""
+
+  /** Dynamic partition pruning end-to-end: the fact table staged
+    * hive-partitioned by event date, joined to a calendar dimension whose
+    * FILTER (Mondays only) is on a dim attribute — so which partitions
+    * survive is only known at runtime, after the dim is evaluated. Spark's
+    * DPP injects the dim's surviving keys as a runtime IN-subquery into the
+    * fact scan's partition filters: 5 of the 30 date directories are read,
+    * the other 25 never open a file. The per-date aggregate then runs on
+    * the pruned scan.
+    *
+    * This is THE mechanism that makes star-schema queries feasible on a
+    * date-partitioned 100 TB fact table — static pruning can't help when
+    * the predicate lives on the dimension ("holiday weeks", "campaign
+    * days"), and without DPP the scan reads three years of history to
+    * serve a 5-day filter. LayoutSpec gates the mechanism itself: the
+    * executed fact scan must carry a DynamicPruningExpression partition
+    * filter and list exactly the 5 surviving directories.
+    *
+    * The staged write repartitions by the partition column first (the
+    * [[graft.ops.Relational.partitionedParquetRoundtrip]] small-files
+    * discipline). The calendar dim is date-arity — dimension scale — and
+    * broadcasts, which is also what makes it eligible to feed DPP's
+    * reused-broadcast subquery. */
+  def dppJoin(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_pq_dpp"
+    Tables.events(s, d)
+      .withColumn("event_date", to_date(col("ts")))
+      .repartition(col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val fact = s.read.parquet(out)
+    // Calendar dim: one row per date with a day-of-week attribute. Built
+    // from the source table (not the staged fact) so the optimizer cannot
+    // statically fold the filter into the scan — pruning must be dynamic.
+    val calendar = Tables.events(s, d)
+      .select(to_date(col("ts")).as("cal_date"),
+        dayofweek(col("ts")).as("dow"))
+      .distinct()
+    fact
+      .join(broadcast(calendar.filter(col("dow") === 2)), // Mondays
+        col("event_date") === col("cal_date"))
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100, 0).cast(LongType)).as("sum_cents"))
+      .orderBy("event_date")
+  }
+
+  val dppJoinSql: String =
+    """SELECT CAST(ts AS DATE) AS event_date,
+         count(*) AS cnt,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+       FROM events
+       WHERE dayofweek(ts) = 1
+       GROUP BY 1 ORDER BY event_date"""
 }

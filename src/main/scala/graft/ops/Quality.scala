@@ -315,4 +315,59 @@ object Quality {
        FROM j
        WHERE new_cents IS NULL OR old_cents IS NULL OR old_cents <> new_cents
        ORDER BY event_id"""
+
+  /** The incremental-refresh horizon: orders strictly before this date are
+    * the standing materialized view; the rest are the delta batch a daily
+    * refresh would ingest (3 674 of 15 000 orders at sf0.01 — both sides
+    * load-bearing). */
+  val IncrCutoff = "2000-01-01"
+
+  /** Incremental materialized-view maintenance: a per-customer order summary
+    * (order count, lifetime cents, last order date) kept fresh by MERGING a
+    * delta-batch aggregate into the standing aggregate instead of rescanning
+    * the fact table. All three measures are algebraic under insert-only
+    * deltas — count and sum combine by +, max by greatest — so
+    * agg(base) ⊕ agg(delta) ≡ agg(base ∪ delta), which is exactly what the
+    * full-recompute oracle checks.
+    *
+    * Scale shape: this is THE pattern that keeps a 100 TB fact table's
+    * dashboards incremental — the standing MV is customer-arity (dimension
+    * scale), the refresh scans only the delta's date partition (here a
+    * partition filter on o_orderdate; on a date-partitioned lake the scan
+    * prunes to one day), and the merge is one customer-keyed full-outer join
+    * of two dimension-arity aggregates. Nothing touches the historical fact
+    * partitions. */
+  def incrAgg(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_custkey"),
+      round(col("o_totalprice") * 100, 0).cast(LongType).as("cents"),
+      col("o_orderdate"))
+    def mv(df: DataFrame): DataFrame =
+      df.groupBy("o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        sum("cents").as("total_cents"),
+        max("o_orderdate").as("last_order"))
+    val base = mv(o.filter(col("o_orderdate") < lit(IncrCutoff).cast("timestamp")))
+    val delta = mv(o.filter(col("o_orderdate") >= lit(IncrCutoff).cast("timestamp")))
+    base.toDF("o_custkey", "b_n", "b_cents", "b_last")
+      .join(delta.toDF("o_custkey", "d_n", "d_cents", "d_last"),
+        Seq("o_custkey"), "full_outer")
+      .select(
+        col("o_custkey").as("custkey"),
+        (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("b_cents"), lit(0L)) + coalesce(col("d_cents"), lit(0L)))
+          .as("total_cents"),
+        greatest(col("b_last"), col("d_last")).as("last_order"))
+      .orderBy("custkey")
+  }
+
+  /** The oracle is the FULL RECOMPUTE over the unioned fact table — equality
+    * is the correctness statement of incremental maintenance. */
+  val incrAggSql: String =
+    """SELECT o_custkey AS custkey, count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+         max(o_orderdate) AS last_order
+       FROM orders GROUP BY 1 ORDER BY custkey"""
 }

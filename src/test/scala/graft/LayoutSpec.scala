@@ -22,6 +22,28 @@ class LayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.sum
   }
 
+  test("dppJoin: fact scan carries a runtime pruning filter and reads only Monday partitions") {
+    val df = Layout.dppJoin(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val factScans = collectWithSubqueries(plan) {
+      case f: FileSourceScanExec if f.relation.partitionSchema.nonEmpty => f
+    }
+    assert(factScans.nonEmpty, s"expected a hive-partitioned fact scan in:\n$plan")
+    val dpp = factScans.filter(_.partitionFilters.exists(
+      _.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])))
+    assert(dpp.nonEmpty,
+      s"fact scan must be pruned by a DYNAMIC (runtime) partition filter:\n$plan")
+    // The runtime filter must have actually shrunk the read: 5 Monday
+    // directories out of 30 dates (metric is post-pruning selected count).
+    dpp.foreach { f =>
+      val selected = f.metrics.get("numPartitions").map(_.value)
+      assert(selected.contains(5L),
+        s"expected 5 surviving Monday partitions, got $selected")
+    }
+  }
+
   test("z-order prunes the 2-D slice several-fold better than 1-D layouts") {
     val layouts = Seq("z", "ts", "none").map { l =>
       l -> Layout.writeLayout(spark, Dir, l)

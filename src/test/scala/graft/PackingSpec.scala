@@ -81,4 +81,36 @@ class PackingSpec extends SparkSpec {
     assert(badStart == 0)
     chunks.unpersist()
   }
+
+  test("padWaste buckets conserve token mass and obey the next-pow2 law") {
+    val docs = Tables.documents(spark, Sf)
+      .select(size(split(col("text"), " ")).cast("long").as("nw"))
+      .filter(col("nw") >= 1)
+      .collect().map(_.getLong(0))
+    def nextPow2(n: Long): Long = { var p = 1L; while (p < n) p <<= 1; p }
+    val expect = docs.groupBy(nextPow2)
+      .map { case (blen, ns) => blen -> (ns.length.toLong, ns.sum) }
+    val rows = Packing.padWaste(spark, Sf).collect()
+    assert(rows.map(_.getLong(1)).toSet == expect.keySet,
+      "bucket lengths diverge from per-doc next-pow2")
+    rows.foreach { r =>
+      val (blen, nDocs, toks, padded) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (eN, eT) = expect(blen)
+      assert(nDocs == eN && toks == eT, s"bucket $blen counts diverge")
+      assert(padded == nDocs * blen)
+      val padFrac = r.getDouble(5); val naive = r.getDouble(6)
+      assert(padFrac >= 0 && padFrac < 1)
+      // naive column replays exactly: pad every doc in the bucket to the
+      // corpus max. (No inequality vs padFrac: the TOP bucket's pow2
+      // ceiling can exceed the corpus max, where bucketing legitimately
+      // wastes more than max-padding — 128 vs a 97-token corpus max here.)
+      val maxNw = docs.max
+      val expNaive = BigDecimal(1.0 - toks.toDouble / (nDocs * maxNw))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(naive - expNaive) < 1e-9,
+        s"bucket $blen: naive $naive != replayed $expNaive")
+    }
+    assert(rows.map(_.getLong(3)).sum == docs.sum, "token mass not conserved")
+  }
 }

@@ -108,4 +108,23 @@ class QualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == expected)
   }
+
+  test("incrAgg: base ⊕ delta equals the full recompute, with both sides live") {
+    val o = Tables.orders(spark, Sf)
+    val cutoff = lit(Quality.IncrCutoff).cast("timestamp")
+    val nBase = o.filter(col("o_orderdate") < cutoff).count()
+    val nDelta = o.filter(col("o_orderdate") >= cutoff).count()
+    assert(nBase > 0 && nDelta > 0,
+      s"cutoff must split the corpus (base=$nBase delta=$nDelta) or the merge is vacuous")
+    val full = o.groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("total_cents"),
+        max("o_orderdate").as("last_order"))
+      .orderBy("custkey").collect()
+    val incr = Quality.incrAgg(spark, Sf).collect()
+    assert(incr.length == full.length)
+    incr.zip(full).foreach { case (a, b) =>
+      assert(a.toSeq == b.toSeq, s"incremental row $a != recompute $b")
+    }
+  }
 }

@@ -78,7 +78,8 @@ class SketchesSpec extends SparkSpec {
     val edges = byPart.values.flatMap { sup =>
       val sk = sup.map(_._2).distinct.sorted
       for (i <- sk.indices; j <- i + 1 until sk.length) yield (sk(i), sk(j))
-    }.toSet
+    }.groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 >= Graph.MinSharedParts).keySet.toSet
     def nbrs(n: Long): Set[Long] =
       edges.collect { case (a, b) if a == n => b
                       case (a, b) if b == n => a }
