@@ -214,12 +214,24 @@ object Graph {
     val keep = ps.groupBy("p").agg(count(lit(1)).as("f"))
       .filter(col("f") <= CoSupplyCap)
     val capped = ps.join(keep.select("p"), "p")
+    // Lineage cuts (the PageRank localCheckpoint discipline). The edge
+    // builder (full scan + per-part pairing fan-out + pair aggregate) is by
+    // far the expensive subtree, and `edges` is referenced from deg, the
+    // orientation join, both wedge sides and the closure — without a cut
+    // Spark INLINES the builder at every reference and the pairing runs ~8x
+    // in one plan (measured: 7.3 s wall at sf0.1 with 2-core utilization —
+    // pure recompute serialization). The thresholded edge list is tiny, so
+    // materialize it eagerly; dirEdges gets the same cut because it is
+    // referenced three times (two wedge sides + the closure), each of which
+    // would otherwise replay the deg aggregation and orientation joins.
+    // Downstream, every join runs over node-scale local tables and
+    // broadcasts.
     val edges = capped.select(col("p"), col("sk").as("a"))
       .join(capped.select(col("p"), col("sk").as("b")), "p")
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
       .filter(col("w") >= MinSharedParts)
-      .select("a", "b")
+      .select("a", "b").localCheckpoint(true)
     val deg = edges.select(col("a").as("n")).union(edges.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     // Orient a->b iff (deg(a), a) < (deg(b), b)
@@ -231,6 +243,7 @@ object Graph {
           struct(col("a").as("src"), col("b").as("dst")))
           .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint(true)
     val wedges = dirEdges.select(col("src"), col("dst").as("v"))
       .join(dirEdges.select(col("src"), col("dst").as("w")), "src")
       .filter(col("v") < col("w"))
