@@ -180,6 +180,7 @@ object SparkEntry {
     "q_approx_quantile" -> (graft.ops.Sketches.approxQuantile _),
     "q_pagerank" -> (graft.ops.Graph.pageRank _),
     "q_pagerank_dist" -> (graft.ops.Graph.pageRankDistributed _),
+    "q_reach_bfs" -> (graft.ops.Graph.reachBfs _),
     // Continuous-ingest curation surface
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
     "q_dup_ngram_fraction" -> (Dedup.dupNgramFraction _),
@@ -553,6 +554,7 @@ object SparkEntry {
     // Same oracle on purpose: the distributed formulation must be
     // bit-identical to the broadcast one (Graph.pageRankDistributed doc).
     "q_pagerank_dist" -> graft.ops.Graph.pageRankSql,
+    "q_reach_bfs" -> graft.ops.Graph.reachBfsSql,
     "q_dedup_incremental" -> Dedup.incrementalDedupSql,
     "q_dup_ngram_fraction" -> Dedup.dupNgramFractionSql,
     "q_curation_funnel" -> TextAnalysis.curationFunnelSql,

@@ -288,4 +288,72 @@ object Graph {
           coalesce(pn.n_tri, 0) AS n_tri
         FROM deg LEFT JOIN pn ON deg.n = pn.n
         ORDER BY supplier"""
+
+  /** BFS depth cap for [[reachBfs]]. Three hops covers the supply-chain
+    * question ("a recall of part X touches which suppliers, then which
+    * co-supplied parts, then which of THEIR suppliers") while keeping the
+    * un-deduplicated recursive frontier bounded: recursive CTEs cannot
+    * aggregate inside the loop, so frontier rows multiply by node degree
+    * per hop (~550k rows total here at either test SF) — the depth cap is
+    * what bounds that product, the same role the round count plays in the
+    * iterative family. */
+  val BfsMaxHop = 3
+
+  /** Seed node: part 1, parity-encoded like the PageRank node ids. */
+  val BfsSeed = 2L
+
+  /** Min-hop reachability from one part over the part↔supplier graph via a
+    * RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoopExec) — the
+    * supply-chain blast-radius query, and the library's declarative-SQL
+    * counterpart to the hand-rolled iterative traversals: bounded-depth
+    * traversals fit the recursive-CTE form directly; UNBOUNDED fixpoints
+    * (components, ranks) stay with the checkpointed driver-loop kernels
+    * ([[pageRankDist]], [[graft.llm.Dedup]]'s min-label components), which
+    * dedupe the frontier between rounds — the thing the recursion's
+    * UNION ALL loop cannot do.
+    *
+    * Scale shape: the edge list is built ONCE, eagerly materialized
+    * (localCheckpoint — the [[triangleCounts]] lineage-cut discipline), and
+    * registered as the view the recursion scans each iteration; every hop
+    * is then one equi-join of the (hop-bounded) frontier against that
+    * local table, and the min-hop aggregate runs once, after the loop.
+    * Node ids stay parity-encoded longs inside the loop; strings are
+    * minted only in the final projection. */
+  def reachBfs(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    val edges = ps.select((col("p") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      .unionByName(ps.select((col("sk") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+      .localCheckpoint(true)
+    edges.createOrReplaceTempView("graft_bfs_edges")
+    s.sql(s"""
+      WITH RECURSIVE reach(nid, hop) AS (
+        SELECT CAST($BfsSeed AS BIGINT) AS nid, 0 AS hop
+        UNION ALL
+        SELECT e.dst, r.hop + 1
+        FROM reach r JOIN graft_bfs_edges e ON e.src = r.nid
+        WHERE r.hop < $BfsMaxHop
+      )
+      SELECT CASE WHEN nid % 2 = 0 THEN concat('p:', CAST(nid DIV 2 AS STRING))
+                  ELSE concat('s:', CAST((nid - 1) DIV 2 AS STRING)) END AS node,
+             min(hop) AS hop
+      FROM reach GROUP BY nid ORDER BY hop, node""")
+  }
+
+  val reachBfsSql: String =
+    s"""WITH RECURSIVE
+        ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+        e AS (SELECT p * 2 AS src, sk * 2 + 1 AS dst FROM ps
+              UNION ALL
+              SELECT sk * 2 + 1, p * 2 FROM ps),
+        reach(nid, hop) AS (
+          SELECT CAST($BfsSeed AS BIGINT), 0
+          UNION ALL
+          SELECT e.dst, r.hop + 1 FROM reach r JOIN e ON e.src = r.nid
+          WHERE r.hop < $BfsMaxHop
+        )
+        SELECT CASE WHEN nid % 2 = 0 THEN 'p:' || CAST(nid // 2 AS BIGINT)
+                    ELSE 's:' || CAST((nid - 1) // 2 AS BIGINT) END AS node,
+          CAST(min(hop) AS INT) AS hop
+        FROM reach GROUP BY nid ORDER BY hop, node"""
 }

@@ -94,4 +94,28 @@ class SketchesSpec extends SparkSpec {
         s"node $n: pipeline ${got(n)._2} vs brute ${triPerNode(n)}")
     }
   }
+
+  test("recursive-CTE reachability equals an in-memory BFS from the same seed") {
+    val got = Graph.reachBfs(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    // In-memory BFS over the same parity-encoded bipartite graph.
+    val ps = Tables.lineitem(spark, Sf)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val adj = (ps ++ ps.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val hops = scala.collection.mutable.Map(Graph.BfsSeed -> 0)
+    var frontier = Set(Graph.BfsSeed)
+    (1 to Graph.BfsMaxHop).foreach { h =>
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(hops.contains)
+      frontier.foreach(hops(_) = h)
+    }
+    def name(nid: Long) =
+      if (nid % 2 == 0) s"p:${nid / 2}" else s"s:${(nid - 1) / 2}"
+    val expect = hops.map { case (nid, h) => name(nid) -> h }.toMap
+    assert(got == expect, s"BFS mismatch: got ${got.size} nodes, expected ${expect.size}")
+    // the traversal must actually leave hop 1 (2-hop part neighborhood live)
+    assert(got.values.count(_ == 2) > 0 && got.values.count(_ == 1) > 0)
+  }
 }
