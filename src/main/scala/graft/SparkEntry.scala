@@ -64,6 +64,8 @@ object SparkEntry {
     "q_date_arithmetic" -> (Analytics.dateArithmetic _),
     "q_mode" -> (Analytics.modeAgg _),
     "q_json_extract" -> (Analytics.jsonExtract _),
+    "q_variant_extract" -> (Analytics.variantExtract _),
+    "q_sql_udf" -> (Analytics.sqlUdf _),
     "q_array_funcs" -> (Analytics.arrayFuncs _),
     "q_string_funcs" -> (Analytics.stringFuncs _),
     "q_case_math" -> (Analytics.caseMath _),
@@ -382,6 +384,8 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
          FROM events ORDER BY event_id""",
+    "q_variant_extract" -> Analytics.variantExtractSql,
+    "q_sql_udf" -> Analytics.sqlUdfSql,
     "q_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
          embedding[1] AS first_val, embedding[64] AS last_val, label

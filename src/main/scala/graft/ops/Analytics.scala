@@ -422,6 +422,69 @@ object Analytics {
         get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
       .orderBy("event_id")
 
+  /** Semi-structured extraction through Spark 4's VARIANT type: props is
+    * parsed ONCE into the binary variant encoding, then every access is a
+    * typed `variant_get` path lookup — the engine-native answer to
+    * schema-on-read JSON at scale, vs [[jsonExtract]]'s per-access string
+    * re-parse (get_json_object re-tokenizes the JSON text for every path
+    * it serves; variant parses once and serves any number of typed reads
+    * from the binary form). Both extraction styles stay whole-stage
+    * codegen'd; the aggregate is the usual map-side-combined shuffle on a
+    * 10-value key. */
+  def variantExtract(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("graft_variant_events")
+    s.sql("""
+      SELECT variant_get(v, '$.k', 'bigint') % 10 AS k_mod,
+             count(*) AS cnt,
+             sum(variant_get(v, '$.k', 'bigint')) AS k_sum
+      FROM (SELECT parse_json(props) AS v FROM graft_variant_events)
+      GROUP BY 1 ORDER BY 1""")
+  }
+
+  val variantExtractSql: String =
+    """SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod,
+         count(*) AS cnt,
+         CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum
+       FROM events GROUP BY 1 ORDER BY 1"""
+
+  /** Scalar UDF surface via a SQL-body function (Spark 4 CREATE FUNCTION
+    * ... RETURN expr): the margin formula registers as a named reusable
+    * function, and — unlike a Scala/Python UDF black box — the body
+    * INLINES into the Catalyst plan, so the pricing aggregate below stays
+    * fully codegen'd, pushdown-eligible, and engine-portable (the oracle
+    * runs the same arithmetic inline). This is the library's recommended
+    * UDF tier before reaching for a compiled Expression. Determinism: the
+    * per-row margin has at most 6 decimals (2 dp price x 2 dp rate x 2 dp
+    * rate), so the declared DECIMAL(18,6) return type represents it
+    * EXACTLY — a scale-4 return was measured to diverge from the oracle on
+    * half-ties (Spark casts HALF_UP, DuckDB HALF_EVEN); only the final sum
+    * casts to double. */
+  def sqlUdf(s: SparkSession, d: String): DataFrame = {
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_margin(
+               p DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DECIMAL(18,6)
+             RETURN CAST(p AS DECIMAL(18,4)) * CAST(1.0 - disc AS DECIMAL(5,2))
+                    * CAST(1.0 + tax AS DECIMAL(5,2))""")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_udf_lineitem")
+    s.sql("""
+      SELECT l_returnflag,
+             count(*) AS cnt,
+             CAST(sum(graft_margin(l_extendedprice, l_discount, l_tax))
+                  AS DOUBLE) AS net_revenue
+      FROM graft_udf_lineitem
+      GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
+  /** The inner CAST to DECIMAL(18,6) mirrors the FUNCTION's declared
+    * return type; it is exact (the product has at most 6 decimals), so
+    * both engines agree bit-for-bit. */
+  val sqlUdfSql: String =
+    """SELECT l_returnflag, count(*) AS cnt,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * CAST(1.0 - l_discount AS DECIMAL(5,2))
+                  * CAST(1.0 + l_tax AS DECIMAL(5,2)) AS DECIMAL(18,6)))
+              AS DOUBLE) AS net_revenue
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   /** Array functions over the embeddings table (array<float> native column). */
   def arrayFuncs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
