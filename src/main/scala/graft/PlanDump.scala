@@ -169,7 +169,13 @@ object PlanDump {
     "q_pad_waste" -> ("Length-bucketed padding-waste report. Expect: one " +
       "corpus scan, per-row integer bucket arithmetic, a <=64-row bucket " +
       "aggregate (map-side combined) and the 1-row corpus max as a " +
-      "BROADCAST cross join — no windows, no wide joins."))
+      "BROADCAST cross join — no windows, no wide joins."),
+    "q_reach_bfs" -> ("Recursive-CTE BFS (Spark 4 UnionLoop). Expect: the " +
+      "loop's per-hop step as ONE equi-join of the frontier against the " +
+      "localCheckpointed edge view (an ExistingRDD / LocalTableScan-backed " +
+      "scan, NOT a parquet re-scan per iteration — the edge build ran once, " +
+      "eagerly), the hop guard as the loop's anchor condition, and the " +
+      "min-hop aggregate + sort OUTSIDE the loop."))
 
   /** Streaming queries return a sink read whose plan says nothing; what
     * scales (or doesn't) is the per-micro-batch KERNEL. These dump the same

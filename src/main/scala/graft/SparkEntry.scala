@@ -66,6 +66,7 @@ object SparkEntry {
     "q_json_extract" -> (Analytics.jsonExtract _),
     "q_variant_extract" -> (Analytics.variantExtract _),
     "q_sql_udf" -> (Analytics.sqlUdf _),
+    "q_collation" -> (Analytics.collationGroup _),
     "q_array_funcs" -> (Analytics.arrayFuncs _),
     "q_string_funcs" -> (Analytics.stringFuncs _),
     "q_case_math" -> (Analytics.caseMath _),
@@ -386,6 +387,7 @@ object SparkEntry {
          FROM events ORDER BY event_id""",
     "q_variant_extract" -> Analytics.variantExtractSql,
     "q_sql_udf" -> Analytics.sqlUdfSql,
+    "q_collation" -> Analytics.collationGroupSql,
     "q_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
          embedding[1] AS first_val, embedding[64] AS last_val, label

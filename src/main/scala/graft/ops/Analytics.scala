@@ -447,6 +447,43 @@ object Analytics {
          CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum
        FROM events GROUP BY 1 ORDER BY 1"""
 
+  /** Case-insensitive grouping through Spark 4's COLLATION support: the
+    * part-type dimension is deterministically case-mixed (even keys
+    * uppercased), then re-unified by grouping on the UTF8_LCASE-collated
+    * key — the engine-native answer to dirty categorical data, vs the
+    * lower()-everything rewrite (which loses the original casing; here
+    * min(t) — binary, NOT collated, so deterministic within a
+    * case-insensitive group — reports a canonical spelling). The collated
+    * group-by is still one map-side-combined hash aggregate; collation
+    * changes the key's equality/hash functions, not the plan shape. */
+  def collationGroup(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("graft_collate_part")
+    s.sql("""
+      WITH mixed AS (
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type) ELSE p_type END
+                 AS t,
+               p_retailprice
+        FROM graft_collate_part)
+      SELECT min(t) AS p_type, count(*) AS cnt,
+             CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_price
+      FROM mixed
+      GROUP BY t COLLATE UTF8_LCASE
+      ORDER BY p_type""")
+  }
+
+  /** ASCII-only domain, so lcase-collated equality == equality of lower(). */
+  val collationGroupSql: String =
+    """WITH mixed AS (
+         SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type) ELSE p_type END
+                  AS t,
+                p_retailprice
+         FROM part)
+       SELECT min(t) AS p_type, count(*) AS cnt,
+         CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS sum_price
+       FROM mixed GROUP BY lower(t) ORDER BY p_type"""
+
   /** Scalar UDF surface via a SQL-body function (Spark 4 CREATE FUNCTION
     * ... RETURN expr): the margin formula registers as a named reusable
     * function, and — unlike a Scala/Python UDF black box — the body

@@ -443,6 +443,96 @@ object EventStreams {
     s.table("graft_sessions").orderBy("user_id", "sess_start")
   }
 
+  /** The same per-user sessionization through Spark 4's transformWithState
+    * — the arbitrary-state API that supersedes flatMapGroupsWithState:
+    * typed named state (a ValueState here; List/Map state and TTL are the
+    * API's other tiers) on the REQUIRED RocksDB state-store provider, with
+    * EXPLICIT event-time timers replacing the single implicit timeout slot
+    * (a processor can hold many timers per key; sessions need one — the
+    * gap deadline, re-armed on every extension, with the stale-timer guard
+    * in the expiry handler since old deadlines still fire). Logic is
+    * deliberately identical to [[sessionizeStream]] so StreamingSpec can
+    * demand the two emit the SAME session set — the API-migration
+    * equivalence a production pipeline would gate its upgrade on. */
+  class SessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, Sess] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var st: ValueState[SessState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessState]("sess",
+        Encoders.product[SessState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[Sess] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var out = List.empty[Sess]
+      var cur: Option[SessState] = if (st.exists()) Some(st.get()) else None
+      sorted.foreach { e =>
+        cur match {
+          case Some(c) if e.ts_us - c.last <= SessionGapMs * 1000 =>
+            cur = Some(c.copy(last = e.ts_us, n = c.n + 1))
+          case Some(c) =>
+            out ::= Sess(key, c.start, c.last, c.n)
+            cur = Some(SessState(e.ts_us, e.ts_us, 1))
+          case None =>
+            cur = Some(SessState(e.ts_us, e.ts_us, 1))
+        }
+      }
+      cur.foreach { c =>
+        st.update(c)
+        // Same clamp as the fMGWS formulation: the gap deadline may already
+        // be behind the watermark; a timer must sit strictly ahead of it.
+        getHandle.registerTimer(math.max(c.last / 1000 + SessionGapMs,
+          tv.getCurrentWatermarkInMs() + 1))
+      }
+      out.reverseIterator
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        ti: ExpiredTimerInfo): Iterator[Sess] = {
+      // Stale-timer guard: a session extension re-arms a LATER deadline but
+      // the old timer still fires — only close if this expiry really is the
+      // session's current deadline (or past it).
+      if (st.exists()) {
+        val c = st.get()
+        if (c.last / 1000 + SessionGapMs <= ti.getExpiryTimeInMs()) {
+          st.clear()
+          return Iterator.single(Sess(key, c.start, c.last, c.n))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  def sessionizeStreamTws(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val dir = stageEvents(s, d)
+    // transformWithState requires the RocksDB provider; session-scope it
+    // like the layout writer's timestamp conf (restore after the run).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = s.readStream.schema(stagedSchema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("event_type"), col("ts"))
+        .as[Ev]
+      val sessions = stream.groupByKey(_.user_id)
+        .transformWithState(new SessionProcessor, TimeMode.EventTime(),
+          OutputMode.Append())
+      val q = sessions.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("graft_sessions_tws").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_sessions_tws").orderBy("user_id", "sess_start")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Streaming ETL into a PARQUET FILE SINK — the landing-zone-to-lake shape
     * every production pipeline ends in, where the memory-sink queries above
     * end in a table. Append-mode watermarked hourly aggregate → parquet

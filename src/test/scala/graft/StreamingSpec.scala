@@ -187,6 +187,24 @@ class StreamingSpec extends SparkSpec {
       s"too few sessions emitted: $emitted of $total")
   }
 
+  test("transformWithState sessions == flatMapGroupsWithState sessions (API migration equivalence)") {
+    val tws = EventStreams.sessionizeStreamTws(spark, Sf)
+    val fmgws = EventStreams.sessionizeStream(spark, Sf)
+    assert(tws.count() > 0, "TWS emitted no sessions")
+    // Identical session logic, same staged input, same timers: the new
+    // arbitrary-state API must reproduce the old implicit-timeout API's
+    // output EXACTLY — the gate a production pipeline runs before migrating.
+    assert(tws.exceptAll(fmgws).count() == 0 &&
+      fmgws.exceptAll(tws).count() == 0,
+      s"TWS (${tws.count()}) and fMGWS (${fmgws.count()}) session sets diverge")
+    // and both must stay inside the batch gaps-and-islands truth
+    val batch = Analytics.sessionize(spark, Sf)
+      .select(col("user_id"),
+        unix_micros(col("sess_start")).as("start_us"), col("n_events"))
+    assert(tws.select(col("user_id"), col("sess_start").as("start_us"),
+      col("n_events")).exceptAll(batch).count() == 0)
+  }
+
   test("file sink restart over the same checkpoint is exactly-once (no re-emission)") {
     val dir = EventStreams.stageEvents(spark, Sf)
     val base = java.nio.file.Files.createTempDirectory("graft_filesink_spec").toString
