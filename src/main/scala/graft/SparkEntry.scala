@@ -139,6 +139,7 @@ object SparkEntry {
     "q_media_meta" -> (Multimodal.mediaMeta _),
     "q_media_features" -> (Multimodal.mediaFeatures _),
     "q_media_frames" -> (Multimodal.mediaFrames _),
+    "q_media_motion" -> (Multimodal.mediaMotion _),
     "q_media_audio" -> (Multimodal.mediaAudio _),
     // Execution control, generators, custom aggregator, streaming
     "q_cached_fanout" -> (Execution.cachedFanout _),
@@ -511,6 +512,7 @@ object SparkEntry {
     "q_media_meta" -> Multimodal.mediaMetaSql,
     "q_media_features" -> Multimodal.mediaFeaturesSql,
     "q_media_frames" -> Multimodal.mediaFramesSql,
+    "q_media_motion" -> Multimodal.mediaMotionSql,
     "q_media_audio" -> Multimodal.mediaAudioSql,
     "q_cached_fanout" -> Execution.cachedFanoutSql,
     "q_surrogate_ids" -> Execution.surrogateIdsSql,

@@ -377,9 +377,13 @@ object Multimodal {
     * vertical downsample (every 2nd pixel row). Digests are md5 over the
     * uppercase hex rendering — the [[mediaMeta]] convention, because the
     * differential oracle's md5 is VARCHAR-only. */
-  private[graft] def decodePgmFrames(docId: Long,
-      payload: Array[Byte]): Seq[FrameRow] = {
-    val rows = scala.collection.mutable.ListBuffer.empty[FrameRow]
+  /** Sequential walk of a multi-image P5 payload: every frame's pixel
+    * offset depends on its parsed header length, so a wrong parse shifts
+    * every later frame (the digest gates catch that). Shared by the
+    * sampling decoder and the motion profiler. */
+  private[graft] def parseP5Frames(
+      payload: Array[Byte]): Seq[(Int, Int, Int, Array[Byte])] = {
+    val frames = scala.collection.mutable.ListBuffer.empty[(Int, Int, Int, Array[Byte])]
     var pos = 0
     var frameNo = 0
     while (pos < payload.length) {
@@ -402,17 +406,22 @@ object Multimodal {
       require(maxv == 255, s"unsupported PGM maxval $maxv")
       pos += 1 // single whitespace before pixel data
       require(payload.length >= pos + w * h, "truncated PGM frame")
-      if (frameNo % 2 == 0) {
-        val frame = java.util.Arrays.copyOfRange(payload, pos, pos + w * h)
-        val half = (0 until h by 2).flatMap(r =>
-          frame.slice(r * w, (r + 1) * w)).toArray
-        rows += FrameRow(docId, frameNo, w, h, hexMd5(frame), hexMd5(half))
-      }
+      frames += ((frameNo, w, h,
+        java.util.Arrays.copyOfRange(payload, pos, pos + w * h)))
       pos += w * h
       frameNo += 1
     }
-    rows.toList
+    frames.toList
   }
+
+  private[graft] def decodePgmFrames(docId: Long,
+      payload: Array[Byte]): Seq[FrameRow] =
+    parseP5Frames(payload).collect { case (frameNo, w, h, frame)
+        if frameNo % 2 == 0 =>
+      val half = (0 until h by 2).flatMap(r =>
+        frame.slice(r * w, (r + 1) * w)).toArray
+      FrameRow(docId, frameNo, w, h, hexMd5(frame), hexMd5(half))
+    }
 
   /** Frame sampling + stride-2 resize over REAL video payloads: the video
     * slice encodes a genuine multi-frame binary P5 stream per document
@@ -465,4 +474,66 @@ object Multimodal {
                md5(upper(px.hhex)) AS half_res_md5
         FROM e JOIN px USING (doc_id, frame_no)
         ORDER BY e.doc_id, e.frame_no"""
+
+  case class MotionRow(
+      doc_id: Long,
+      frame_from: Int,
+      npix: Long,
+      sad: Long,
+      mean_centi: Long)
+
+  /** Temporal motion profile over the REAL video payloads: every
+    * consecutive frame pair's sum of absolute pixel differences (SAD — the
+    * kernel under scene-cut detection, shot segmentation, and codec motion
+    * search), integer-exact end to end: sad is a plain long sum, the mean
+    * is reported in integer centi-levels (sad*100 div npix). The decoder
+    * re-parses the multi-frame P5 stream through [[parseP5Frames]] —
+    * header-length-dependent offsets and all — so the SAD gate doubles as
+    * a full-payload parse gate (the sampling decoder only touches every
+    * 2nd frame; this touches them all). Per-partition typed mapPartitions,
+    * no shuffle except the presentation sort. */
+  def mediaMotion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 2) // the mediaTable "video" slice
+      .select(col("doc_id"), col("n_chars").cast(LongType).as("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.flatMap { case (id, nChars) =>
+        val (w, h, nf) = videoGeometry(id, nChars)
+        val frames = parseP5Frames(encodePgmStream(w, h, nf, id))
+        frames.sliding(2).collect { case Seq((f0, _, _, a), (_, _, _, b)) =>
+          var sad = 0L; var i = 0
+          while (i < a.length) {
+            sad += math.abs((a(i) & 0xff) - (b(i) & 0xff)); i += 1
+          }
+          MotionRow(id, f0, a.length.toLong, sad, sad * 100 / a.length)
+        }
+      })
+      .toDF()
+      .orderBy("doc_id", "frame_from")
+  }
+
+  /** Oracle: the generator arithmetic gives pixel i of frame f directly,
+    * so the SAD is a series sum of |p(f+1,i) - p(f,i)|. */
+  val mediaMotionSql: String =
+    """WITH v AS (SELECT doc_id,
+                    CAST(n_chars % 16 + 1 AS INT) AS w,
+                    CAST(doc_id % 12 + 1 AS INT) AS h,
+                    CAST(doc_id % 4 + 2 AS INT) AS nf
+                  FROM documents WHERE doc_id % 3 = 2),
+       p AS (SELECT doc_id, w, h, f.f AS frame_from
+             FROM v, generate_series(0, 3) f(f)
+             WHERE f.f < nf - 1),
+       sads AS (SELECT p.doc_id, p.frame_from,
+                  CAST(p.w * p.h AS BIGINT) AS npix,
+                  CAST(sum(abs(
+                    (p.doc_id * 17 + (p.frame_from + 1) * 101 + i * 7) % 256
+                    - (p.doc_id * 17 + p.frame_from * 101 + i * 7) % 256))
+                    AS BIGINT) AS sad
+                FROM p, generate_series(0, 16 * 12 - 1) t(i)
+                WHERE i < p.w * p.h
+                GROUP BY p.doc_id, p.frame_from, p.w, p.h)
+       SELECT doc_id, CAST(frame_from AS INT) AS frame_from, npix, sad,
+         CAST(sad * 100 // npix AS BIGINT) AS mean_centi
+       FROM sads ORDER BY doc_id, frame_from"""
 }

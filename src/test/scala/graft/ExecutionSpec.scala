@@ -110,6 +110,26 @@ class ExecutionSpec extends SparkSpec {
     }
   }
 
+  test("motion profile SAD matches a direct generator-arithmetic replay") {
+    val rows = Multimodal.mediaMotion(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // Replay one doc's SADs straight from the pixel formula.
+    val id = rows.head.getLong(0)
+    val nChars = Tables.documents(spark, Sf)
+      .filter(col("doc_id") === id).head().getAs[Long]("n_chars")
+    val (w, h, nf) = ((nChars % 16 + 1).toInt, (id % 12 + 1).toInt, (id % 4 + 2).toInt)
+    def px(f: Int, i: Int): Long = (id * 17 + f.toLong * 101 + i.toLong * 7) % 256
+    val expect = (0 until nf - 1).map { f =>
+      (0 until w * h).map(i => math.abs(px(f + 1, i) - px(f, i))).sum
+    }
+    val got = rows.filter(_.getLong(0) == id).sortBy(_.getInt(1)).map(_.getLong(3)).toSeq
+    assert(got == expect, s"doc $id: SADs $got != replayed $expect")
+    // mean_centi is the integer-div law, and every pair of every doc obeys it
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(3) * 100 / r.getLong(2))
+    }
+  }
+
   test("WAV parser reads little-endian headers and sample deviations exactly") {
     // Encoder round-trip: fields come from the DECODED header.
     val (rate, n, durMs, dev) = Multimodal.decodeWav(
