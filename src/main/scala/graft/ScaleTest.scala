@@ -119,7 +119,8 @@ object ScaleTest {
       "q_approx_quantile", "q5_shape", "q_merge_upsert",
       "q_window_range_frame", "q_asof_native",
       "q_table_stats", "q_equidepth_hist",
-      "q_basket_pairs", "q_incr_agg", "q_dpp_join", "q_triangle_count")
+      "q_basket_pairs", "q_incr_agg", "q_dpp_join", "q_triangle_count",
+      "q_reach_bfs", "q_variant_extract", "q_sql_udf", "q_collation")
 
     def time(dir: String): Map[String, Double] =
       subset.map { name =>
@@ -172,7 +173,8 @@ object ScaleTest {
       "q_mixture_rebalance", "q_dup_ngram_fraction", "q_lm_perplexity",
       "q_ppl_buckets", "q_source_scorecard", "q_bm25_topk", "q_hybrid_rrf",
       "q_train_split", "q_shard_manifest", "q_source_overlap",
-      "q_pmi_pairs", "q_len_hist", "q_ngram_novelty", "q_dedup_savings")
+      "q_pmi_pairs", "q_len_hist", "q_ngram_novelty", "q_dedup_savings",
+      "q_pad_waste", "q_media_motion")
     def time(dir: String): Map[String, Double] =
       subset.map { name =>
         val t0 = System.nanoTime()

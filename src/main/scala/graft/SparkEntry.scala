@@ -34,6 +34,7 @@ object SparkEntry {
     "q_distinct_flags" -> (Relational.distinctFlags _),
     "q_global_count" -> (Relational.globalCount _),
     "q_csv_roundtrip" -> (Relational.csvRoundtrip _),
+    "q_log_parse" -> (Relational.logParse _),
     "q_orc_roundtrip" -> (Relational.orcRoundtrip _),
     "q_zorder_layout" -> (graft.ops.Layout.zOrderLayout _),
     "q_dpp_join" -> (graft.ops.Layout.dppJoin _),
@@ -282,6 +283,7 @@ object SparkEntry {
          ORDER BY l_returnflag, l_linestatus""",
     "q_global_count" ->
       "SELECT count(*) AS cnt FROM lineitem",
+    "q_log_parse" -> Relational.logParseSql,
     "q_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q_orc_roundtrip" ->

@@ -183,6 +183,46 @@ object Relational {
       .orderBy("r_regionkey")
   }
 
+  /** Raw-text log parsing — the classic "access log" ETL: events rendered
+    * as unstructured log LINES (`<id> ts=<us> user=<id> [<type>]
+    * cents=<c>`), landed via the TEXT sink, then read back with
+    * `spark.read.text` and field-extracted by codegen'd `regexp_extract` —
+    * the schema-on-read path for the petabytes of logs that never had a
+    * schema. Money rides as integer cents inside the line (float text
+    * round-trips are locale/precision bait). One scan, per-row regex in
+    * whole-stage codegen, then the usual map-side-combined aggregate; the
+    * oracle computes the same rollup from the structured source, so the
+    * gate proves the render → parse cycle loses nothing. */
+  def logParse(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_text_log"
+    Tables.events(s, d)
+      .select(concat(
+        col("event_id"), lit(" ts="), unix_micros(col("ts")),
+        lit(" user="), col("user_id"),
+        lit(" ["), col("event_type"), lit("] cents="),
+        round(col("value") * 100, 0).cast(LongType)).as("value"))
+      .write.mode("overwrite").text(out)
+    s.read.text(out)
+      .select(
+        regexp_extract(col("value"), "\\[([a-z_]+)\\]", 1).as("event_type"),
+        regexp_extract(col("value"), "user=(\\d+)", 1).cast(LongType)
+          .as("user_id"),
+        regexp_extract(col("value"), "cents=(-?\\d+)", 1).cast(LongType)
+          .as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct("user_id").as("n_users"),
+        sum("cents").as("sum_cents"))
+      .orderBy("event_type")
+  }
+
+  val logParseSql: String =
+    """SELECT event_type, count(*) AS cnt,
+         count(DISTINCT user_id) AS n_users,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
   /** Schema-evolution roundtrip: batch A writes the original nation schema,
     * batch B the evolved one (an added n_pop column); a `mergeSchema` read
     * reconciles both generations, null-filling the added column for
