@@ -429,4 +429,47 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       graft.TrackedCaches.release()
     }
   }
+
+  test("basket rules: ratio sides broadcast, top-100 is a TakeOrdered, no cartesian") {
+    val df = graft.ops.Analytics.basketPairs(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // part-frequency (x2) + the 1-row order total must all arrive broadcast
+    // onto the pair counts — part is dimension-arity at any corpus scale.
+    val bhj = collectWithSubqueries(plan) {
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bhj.size >= 3,
+      s"expected n_a, n_b and the order total as broadcasts, got ${bhj.size}:\n$plan")
+    val cart = collectWithSubqueries(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(cart.isEmpty, s"unbounded cartesian in:\n$plan")
+    // the top-100 must not globally sort the pair stream
+    val takeOrdered = collectWithSubqueries(plan) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(takeOrdered.nonEmpty,
+      s"top-100 must be a TakeOrdered, not a global sort + limit:\n$plan")
+  }
+
+  test("incremental MV: both aggregate sides scan with the cutoff pushed down") {
+    val df = graft.ops.Quality.incrAgg(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // Exactly two orders scans — base and delta — each with its date bound
+    // pushed to the parquet reader (on a date-partitioned lake this is the
+    // partition prune that makes the refresh incremental). Nothing may
+    // rescan the union.
+    val scans = collectWithSubqueries(plan) { case f: FileSourceScanExec => f }
+    assert(scans.size == 2, s"expected base + delta scans, got ${scans.size}:\n$plan")
+    scans.foreach { f =>
+      assert(f.dataFilters.exists(_.references.exists(_.name == "o_orderdate")),
+        s"cutoff must reach the scan as a data filter:\n$f")
+      assert(f.metadata.get("PushedFilters").exists(p =>
+        p.contains("GreaterThanOrEqual") || p.contains("LessThan")),
+        s"cutoff must be PUSHED to the parquet reader:\n${f.metadata.get("PushedFilters")}")
+    }
+  }
 }
