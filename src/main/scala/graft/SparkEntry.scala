@@ -192,6 +192,8 @@ object SparkEntry {
     "q_curation_funnel" -> (TextAnalysis.curationFunnel _),
     // Product/event analytics over the event stream
     "q_event_funnel" -> (graft.ops.EventAnalytics.eventFunnel _),
+    "q_event_paths" -> (graft.ops.EventAnalytics.eventPaths _),
+    "q_ab_test" -> (graft.ops.EventAnalytics.abTest _),
     "q_cohort_retention" -> (graft.ops.EventAnalytics.cohortRetention _),
     "q_event_transitions" -> (graft.ops.EventAnalytics.eventTransitions _),
     "q_gap_fill" -> (graft.ops.EventAnalytics.gapFill _),
@@ -569,6 +571,8 @@ object SparkEntry {
     "q_dup_ngram_fraction" -> Dedup.dupNgramFractionSql,
     "q_curation_funnel" -> TextAnalysis.curationFunnelSql,
     "q_event_funnel" -> graft.ops.EventAnalytics.eventFunnelSql,
+    "q_event_paths" -> graft.ops.EventAnalytics.eventPathsSql,
+    "q_ab_test" -> graft.ops.EventAnalytics.abTestSql,
     "q_cohort_retention" -> graft.ops.EventAnalytics.cohortRetentionSql,
     "q_event_transitions" -> graft.ops.EventAnalytics.eventTransitionsSql,
     "q_gap_fill" -> graft.ops.EventAnalytics.gapFillSql,

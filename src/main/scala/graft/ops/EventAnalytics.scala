@@ -605,4 +605,110 @@ object EventAnalytics {
          CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
            || CAST(m_score AS VARCHAR) AS segment
        FROM scored ORDER BY user_id"""
+
+  /** Path length for [[eventPaths]] (3 = the "user journey" trigram). */
+  val PathLen = 3
+  val PathTopK = 20
+
+  /** Top user journeys: the most frequent length-[[PathLen]] CONTIGUOUS
+    * event-type sequences across all per-user timelines — the product
+    * question behind every Sankey/flow chart ("what do users actually do,
+    * in order"). Sequences are user-partitioned lead() windows (never a
+    * global window); the path aggregate is path-arity (|event_types|³ ≤ a
+    * few hundred keys here), map-side combined; the top-20 is a
+    * TakeOrdered with a full deterministic tie-break. */
+  def eventPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(PathTopK)
+  }
+
+  val eventPathsSql: String =
+    s"""WITH o AS (SELECT user_id, event_type,
+            lead(event_type, 1) OVER w AS e2,
+            lead(event_type, 2) OVER w AS e3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+        FROM o WHERE e3 IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, path LIMIT $PathTopK"""
+
+  /** A/B experiment readout: users deterministically hash-split into two
+    * arms (md5 parity — the [[graft.llm.TextAnalysis]] salted-split
+    * discipline, so assignment is stable and balanced), compared on mean
+    * per-user spend via the WELCH t-statistic. Everything up to the final
+    * statistic is integer-exact — per-user spend in cents, arm-level
+    * n / Σx / Σx² as longs — so the double arithmetic that produces the
+    * t value runs on identical integers in both engines and rounds
+    * identically at 4 dp. Output: one row per arm with its components,
+    * plus the shared t_stat (the analyst-facing number).
+    *
+    * Scale shape: one user-keyed aggregate (map-side combined) over the
+    * fact stream, then a 2-row arm rollup; the t computation is scalar.
+    * At 100 TB the per-user aggregate is the only real work. */
+  def abTest(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(sum(round(col("value") * 100, 0).cast(LongType)).as("cents"))
+      .withColumn("arm",
+        when(expr("conv(substr(md5(cast(user_id as string)), 1, 8), 16, 10)")
+          .cast(LongType) % 2 === 0, "A").otherwise("B"))
+    val arms = perUser.groupBy("arm").agg(
+      count(lit(1)).as("n_users"),
+      sum("cents").as("sum_cents"),
+      sum(col("cents") * col("cents")).as("sumsq_cents"))
+    val wide = arms.groupBy().pivot("arm", Seq("A", "B")).agg(
+      first("n_users").as("n"), first("sum_cents").as("sum"),
+      first("sumsq_cents").as("sumsq"))
+    val t = wide.select(
+      col("A_n"), col("A_sum"), col("A_sumsq"),
+      col("B_n"), col("B_sum"), col("B_sumsq"),
+      round(
+        (col("A_sum").cast("double") / col("A_n")
+          - col("B_sum").cast("double") / col("B_n"))
+        / sqrt(
+          ((col("A_sumsq") - col("A_sum").cast("double") * col("A_sum") / col("A_n"))
+            / (col("A_n") - 1) / col("A_n"))
+          + ((col("B_sumsq") - col("B_sum").cast("double") * col("B_sum") / col("B_n"))
+            / (col("B_n") - 1) / col("B_n"))), 4).as("t_stat"))
+    t.select(col("A_n").as("n_a"), col("A_sum").as("sum_cents_a"),
+      col("B_n").as("n_b"), col("B_sum").as("sum_cents_b"), col("t_stat"))
+  }
+
+  val abTestSql: String =
+    """WITH u AS (SELECT user_id,
+            CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+          FROM events GROUP BY 1),
+       armed AS (SELECT cents,
+            CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+          FROM u),
+       s AS (SELECT arm, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS sc,
+               CAST(sum(cents * cents) AS BIGINT) AS sq
+             FROM armed GROUP BY arm),
+       w AS (SELECT
+               max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+               max(CASE WHEN arm = 'A' THEN sc END) AS sum_a,
+               max(CASE WHEN arm = 'A' THEN sq END) AS sq_a,
+               max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+               max(CASE WHEN arm = 'B' THEN sc END) AS sum_b,
+               max(CASE WHEN arm = 'B' THEN sq END) AS sq_b
+             FROM s)
+       SELECT n_a, sum_a AS sum_cents_a, n_b, sum_b AS sum_cents_b,
+         round(
+           (CAST(sum_a AS DOUBLE) / n_a - CAST(sum_b AS DOUBLE) / n_b)
+           / sqrt(
+             (sq_a - CAST(sum_a AS DOUBLE) * sum_a / n_a) / (n_a - 1) / n_a
+             + (sq_b - CAST(sum_b AS DOUBLE) * sum_b / n_b) / (n_b - 1) / n_b),
+           4) AS t_stat
+       FROM w"""
 }

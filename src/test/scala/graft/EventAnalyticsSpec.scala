@@ -177,4 +177,47 @@ class EventAnalyticsSpec extends SparkSpec {
       .agg(sum(round(col("value") * 100, 0).cast("long"))).head().getLong(0)
     assert(rows.head.getLong(3) == cents)
   }
+
+  test("event paths match an in-memory trigram replay of the per-user timelines") {
+    val got = EventAnalytics.eventPaths(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val ev = Tables.events(spark, Sf)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime * 1000 + r.getTimestamp(2).getNanos / 1000 % 1000,
+        r.getLong(3)))
+    val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    ev.groupBy(_._1).values.foreach { rows =>
+      val types = rows.sortBy(r => (r._3, r._4)).map(_._2)
+      types.sliding(EventAnalytics.PathLen).filter(_.size == EventAnalytics.PathLen)
+        .foreach(tri => counts(tri.mkString(">")) += 1)
+    }
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(EventAnalytics.PathTopK)
+    assert(got == expect, s"paths diverge: got ${got.take(3)} vs ${expect.take(3)}")
+  }
+
+  test("A/B readout: integer components replay exactly and t has the analytic sign") {
+    val r = EventAnalytics.abTest(spark, Sf).head()
+    val (nA, sumA, nB, sumB, t) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    // arm assignment is ~balanced (md5 parity over the user dimension)
+    assert(math.abs(nA - nB) <= (nA + nB) / 3, s"arms badly unbalanced: $nA vs $nB")
+    // components replay from the raw table
+    val perUser = Tables.events(spark, Sf).groupBy("user_id")
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      .collect().map(r2 => r2.getLong(0) -> r2.getLong(1))
+    def arm(u: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(8)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "A" else "B"
+    }
+    val byArm = perUser.groupBy(p => arm(p._1))
+    assert(byArm("A").length == nA && byArm("B").length == nB)
+    assert(byArm("A").map(_._2).sum == sumA && byArm("B").map(_._2).sum == sumB)
+    // the statistic's sign must match the mean difference
+    val meanDiff = sumA.toDouble / nA - sumB.toDouble / nB
+    assert(t == 0.0 || t.sign == meanDiff.sign, s"t=$t vs meanDiff=$meanDiff")
+  }
 }
