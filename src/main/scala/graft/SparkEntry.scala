@@ -68,6 +68,7 @@ object SparkEntry {
     "q_variant_extract" -> (Analytics.variantExtract _),
     "q_sql_udf" -> (Analytics.sqlUdf _),
     "q_collation" -> (Analytics.collationGroup _),
+    "q_window_nth" -> (Analytics.windowNth _),
     "q_array_funcs" -> (Analytics.arrayFuncs _),
     "q_string_funcs" -> (Analytics.stringFuncs _),
     "q_case_math" -> (Analytics.caseMath _),
@@ -193,6 +194,7 @@ object SparkEntry {
     // Product/event analytics over the event stream
     "q_event_funnel" -> (graft.ops.EventAnalytics.eventFunnel _),
     "q_event_paths" -> (graft.ops.EventAnalytics.eventPaths _),
+    "q_funnel_windowed" -> (graft.ops.EventAnalytics.funnelWindowed _),
     "q_ab_test" -> (graft.ops.EventAnalytics.abTest _),
     "q_cohort_retention" -> (graft.ops.EventAnalytics.cohortRetention _),
     "q_event_transitions" -> (graft.ops.EventAnalytics.eventTransitions _),
@@ -393,6 +395,7 @@ object SparkEntry {
     "q_variant_extract" -> Analytics.variantExtractSql,
     "q_sql_udf" -> Analytics.sqlUdfSql,
     "q_collation" -> Analytics.collationGroupSql,
+    "q_window_nth" -> Analytics.windowNthSql,
     "q_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
          embedding[1] AS first_val, embedding[64] AS last_val, label
@@ -572,6 +575,7 @@ object SparkEntry {
     "q_curation_funnel" -> TextAnalysis.curationFunnelSql,
     "q_event_funnel" -> graft.ops.EventAnalytics.eventFunnelSql,
     "q_event_paths" -> graft.ops.EventAnalytics.eventPathsSql,
+    "q_funnel_windowed" -> graft.ops.EventAnalytics.funnelWindowedSql,
     "q_ab_test" -> graft.ops.EventAnalytics.abTestSql,
     "q_cohort_retention" -> graft.ops.EventAnalytics.cohortRetentionSql,
     "q_event_transitions" -> graft.ops.EventAnalytics.eventTransitionsSql,

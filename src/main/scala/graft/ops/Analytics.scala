@@ -447,6 +447,41 @@ object Analytics {
          CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum
        FROM events GROUP BY 1 ORDER BY 1"""
 
+  /** Window-function breadth beyond the frame/rank suites: nth_value and
+    * IGNORE NULLS first_value over a FULL partition frame — per user, the
+    * second event type ever and the value of the first purchase (nulls from
+    * non-purchase rows skipped by the window itself, not a pre-filter).
+    * Both engines need the explicit ROWS UNBOUNDED..UNBOUNDED frame (the
+    * ORDER BY default frame stops at CURRENT ROW, where nth_value(2) is
+    * null on row 1 — a classic silent-wrong-answer). Money rides as cents.
+    * Windows are user-partitioned; the distinct() collapses the per-row
+    * window results to one row per user. */
+  def windowNth(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast(LongType)).as("purchase_cents"))
+      .select(col("user_id"),
+        nth_value(col("event_type"), 2).over(w).as("second_type"),
+        first(col("purchase_cents"), ignoreNulls = true).over(w)
+          .as("first_purchase_cents"))
+      .distinct()
+      .orderBy("user_id")
+  }
+
+  val windowNthSql: String =
+    """SELECT DISTINCT user_id,
+         nth_value(event_type, 2) OVER w AS second_type,
+         first_value(CASE WHEN event_type = 'purchase'
+             THEN CAST(round(value * 100, 0) AS BIGINT) END IGNORE NULLS)
+           OVER w AS first_purchase_cents
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       ORDER BY user_id"""
+
   /** Case-insensitive grouping through Spark 4's COLLATION support: the
     * part-type dimension is deterministically case-mixed (even keys
     * uppercased), then re-unified by grouping on the UTF8_LCASE-collated

@@ -606,6 +606,66 @@ object EventAnalytics {
            || CAST(m_score AS VARCHAR) AS segment
        FROM scored ORDER BY user_id"""
 
+  /** Conversion window for [[funnelWindowed]]: a step counts only within
+    * this many hours of the previous step's qualifying time — the "convert
+    * within a day" product constraint that unbounded funnels miss. */
+  val ConvWindowHours = 24
+
+  /** The [[eventFunnel]] chain under a per-step conversion WINDOW: step k
+    * qualifies only with an event strictly after step k-1's time AND within
+    * [[ConvWindowHours]] of it. Same min-after chaining, same shrinking
+    * user-keyed aggregates — the time bound just tightens each join's
+    * filter, so the 100 TB shape is unchanged (and the bound makes each
+    * step MORE selective, never wider). */
+  def funnelWindowed(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    def firstOf(tpe: String): DataFrame =
+      ev.filter(col("event_type") === tpe)
+        .groupBy("user_id").agg(min("ts").as("t"))
+    def nextWithin(prev: DataFrame, tpe: String): DataFrame =
+      ev.filter(col("event_type") === tpe)
+        .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
+        .filter(col("ts") > col("t_prev") &&
+          col("ts") <= col("t_prev") + expr(s"INTERVAL $ConvWindowHours HOURS"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+    val steps = FunnelSteps.tail.scanLeft(firstOf(FunnelSteps.head))(nextWithin)
+    val counts = steps.zip(FunnelSteps).zipWithIndex.map {
+      case ((df, tpe), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("step_idx"), lit(tpe).as("step"), col("n_users"))
+    }.reduce(_.union(_))
+    val base = counts.filter(col("step_idx") === 1)
+      .select(col("n_users").as("base_users"))
+    counts.crossJoin(broadcast(base))
+      .select(col("step_idx"), col("step"), col("n_users"),
+        round(col("n_users").cast("double") / col("base_users"), 4)
+          .as("conv_pct"))
+      .orderBy("step_idx")
+  }
+
+  val funnelWindowedSql: String = {
+    val Seq(t1, t2, t3, t4) = FunnelSteps
+    def step(i: Int, tpe: String) =
+      s"""s$i AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+               JOIN s${i - 1} ON e.user_id = s${i - 1}.user_id
+                 AND e.ts > s${i - 1}.t
+                 AND e.ts <= s${i - 1}.t + INTERVAL $ConvWindowHours HOUR
+               WHERE e.event_type = '$tpe' GROUP BY e.user_id)"""
+    s"""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                    WHERE event_type = '$t1' GROUP BY user_id),
+        ${step(2, t2)},
+        ${step(3, t3)},
+        ${step(4, t4)},
+        c AS (SELECT 1 AS step_idx, '$t1' AS step, count(*) AS n_users FROM s1
+              UNION ALL SELECT 2, '$t2', count(*) FROM s2
+              UNION ALL SELECT 3, '$t3', count(*) FROM s3
+              UNION ALL SELECT 4, '$t4', count(*) FROM s4)
+        SELECT step_idx, step, n_users,
+          round(CAST(n_users AS DOUBLE)
+                / (SELECT n_users FROM c WHERE step_idx = 1), 4) AS conv_pct
+        FROM c ORDER BY step_idx"""
+  }
+
   /** Path length for [[eventPaths]] (3 = the "user journey" trigram). */
   val PathLen = 3
   val PathTopK = 20

@@ -178,6 +178,22 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rows.head.getLong(3) == cents)
   }
 
+  test("windowed funnel is a per-step tightening of the unbounded funnel") {
+    val unbounded = EventAnalytics.eventFunnel(spark, Sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val windowed = EventAnalytics.funnelWindowed(spark, Sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // step 1 has no window to apply; later steps can only lose users
+    assert(windowed(1) == unbounded(1))
+    (2 to 4).foreach { k =>
+      assert(windowed(k) <= unbounded(k),
+        s"step $k: windowed ${windowed(k)} > unbounded ${unbounded(k)}")
+    }
+    // and the 24h bound actually bites on this corpus (not vacuously equal)
+    assert((2 to 4).exists(k => windowed(k) < unbounded(k)),
+      "conversion window never constrained anything — check the bound")
+  }
+
   test("event paths match an in-memory trigram replay of the per-user timelines") {
     val got = EventAnalytics.eventPaths(spark, Sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq
