@@ -502,6 +502,44 @@ object EventStreams {
     }
   }
 
+  /** One checkpointed run of the transformWithState sessionizer over
+    * whatever files currently sit in `dir`, appending emitted sessions to
+    * `base/out` parquet with state + source progress in `base/ckpt`.
+    * Calling again with the SAME base after new files land resumes from
+    * the RocksDB state snapshot — open sessions spanning the restart must
+    * close correctly from recovered state (StreamingSpec gates that the
+    * two-run emission set equals a single uninterrupted run's). */
+  private[graft] def runTwsSessionsOnce(s: SparkSession, dir: String,
+      base: String): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = s.readStream.schema(stagedSchema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("event_type"), col("ts"))
+        .as[Ev]
+      val sessions = stream.groupByKey(_.user_id)
+        .transformWithState(new SessionProcessor, TimeMode.EventTime(),
+          OutputMode.Append())
+      val q = sessions.writeStream.outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   def sessionizeStreamTws(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.TimeMode

@@ -205,6 +205,46 @@ class StreamingSpec extends SparkSpec {
       col("n_events")).exceptAll(batch).count() == 0)
   }
 
+  test("TWS restart recovers RocksDB session state: split run == uninterrupted run") {
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    val staged = Paths.get(EventStreams.stageEvents(spark, Sf))
+    val chunks = Files.list(staged).filter(_.toString.endsWith(".parquet"))
+      .sorted().iterator().asScala.toSeq
+    assert(chunks.size >= 3, s"need >= 3 staged chunks, got ${chunks.size}")
+    def freshDir(tag: String) =
+      Files.createTempDirectory(s"graft_tws_$tag").toString
+    // Files.copy does NOT preserve the staged zone's deterministic mtimes,
+    // and the file source orders batches by modification time — landed
+    // chunks must keep their time order or sessionization sees cross-batch
+    // out-of-order events (caught here as sess_start > sess_end refs).
+    def land(c: Path, zone: String): Unit = {
+      val dst = Paths.get(zone, c.getFileName.toString)
+      Files.copy(c, dst)
+      Files.setLastModifiedTime(dst, Files.getLastModifiedTime(c))
+      ()
+    }
+    // Reference: one uninterrupted run over all chunks.
+    val refZone = freshDir("refzone"); val refBase = freshDir("refbase")
+    chunks.foreach(land(_, refZone))
+    EventStreams.runTwsSessionsOnce(spark, refZone, refBase)
+    // Split: run over the first half, STOP (checkpoint persists the RocksDB
+    // state + source offsets), land the rest, run again with the same base.
+    val splitZone = freshDir("splitzone"); val splitBase = freshDir("splitbase")
+    val (early, late) = chunks.splitAt(chunks.size / 2)
+    early.foreach(land(_, splitZone))
+    EventStreams.runTwsSessionsOnce(spark, splitZone, splitBase)
+    late.foreach(land(_, splitZone))
+    EventStreams.runTwsSessionsOnce(spark, splitZone, splitBase)
+    val ref = spark.read.parquet(s"$refBase/out")
+    val split = spark.read.parquet(s"$splitBase/out")
+    assert(ref.count() > 0, "reference run emitted no sessions")
+    // Sessions spanning the restart boundary must close from RECOVERED
+    // state — any loss or duplication shows as a set difference.
+    assert(split.exceptAll(ref).count() == 0 && ref.exceptAll(split).count() == 0,
+      s"restart emissions (${split.count()}) != uninterrupted (${ref.count()})")
+  }
+
   test("file sink restart over the same checkpoint is exactly-once (no re-emission)") {
     val dir = EventStreams.stageEvents(spark, Sf)
     val base = java.nio.file.Files.createTempDirectory("graft_filesink_spec").toString
