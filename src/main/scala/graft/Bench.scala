@@ -44,6 +44,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", ShuffleDir.path)
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
@@ -203,27 +204,39 @@ object Bench {
     // JSON and crash the .toDouble), so numbers go through BigDecimal +
     // Double.toString, which are locale-free.
     def num(v: Double, dp: Int): String =
-      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble.toString
-    val wallArr = results.map { case (_, v, _, _, _) => num(v, 2) }
+      if (dp == 0)
+        BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt.toString
+      else
+        BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble.toString
+    def wallArr(dp: Int) = results.map { case (_, v, _, _, _) => num(v, dp) }
       .mkString("[", ",", "]")
-    val cpuArr = results.map { case (_, _, _, c, _) => num(c / 1000.0, 1) }
+    def cpuArr(dp: Int) = results.map { case (_, _, _, c, _) => num(c / 1000.0, dp) }
       .mkString("[", ",", "]")
     val cpuTotal = results.map(_._4).sum / 1000.0
     val head =
       s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","nQueries":${results.size},""" +
       s""""errors":$errs,$env,"sf":"$sfDir","order":"sorted query names",""" +
       s""""cpuSecTotal":${num(cpuTotal, 1)}"""
-    // Belt-and-braces: if outlier digits ever push the line past the
-    // captured tail, shed the cpu array, then the wall array, then the
-    // (mass-failure-inflatable) errors list itself — a parseable headline
-    // with an error COUNT beats a truncated everything, and the final
-    // candidate is bounded (~250 chars) so the chain cannot come up empty.
+    // Belt-and-braces degradation chain: if the line outgrows the captured
+    // 2000-char tail, REDUCE PRECISION before shedding anything — round 8
+    // shed the cpu array at 184 queries (wall@2dp + cpu@1dp broke 1900)
+    // exactly when per-query cpu became the evidence needed to adjudicate
+    // wall-vs-cpu starvation, so the chain now steps wall 2dp -> 1dp and
+    // cpu 1dp -> 0dp (integer seconds still distinguish "cpu matches a
+    // clean round" from "cpu doubled") and sheds cpu only after precision
+    // is exhausted, then wall, then the (mass-failure-inflatable) errors
+    // list — a parseable headline with an error COUNT beats a truncated
+    // everything, and the final candidate is bounded (~250 chars) so the
+    // chain cannot come up empty. At 184 queries wall@2dp + cpu@0dp is
+    // ~1.6 KB: the parsed artifact keeps per-query cpu past 200 queries.
     val minimal =
       s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","nQueries":${results.size},""" +
       s""""nErrors":${errors.size},$env,"sf":"$sfDir"}"""
     val compact = Seq(
-      s"""$head,"wallSec":$wallArr,"cpuSec":$cpuArr}""",
-      s"""$head,"wallSec":$wallArr}""",
+      s"""$head,"wallSec":${wallArr(2)},"cpuSec":${cpuArr(1)}}""",
+      s"""$head,"wallSec":${wallArr(2)},"cpuSec":${cpuArr(0)}}""",
+      s"""$head,"wallSec":${wallArr(1)},"cpuSec":${cpuArr(0)}}""",
+      s"""$head,"wallSec":${wallArr(2)}}""",
       s"""$head}""").find(_.length <= 1900).getOrElse(minimal)
     println(diag)
     println(json)

