@@ -329,10 +329,20 @@ object Multimodal {
                round(CAST(dev.sdev AS DOUBLE) / a.ns, 4) AS mean_abs_dev
         FROM a JOIN dev USING (doc_id) ORDER BY a.doc_id"""
 
+  /** Frame geometry moduli of the video fixture — the SINGLE source of the
+    * bounds both fixture SQL oracles interpolate (w <= VideoWMod,
+    * h <= VideoHMod, nf <= VideoFMod + 1), so changing the geometry here
+    * re-sizes the oracles' generate_series enumeration with it instead of
+    * silently under-enumerating frames/pixels. */
+  private[graft] val VideoWMod = 16
+  private[graft] val VideoHMod = 12
+  private[graft] val VideoFMod = 4
+
   /** Frame geometry of the video fixture: small grayscale frames so the
     * multi-frame payloads stay modest (w <= 16, h <= 12, 2-5 frames). */
   private def videoGeometry(docId: Long, nChars: Long): (Int, Int, Int) =
-    ((nChars % 16 + 1).toInt, (docId % 12 + 1).toInt, (docId % 4 + 2).toInt)
+    ((nChars % VideoWMod + 1).toInt, (docId % VideoHMod + 1).toInt,
+      (docId % VideoFMod + 2).toInt)
 
   /** Multi-frame P5 PGM stream encoder — the video fixture's "camera": a
     * raw grayscale video as `nf` concatenated binary PGM images (the
@@ -451,13 +461,13 @@ object Multimodal {
   // the generator arithmetic and hash it. Constant series bounds with WHERE
   // filters (DuckDB's generate_series takes no lateral column bounds).
   val mediaFramesSql: String =
-    """WITH v AS (SELECT doc_id,
-                    CAST(n_chars % 16 + 1 AS INT) AS w,
-                    CAST(doc_id % 12 + 1 AS INT) AS h,
-                    CAST(doc_id % 4 + 2 AS INT) AS nf
+    s"""WITH v AS (SELECT doc_id,
+                    CAST(n_chars % $VideoWMod + 1 AS INT) AS w,
+                    CAST(doc_id % $VideoHMod + 1 AS INT) AS h,
+                    CAST(doc_id % $VideoFMod + 2 AS INT) AS nf
                   FROM documents WHERE doc_id % 3 = 2),
         e AS (SELECT doc_id, w, h, f.f AS frame_no
-              FROM v, generate_series(0, 4, 2) f(f)
+              FROM v, generate_series(0, $VideoFMod, 2) f(f)
               WHERE f.f < nf),
         px AS (SELECT e.doc_id, e.frame_no,
                  string_agg(lpad(to_hex((e.doc_id * 17 + e.frame_no * 101 + i * 7) % 256),
@@ -465,7 +475,7 @@ object Multimodal {
                  string_agg(lpad(to_hex((e.doc_id * 17 + e.frame_no * 101 + i * 7) % 256),
                                  2, '0'), '' ORDER BY i)
                    FILTER (WHERE (i // e.w) % 2 = 0) AS hhex
-               FROM e, generate_series(0, 16 * 12 - 1) t(i)
+               FROM e, generate_series(0, $VideoWMod * $VideoHMod - 1) t(i)
                WHERE i < e.w * e.h
                GROUP BY e.doc_id, e.frame_no)
         SELECT e.doc_id, CAST(e.frame_no AS INT) AS frame_no,
@@ -516,13 +526,13 @@ object Multimodal {
   /** Oracle: the generator arithmetic gives pixel i of frame f directly,
     * so the SAD is a series sum of |p(f+1,i) - p(f,i)|. */
   val mediaMotionSql: String =
-    """WITH v AS (SELECT doc_id,
-                    CAST(n_chars % 16 + 1 AS INT) AS w,
-                    CAST(doc_id % 12 + 1 AS INT) AS h,
-                    CAST(doc_id % 4 + 2 AS INT) AS nf
+    s"""WITH v AS (SELECT doc_id,
+                    CAST(n_chars % $VideoWMod + 1 AS INT) AS w,
+                    CAST(doc_id % $VideoHMod + 1 AS INT) AS h,
+                    CAST(doc_id % $VideoFMod + 2 AS INT) AS nf
                   FROM documents WHERE doc_id % 3 = 2),
        p AS (SELECT doc_id, w, h, f.f AS frame_from
-             FROM v, generate_series(0, 3) f(f)
+             FROM v, generate_series(0, ${VideoFMod - 1}) f(f)
              WHERE f.f < nf - 1),
        sads AS (SELECT p.doc_id, p.frame_from,
                   CAST(p.w * p.h AS BIGINT) AS npix,
@@ -530,7 +540,7 @@ object Multimodal {
                     (p.doc_id * 17 + (p.frame_from + 1) * 101 + i * 7) % 256
                     - (p.doc_id * 17 + p.frame_from * 101 + i * 7) % 256))
                     AS BIGINT) AS sad
-                FROM p, generate_series(0, 16 * 12 - 1) t(i)
+                FROM p, generate_series(0, $VideoWMod * $VideoHMod - 1) t(i)
                 WHERE i < p.w * p.h
                 GROUP BY p.doc_id, p.frame_from, p.w, p.h)
        SELECT doc_id, CAST(frame_from AS INT) AS frame_from, npix, sad,

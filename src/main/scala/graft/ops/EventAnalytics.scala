@@ -714,13 +714,22 @@ object EventAnalytics {
     * Scale shape: one user-keyed aggregate (map-side combined) over the
     * fact stream, then a 2-row arm rollup; the t computation is scalar.
     * At 100 TB the per-user aggregate is the only real work. */
-  def abTest(s: SparkSession, d: String): DataFrame = {
-    val perUser = Tables.events(s, d)
+  def abTest(s: SparkSession, d: String): DataFrame =
+    abTestOf(Tables.events(s, d)
       .groupBy("user_id")
       .agg(sum(round(col("value") * 100, 0).cast(LongType)).as("cents"))
       .withColumn("arm",
         when(expr("conv(substr(md5(cast(user_id as string)), 1, 8), 16, 10)")
-          .cast(LongType) % 2 === 0, "A").otherwise("B"))
+          .cast(LongType) % 2 === 0, "A").otherwise("B")))
+
+  /** [[abTest]] over an explicit (cents, arm) per-user frame — split out so
+    * EventAnalyticsSpec can prove the degenerate-arm guard on crafted
+    * corpora. The Welch statistic divides by (n-1), n, and the pooled
+    * standard error, so an arm with fewer than 2 users, or two arms with
+    * zero within-arm variance, has NO defined t — those corpora emit a
+    * NULL t_stat (with the arm components still reported) instead of the
+    * NaN/Infinity an unguarded formula produces. */
+  private[graft] def abTestOf(perUser: DataFrame): DataFrame = {
     val arms = perUser.groupBy("arm").agg(
       count(lit(1)).as("n_users"),
       sum("cents").as("sum_cents"),
@@ -728,17 +737,19 @@ object EventAnalytics {
     val wide = arms.groupBy().pivot("arm", Seq("A", "B")).agg(
       first("n_users").as("n"), first("sum_cents").as("sum"),
       first("sumsq_cents").as("sumsq"))
+    val se2 =
+      ((col("A_sumsq") - col("A_sum").cast("double") * col("A_sum") / col("A_n"))
+        / (col("A_n") - 1) / col("A_n")) +
+      ((col("B_sumsq") - col("B_sum").cast("double") * col("B_sum") / col("B_n"))
+        / (col("B_n") - 1) / col("B_n"))
     val t = wide.select(
       col("A_n"), col("A_sum"), col("A_sumsq"),
       col("B_n"), col("B_sum"), col("B_sumsq"),
-      round(
-        (col("A_sum").cast("double") / col("A_n")
-          - col("B_sum").cast("double") / col("B_n"))
-        / sqrt(
-          ((col("A_sumsq") - col("A_sum").cast("double") * col("A_sum") / col("A_n"))
-            / (col("A_n") - 1) / col("A_n"))
-          + ((col("B_sumsq") - col("B_sum").cast("double") * col("B_sum") / col("B_n"))
-            / (col("B_n") - 1) / col("B_n"))), 4).as("t_stat"))
+      when(col("A_n") > 1 && col("B_n") > 1 && se2 > 0,
+        round(
+          (col("A_sum").cast("double") / col("A_n")
+            - col("B_sum").cast("double") / col("B_n"))
+          / sqrt(se2), 4)).as("t_stat"))
     t.select(col("A_n").as("n_a"), col("A_sum").as("sum_cents_a"),
       col("B_n").as("n_b"), col("B_sum").as("sum_cents_b"), col("t_stat"))
   }
@@ -764,11 +775,14 @@ object EventAnalytics {
                max(CASE WHEN arm = 'B' THEN sq END) AS sq_b
              FROM s)
        SELECT n_a, sum_a AS sum_cents_a, n_b, sum_b AS sum_cents_b,
-         round(
+         CASE WHEN n_a > 1 AND n_b > 1 AND
+           ((sq_a - CAST(sum_a AS DOUBLE) * sum_a / n_a) / (n_a - 1) / n_a
+            + (sq_b - CAST(sum_b AS DOUBLE) * sum_b / n_b) / (n_b - 1) / n_b) > 0
+         THEN round(
            (CAST(sum_a AS DOUBLE) / n_a - CAST(sum_b AS DOUBLE) / n_b)
            / sqrt(
              (sq_a - CAST(sum_a AS DOUBLE) * sum_a / n_a) / (n_a - 1) / n_a
              + (sq_b - CAST(sum_b AS DOUBLE) * sum_b / n_b) / (n_b - 1) / n_b),
-           4) AS t_stat
+           4) END AS t_stat
        FROM w"""
 }

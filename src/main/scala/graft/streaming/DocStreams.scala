@@ -370,47 +370,82 @@ object DocStreams {
     * batch DuckDB oracle gates the streaming run bit-for-bit (the
     * [[streamIngestDedup]] argument). Per micro-batch cost is |batch| x
     * (RareTerms posting probes + CandCap forward-row scores); the corpus
-    * is never re-scanned after the index builds. */
+    * is never re-scanned after the index builds.
+    *
+    * The gate selects its screening PHYSICAL STRATEGY by index size, the
+    * way Spark selects broadcast joins: under
+    * [[graft.llm.Retrieval.BroadcastScreenMaxBytes]] of corpus text the
+    * whole screen runs as one mapPartitions pass against a broadcast index
+    * snapshot (zero shuffles per micro-batch); above it the distributed
+    * postings-probe kernel runs unchanged. Identical verdicts either way —
+    * StreamingSpec replays the gate end-to-end in both modes and asserts
+    * row equality. */
   def streamDecontam(s: SparkSession, d: String): DataFrame = {
     import java.nio.file._
     import graft.llm.Retrieval
     val dir = stageDocs(s, d)
     val corpus = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
       .select("doc_id", "text")
-    val ix = Retrieval.buildIndex(corpus, cache = true)
-    val fwd = Retrieval.forwardIndex(ix, cache = true)
-    // The candidate cap runs the custom TopKPerKey operator INSIDE each
-    // micro-batch; the stream plans on a session clone made at start(), so
-    // the strategy must be on the parent session first (see ensureRegistered).
-    graft.plans.TopKPerKey.ensureRegistered(s)
-
-    def screen(batch: DataFrame): DataFrame = {
-      val qt = Retrieval.postings(batch.select(col("doc_id"), col("text")))
-        .select(col("doc_id").as("query_id"), col("term"))
-      // Both screening stages read the (query term, df) rows; cache them
-      // per batch so the arrival tokenize + df join runs once, not twice
-      // (the stages share one plan and Spark does not dedupe subtrees).
-      // Tiny: |batch| x sub-ceiling vocabulary. Released after the batch's
-      // write by the foreachBatch body via TrackedCaches.
-      val qd = graft.TrackedCaches.track(
-        Retrieval.subCeilingQueryDf(ix, qt).cache())
-      val cand = Retrieval.screenCandidatesQd(ix, qd)
-      val scores = Retrieval.scoreCandidatesQd(ix, fwd, qd, cand)
-      // Top-1 per arrival via the bounded-heap operator rather than a
-      // row_number window: same (score DESC, doc_id) ordering, no per-batch
-      // WindowExec sort, and one fewer operator in the plan foreachBatch
-      // re-codegens every micro-batch.
-      val top = graft.plans.TopKPerKey.topKPerKey(scores, 1, Seq("query_id"),
-          Seq("score" -> false, "doc_id" -> true))
-        .select(col("query_id").as("doc_id"), col("doc_id").as("top_match"),
-          col("score").as("top_score"))
-      batch.select(col("doc_id"))
-        .join(top, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("top_match"), lit(-1L)).as("top_match"),
-          coalesce(col("top_score"), lit(0.0)).as("top_score"),
-          (coalesce(col("top_score"), lit(0.0)) <= lit(Bm25AdmitMax)).as("admit"))
+    // Physical-strategy selection by INDEX SIZE (the broadcast-join
+    // philosophy — see the Retrieval "Broadcast screening" comment): a
+    // corpus whose text payload fits Retrieval.BroadcastScreenMaxBytes is
+    // screened by the zero-shuffle broadcast snapshot (one mapPartitions
+    // pass per micro-batch); anything larger keeps the distributed
+    // postings-probe kernel. graft.retrieval.screenMode=broadcast|
+    // distributed overrides for A/B measurement (RetrievalSpec holds the
+    // two paths bit-identical; the ScaleTest ladder measures both).
+    val mode = s.conf.getOption("graft.retrieval.screenMode").getOrElse("auto")
+    val useBroadcast = mode match {
+      case "broadcast" => true
+      case "distributed" => false
+      case _ =>
+        val st = corpus.agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).as("bytes")).head()
+        st.getLong(0) == 0L || st.getLong(1) <= Retrieval.BroadcastScreenMaxBytes
     }
+
+    val screen: DataFrame => DataFrame =
+      if (useBroadcast) {
+        val snap = s.sparkContext.broadcast(Retrieval.buildScreenSnapshot(corpus))
+        (batch: DataFrame) =>
+          Retrieval.screenBatchLocal(s, snap, batch.select(col("doc_id"), col("text")))
+            .select(col("doc_id"), col("top_match"), col("top_score"),
+              (col("top_score") <= lit(Bm25AdmitMax)).as("admit"))
+      } else {
+        val ix = Retrieval.buildIndex(corpus, cache = true)
+        val fwd = Retrieval.forwardIndex(ix, cache = true)
+        // The candidate cap runs the custom TopKPerKey operator INSIDE each
+        // micro-batch; the stream plans on a session clone made at start(), so
+        // the strategy must be on the parent session first (see ensureRegistered).
+        graft.plans.TopKPerKey.ensureRegistered(s)
+        (batch: DataFrame) => {
+          val qt = Retrieval.postings(batch.select(col("doc_id"), col("text")))
+            .select(col("doc_id").as("query_id"), col("term"))
+          // Both screening stages read the (query term, df) rows; cache them
+          // per batch so the arrival tokenize + df join runs once, not twice
+          // (the stages share one plan and Spark does not dedupe subtrees).
+          // Tiny: |batch| x sub-ceiling vocabulary. Released after the batch's
+          // write by the foreachBatch body via TrackedCaches.
+          val qd = graft.TrackedCaches.track(
+            Retrieval.subCeilingQueryDf(ix, qt).cache())
+          val cand = Retrieval.screenCandidatesQd(ix, qd)
+          val scores = Retrieval.scoreCandidatesQd(ix, fwd, qd, cand)
+          // Top-1 per arrival via the bounded-heap operator rather than a
+          // row_number window: same (score DESC, doc_id) ordering, no per-batch
+          // WindowExec sort, and one fewer operator in the plan foreachBatch
+          // re-codegens every micro-batch.
+          val top = graft.plans.TopKPerKey.topKPerKey(scores, 1, Seq("query_id"),
+              Seq("score" -> false, "doc_id" -> true))
+            .select(col("query_id").as("doc_id"), col("doc_id").as("top_match"),
+              col("score").as("top_score"))
+          batch.select(col("doc_id"))
+            .join(top, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("top_match"), lit(-1L)).as("top_match"),
+              coalesce(col("top_score"), lit(0.0)).as("top_score"),
+              (coalesce(col("top_score"), lit(0.0)) <= lit(Bm25AdmitMax)).as("admit"))
+        }
+      }
 
     val outBase = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_decontam")
     if (Files.exists(outBase)) {
@@ -430,23 +465,29 @@ object DocStreams {
         latest = batchId
         ()
     }
-    // Decontam's stage-1 hit scatter is arrivals x posting-list rows —
-    // ~6M per batch on this low-selectivity corpus — but the scatter is
-    // consumed by map-side partial aggregation INSIDE its stage: the
+    // Decontam's distributed stage-1 hit scatter is arrivals x posting-list
+    // rows — ~6M per batch on this low-selectivity corpus — but the scatter
+    // is consumed by map-side partial aggregation INSIDE its stage: the
     // exchange after it carries only the combined (query, doc) pairs, so
     // the slice-sized shuffle sizing of the sibling streams is right here
     // too (measured: full run 8.1 s at 8 partitions vs 11.3 s at 32 — the
     // 32-way variant just pays 4x task overhead on sub-MB partitions).
-    // Cost decomposition (round-8 isolated best-of-2): the per-batch qd
-    // cache cut process CPU 150 -> 119 s; the REMAINING spend is mostly
-    // micro-batch FIXED cost, not the data path — the same gate at sf0.01
-    // (20x less data) still costs ~8 s wall / 69 cpu-s, because foreachBatch
-    // re-analyzes, re-optimizes and re-codegens the full two-stage screen
-    // plan (window + TopKPerKey + two broadcasts + the DECIMAL fold expr)
-    // every batch. That overhead amortizes with batch SIZE, which is the
-    // production lever; the knobs that would cut it here were measured and
-    // rejected: CandCap 100 -> 50 flipped an admit verdict (see CandCap's
-    // scaladoc), RareTerms 4 -> 3 moved CPU inside noise.
+    // Round-9 cost decomposition (in-JVM stack sampling + per-phase
+    // wall/cpu timers, warm): the distributed kernel's ~10 s wall at sf0.1
+    // split into index build ~3 s (five sequential multi-stage actions on
+    // a 124k-row index), batch 0 ~4 s, batch 1 ~2.5 s — per batch mostly
+    // the 2M-group hash aggregate, the interpreted DECIMAL fold
+    // (scala.math.BigDecimal$.decimal was the hottest app frame), and
+    // 6-8 stage barriers' fixed costs, NOT the 6M-row scatter itself
+    // (0.3 s). All of that is generality the 3 MB index doesn't need,
+    // hence the size-based broadcast path above: same verdicts
+    // (StreamingSpec holds the paths bit-identical end-to-end), one
+    // mapPartitions stage per batch, measured 9.6 -> 2.9 s wall warm
+    // (process CPU 108 -> 7 s). Knobs measured and rejected earlier:
+    // CandCap 100 -> 50 flipped an admit verdict (see CandCap's scaladoc),
+    // RareTerms 4 -> 3 moved CPU inside noise; batch-count reduction is
+    // exhausted (4 staged chunks at maxFilesPerTrigger=2 is already the
+    // 2-batch minimum the incrementality gate demands).
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val qs = q.start()

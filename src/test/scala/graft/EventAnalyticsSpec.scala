@@ -189,9 +189,44 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(windowed(k) <= unbounded(k),
         s"step $k: windowed ${windowed(k)} > unbounded ${unbounded(k)}")
     }
-    // and the 24h bound actually bites on this corpus (not vacuously equal)
-    assert((2 to 4).exists(k => windowed(k) < unbounded(k)),
-      "conversion window never constrained anything — check the bound")
+    // Replay the min-after chaining per user in the driver, with and
+    // without the 24h bound, and demand EXACT per-step equality with both
+    // queries — this also settles "does the window bite" from the data
+    // itself (the replay says where bounded < unbounded), so the spec
+    // holds on any regenerated corpus instead of hard-coding that this
+    // one has a window-violating user.
+    val steps = EventAnalytics.FunnelSteps
+    val winUs = EventAnalytics.ConvWindowHours.toLong * 3600L * 1000000L
+    val byUser = Tables.events(spark, Sf)
+      .filter(col("event_type").isin(steps: _*))
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime * 1000 +
+          r.getTimestamp(2).getNanos / 1000 % 1000))
+      .groupBy(_._1)
+    def replay(bounded: Boolean): Map[Int, Long] = {
+      val counts = Array.fill(steps.size)(0L)
+      byUser.values.foreach { rows =>
+        val byType = rows.groupBy(_._2).view.mapValues(_.map(_._3).sorted).toMap
+        var prev = byType.get(steps.head).map(_.min)
+        if (prev.isDefined) {
+          counts(0) += 1
+          var k = 1
+          while (k < steps.size && prev.isDefined) {
+            val next = byType.getOrElse(steps(k), Array.empty[Long])
+              .find(t => t > prev.get && (!bounded || t <= prev.get + winUs))
+            if (next.isDefined) counts(k) += 1
+            prev = next
+            k += 1
+          }
+        }
+      }
+      counts.zipWithIndex.map { case (n, i) => (i + 1) -> n }.toMap
+    }
+    assert(replay(bounded = false) == unbounded,
+      "unbounded funnel must equal the driver replay")
+    assert(replay(bounded = true) == windowed,
+      "windowed funnel must equal the bounded driver replay")
   }
 
   test("event paths match an in-memory trigram replay of the per-user timelines") {
@@ -235,5 +270,26 @@ class EventAnalyticsSpec extends SparkSpec {
     // the statistic's sign must match the mean difference
     val meanDiff = sumA.toDouble / nA - sumB.toDouble / nB
     assert(t == 0.0 || t.sign == meanDiff.sign, s"t=$t vs meanDiff=$meanDiff")
+  }
+
+  test("A/B readout guards degenerate arms: null t, never NaN/Infinity") {
+    import spark.implicits._
+    // Welch's t divides by (n-1), n, and the pooled standard error: a
+    // 1-user arm or two zero-variance arms has no defined statistic. The
+    // guard must emit a NULL t_stat (components still reported), not the
+    // NaN/Infinity the raw formula produces.
+    def t(rows: Seq[(Long, String)]): org.apache.spark.sql.Row =
+      EventAnalytics.abTestOf(rows.toDF("cents", "arm")).head()
+    // one-user arm
+    val single = t(Seq((100L, "A"), (200L, "B"), (300L, "B")))
+    assert(single.isNullAt(4), s"1-user arm must yield null t, got $single")
+    assert(single.getLong(0) == 1 && single.getLong(1) == 100L)
+    // both arms constant -> zero pooled variance
+    val flat = t(Seq((5L, "A"), (5L, "A"), (7L, "B"), (7L, "B")))
+    assert(flat.isNullAt(4), s"zero-variance arms must yield null t, got $flat")
+    // healthy arms still produce a finite statistic
+    val ok = t(Seq((1L, "A"), (3L, "A"), (10L, "B"), (20L, "B")))
+    assert(!ok.isNullAt(4) && !ok.getDouble(4).isNaN && !ok.getDouble(4).isInfinite)
+    assert(ok.getDouble(4) < 0, "mean(A) < mean(B) must give negative t")
   }
 }

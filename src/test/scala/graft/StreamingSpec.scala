@@ -500,4 +500,33 @@ class StreamingSpec extends SparkSpec {
     assert(!out(11L)._2, "median value must pass")
     assert(out(12L) == ((-1L, false)), "unknown user must carry sentinel, unflagged")
   }
+
+  test("decontam broadcast screen == distributed screen, end-to-end bit-for-bit") {
+    // The gate picks its physical screening strategy by index size (the
+    // broadcast-join philosophy); both strategies must produce IDENTICAL
+    // verdict frames — same top_match, same top_score down to the last
+    // 6-dp micro-unit, same admits — or the auto threshold would change
+    // answers, not just plans. Forcing each mode through the session conf
+    // runs the real gate end-to-end (stream machinery included) twice.
+    def run(mode: String) = {
+      spark.conf.set("graft.retrieval.screenMode", mode)
+      try graft.streaming.DocStreams.streamDecontam(spark, Sf).collect()
+      finally spark.conf.unset("graft.retrieval.screenMode")
+    }
+    val bc = run("broadcast")
+    graft.TrackedCaches.release()
+    spark.catalog.clearCache()
+    val dist = run("distributed")
+    graft.TrackedCaches.release()
+    spark.catalog.clearCache()
+    assert(bc.nonEmpty, "decontam verdicts must be non-empty at the test SF")
+    assert(bc.length == dist.length)
+    bc.zip(dist).foreach { case (a, b) =>
+      assert(a == b, s"screen-path divergence: broadcast=$a distributed=$b")
+    }
+    // Both verdicts exercised so the ceiling actually bites on this corpus.
+    val admits = bc.map(_.getAs[Boolean]("admit")).toSet
+    assert(admits == Set(true, false),
+      "corpus must exercise both admit verdicts")
+  }
 }
