@@ -187,6 +187,7 @@ object SparkEntry {
     "q_pagerank" -> (graft.ops.Graph.pageRank _),
     "q_pagerank_dist" -> (graft.ops.Graph.pageRankDistributed _),
     "q_reach_bfs" -> (graft.ops.Graph.reachBfs _),
+    "q_reach_bfs_dist" -> ((s, d) => graft.ops.Graph.reachBfsDistributed(s, d)),
     // Continuous-ingest curation surface
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
     "q_dup_ngram_fraction" -> (Dedup.dupNgramFraction _),
@@ -570,6 +571,10 @@ object SparkEntry {
     // bit-identical to the broadcast one (Graph.pageRankDistributed doc).
     "q_pagerank_dist" -> graft.ops.Graph.pageRankSql,
     "q_reach_bfs" -> graft.ops.Graph.reachBfsSql,
+    // Same oracle on purpose: the deduped-frontier iterative BFS must be
+    // row-identical to the recursive CTE at the shared depth cap
+    // (Graph.reachBfsDistributed doc).
+    "q_reach_bfs_dist" -> graft.ops.Graph.reachBfsSql,
     "q_dedup_incremental" -> Dedup.incrementalDedupSql,
     "q_dup_ngram_fraction" -> Dedup.dupNgramFractionSql,
     "q_curation_funnel" -> TextAnalysis.curationFunnelSql,

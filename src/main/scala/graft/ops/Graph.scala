@@ -340,6 +340,71 @@ object Graph {
       FROM reach GROUP BY nid ORDER BY hop, node""")
   }
 
+  /** The DISTRIBUTED twin of [[reachBfs]] — iterative deduped-frontier BFS,
+    * the [[pageRankDistributed]] move applied to traversal: each round
+    * expands the frontier by one equi-join against the pre-bucketed edge
+    * list, DEDUPLICATES it (distinct), and anti-joins away every node
+    * already visited, so a round's frontier is bounded by |unvisited
+    * nodes| no matter the path multiplicity — exactly the aggregation the
+    * recursive CTE's UNION ALL loop cannot express (its frontier rows
+    * multiply by node degree per hop, which is why [[reachBfs]] carries
+    * [[BfsMaxHop]]). First-discovery order IS min-hop order in BFS, so
+    * hop labels need no post-aggregation; with `maxHop = None` the loop
+    * runs to the true fixpoint (frontier empty = component exhausted) in
+    * at most diameter rounds, which a depth-capped recursion cannot reach
+    * on a high-diameter graph without exponential frontier blowup.
+    *
+    * Scale shape: edges shuffle ONCE into the src bucketing and are read
+    * from cache every round; the per-round join is hinted shuffle-hash on
+    * that layout (no broadcast — the frontier can be node-scale); visited
+    * and frontier materialize via eager localCheckpoint so round t never
+    * re-plans rounds 1..t-1 (executor-resident, no driver collect). The
+    * per-round `count()` on the already-checkpointed frontier is the loop's
+    * only driver-visible scalar — the termination test. Output is
+    * hash-identical to [[reachBfs]] at the same cap (GraphSpec proves
+    * both cap-equality and uncapped fixpoint termination) and shares its
+    * DuckDB oracle. */
+  def reachBfsDistributed(s: SparkSession, d: String,
+      maxHop: Option[Int] = Some(BfsMaxHop)): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    val edges0 = ps.select((col("p") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      .unionByName(ps.select((col("sk") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+    val edges = graft.TrackedCaches.track(
+      edges0.repartition(col("src")).cache())
+    var visited = edges.sparkSession.range(1)
+      .select(lit(BfsSeed).as("nid"), lit(0).as("hop"))
+      .localCheckpoint(true)
+    var frontier = visited
+    var hop = 0
+    var frontierSize = 1L
+    while (frontierSize > 0 && maxHop.forall(hop < _)) {
+      hop += 1
+      frontier = bfsRound(edges, visited, frontier, hop).localCheckpoint(true)
+      frontierSize = frontier.count()
+      if (frontierSize > 0)
+        visited = visited.unionByName(frontier).localCheckpoint(true)
+    }
+    visited.select(
+        when(col("nid") % 2 === 0, concat(lit("p:"), expr("nid div 2")))
+          .otherwise(concat(lit("s:"), expr("(nid - 1) div 2")))
+          .as("node"),
+        col("hop").cast("int").as("hop"))
+      .orderBy("hop", "node")
+  }
+
+  /** One BFS expansion round: frontier -> unvisited neighbors at `hop`.
+    * Shuffle-hash-hinted against the pre-bucketed edges so neither side
+    * broadcasts (the frontier can be node-scale at web scale); split out so
+    * PlanShapeSpec can audit the physical round. */
+  private[graft] def bfsRound(edges: DataFrame, visited: DataFrame,
+      frontier: DataFrame, hop: Int): DataFrame =
+    edges.hint("shuffle_hash")
+      .join(frontier.select(col("nid").as("src")), "src")
+      .select(col("dst").as("nid")).distinct()
+      .join(visited.select("nid"), Seq("nid"), "left_anti")
+      .select(col("nid"), lit(hop).as("hop"))
+
   val reachBfsSql: String =
     s"""WITH RECURSIVE
         ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),

@@ -299,6 +299,40 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     graft.TrackedCaches.release()
   }
 
+  test("distributed BFS: frontier expansion shuffle-hashes on bucketed edges, no driver-local visited") {
+    // The deduped-frontier BFS must keep its state executor-resident (no
+    // LocalTableScan in the final lineage — checkpointed rounds scan
+    // executor-resident RDDs) and expand via the pre-bucketed edge layout
+    // with a shuffle-hash hint, never broadcasting a node-scale frontier.
+    val df = graft.ops.Graph.reachBfsDistributed(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"),
+      "visited/frontier lineage must not pass through a driver-local relation")
+    graft.TrackedCaches.release()
+    // Per-round shape (checkpoints truncate the final lineage, so audit the
+    // round kernel directly): frontier expansion shuffle-hashes against the
+    // bucketed edges; the anti-join carries no sort-merge of the edge list.
+    val ps = Tables.lineitem(spark, Sf)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    val edges = graft.TrackedCaches.track(
+      ps.select((col("p") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .unionByName(ps.select((col("sk") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+        .repartition(col("src")).cache())
+    val seed = spark.range(1)
+      .select(lit(graft.ops.Graph.BfsSeed).as("nid"), lit(0).as("hop"))
+      .localCheckpoint(true)
+    val round = graft.ops.Graph.bfsRound(edges, seed, seed, 1)
+    round.collect()
+    val rplan = round.queryExecution.executedPlan
+    val shj = collectWithSubqueries(rplan) {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shj.nonEmpty,
+      s"frontier expansion must shuffle-hash against the bucketed edges:\n$rplan")
+    graft.TrackedCaches.release()
+  }
+
   test("containment runs the df-capped index shape: anti-join cap, no cartesian") {
     val df = graft.llm.Dedup.containmentPairs(spark, Sf)
     df.collect()

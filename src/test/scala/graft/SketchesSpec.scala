@@ -118,4 +118,41 @@ class SketchesSpec extends SparkSpec {
     // the traversal must actually leave hop 1 (2-hop part neighborhood live)
     assert(got.values.count(_ == 2) > 0 && got.values.count(_ == 1) > 0)
   }
+
+  test("distributed deduped-frontier BFS == recursive CTE at the cap; uncapped reaches fixpoint") {
+    // Cap-equality: the iterative twin must reproduce the recursive CTE's
+    // min-hop map row for row at BfsMaxHop (they share one DuckDB oracle).
+    val cte = Graph.reachBfs(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val dist = Graph.reachBfsDistributed(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(dist == cte,
+      s"capped distributed BFS diverges: ${dist.size} vs ${cte.size} nodes")
+    graft.TrackedCaches.release()
+    // Fixpoint: uncapped, the anti-joined frontier must drain to empty —
+    // the termination the UNION ALL recursion cannot express — and the
+    // result must be a superset of the capped map that agrees on it
+    // (min-hop labels are prefix-stable), covering the seed's whole
+    // component (every node it touches has all ITS neighbors labeled).
+    val full = Graph.reachBfsDistributed(spark, Sf, maxHop = None).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    graft.TrackedCaches.release()
+    assert(cte.forall { case (n, h) => full.get(n).contains(h) },
+      "uncapped BFS must agree with the capped labels")
+    assert(full.size >= cte.size)
+    // component closure, re-checked against the raw edge list
+    val ps = Tables.lineitem(spark, Sf)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val adj = (ps ++ ps.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    def name(nid: Long) =
+      if (nid % 2 == 0) s"p:${nid / 2}" else s"s:${(nid - 1) / 2}"
+    val labeled = full.keySet
+    adj.foreach { case (nid, nbrs) =>
+      if (labeled.contains(name(nid)))
+        nbrs.foreach(nb => assert(labeled.contains(name(nb)),
+          s"fixpoint left ${name(nb)} unlabeled next to ${name(nid)}"))
+    }
+  }
 }
