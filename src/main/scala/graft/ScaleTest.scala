@@ -89,7 +89,8 @@ object ScaleTest {
       return docsMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
     if (args.headOption.contains("streams")) return streamsMain()
     if (args.headOption.contains("vecs")) return vecsMain()
-    if (args.headOption.contains("events")) return eventsMain()
+    if (args.headOption.contains("events"))
+      return eventsMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
     val copies = if (args.nonEmpty) args(0).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -202,7 +203,7 @@ object ScaleTest {
     * transition / gap-fill / MAD / RFM family plus the streaming anomaly
     * gate. Every operator is user-keyed, so the expectation is ~linear
     * wall growth with flat per-user cost. */
-  private def eventsMain(): Unit = {
+  private def eventsMain(copies: Int): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -213,16 +214,19 @@ object ScaleTest {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val src = "/root/testdata/sf0.1"
-    // Same replicated corpus (and stamp discipline) as the streams mode.
-    val dst = stagedDir("graft_events10x_c10_s1000000_", src)
+    // Same replicated corpus (and stamp discipline) as the streams mode;
+    // `runMain graft.ScaleTest events 30` runs the 30x ladder (30M events,
+    // the point where a super-linear per-user kernel would visibly bend).
+    val dst = stagedDir(s"graft_events10x_c${copies}_s1000000_", src)
     if (!new java.io.File(s"$dst/_built").exists()) {
-      buildStreams(spark, src, dst, 10)
+      buildStreams(spark, src, dst, copies)
       new java.io.File(s"$dst/_built").createNewFile()
     }
     val subset = Seq(
-      "q_event_funnel", "q_cohort_retention", "q_event_transitions",
-      "q_gap_fill", "q_anomaly_mad", "q_rfm_segments",
-      "q_stream_anomaly_gate")
+      "q_event_funnel", "q_funnel_windowed", "q_funnel_latency",
+      "q_cohort_retention", "q_event_transitions", "q_event_paths",
+      "q_gap_fill", "q_anomaly_mad", "q_cusum_shift", "q_attribution",
+      "q_rfm_segments", "q_ab_test", "q_stream_anomaly_gate")
     def time(dir: String): Map[String, Double] =
       subset.map { name =>
         val t0 = System.nanoTime()
@@ -236,9 +240,9 @@ object ScaleTest {
     time(src) // warm
     val small = time(src)
     graft.streaming.EventStreams.stageEvents(spark, dst)
-    time(dst) // stage + warm the 10x landing zone untimed (streams-mode rule)
+    time(dst) // stage + warm the Nx landing zone untimed (streams-mode rule)
     val big = time(dst)
-    println("query,events1x_s,events10x_s,ratio")
+    println(s"query,events1x_s,events${copies}x_s,ratio")
     subset.foreach { q =>
       println(f"$q,${small(q)}%.2f,${big(q)}%.2f,${big(q) / small(q)}%.1f")
     }
