@@ -175,7 +175,16 @@ object PlanDump {
       "localCheckpointed edge view (an ExistingRDD / LocalTableScan-backed " +
       "scan, NOT a parquet re-scan per iteration — the edge build ran once, " +
       "eagerly), the hop guard as the loop's anchor condition, and the " +
-      "min-hop aggregate + sort OUTSIDE the loop."))
+      "min-hop aggregate + sort OUTSIDE the loop."),
+    "q_reach_bfs_dist" -> ("Deduped-frontier iterative BFS (the " +
+      "q_pagerank_dist move applied to traversal). Rounds materialize via " +
+      "eager localCheckpoint, so this plan shows the final decode/sort " +
+      "over a Scan ExistingRDD with NO LocalTableScan; the per-round " +
+      "kernel (audited by PlanShapeSpec 'distributed BFS') shuffle-hashes " +
+      "the frontier against the once-bucketed cached edges, distincts, " +
+      "and anti-joins the visited set — the frontier dedup the recursive " +
+      "CTE cannot express, which is what lets this twin run uncapped to " +
+      "the fixpoint."))
 
   /** Streaming queries return a sink read whose plan says nothing; what
     * scales (or doesn't) is the per-micro-batch KERNEL. These dump the same
@@ -216,14 +225,20 @@ object PlanDump {
         "aggregate.",
         TextAnalysis.scorePpl(TextAnalysis.bigramsOf(arrivals.select("doc_id", "text")),
           c2, c1, vocab)),
-      ("q_stream_decontam (micro-batch kernel)",
-        "Per-arrival-batch two-stage BM25 screen of streamDecontam. " +
+      ("q_stream_decontam (micro-batch kernel, DISTRIBUTED strategy)",
+        "Per-arrival-batch two-stage BM25 screen of streamDecontam — the " +
+        "large-index strategy (at the dump SF the gate's size-based " +
+        "selection actually picks the broadcast-snapshot mapPartitions " +
+        "path, whose plan is a single scan+project; dumped here is the " +
+        "kernel that runs when the index exceeds " +
+        "BroadcastScreenMaxBytes). " +
         "Expect: stage 1 — cached postings (InMemoryTableScan, as at " +
         "runtime) probed by the BROADCAST rare arrival terms, match " +
         "counts into the bounded-heap TopKPerKey cap; stage 2 — the " +
         "cached forward index probed by the BROADCAST (batch x CandCap) " +
         "candidate list, scores folded in place from each doc's term " +
-        "array. No SortMergeJoin, no per-batch corpus aggregate " +
+        "array (BIGINT micro-unit fold, round 9). No SortMergeJoin, no " +
+        "per-batch corpus aggregate " +
         "(PlanShapeSpec 'decontam screening' gates this).", {
         import graft.llm.Retrieval
         val ix = Retrieval.buildIndex(corpus.select("doc_id", "text"), cache = true)
