@@ -100,16 +100,21 @@ object Retrieval {
   /** BM25 aggregation over an already-built candidate row set — split out
     * so a hybrid ranker can materialize [[candidates]] ONCE and feed both
     * its lexical scorer and this one instead of re-running the postings
-    * probe per ranker. */
+    * probe per ranker. Accumulates exact 6-dp micro-units in a BIGINT
+    * rather than DECIMAL(20,6) rows — same values (see the
+    * [[scoreCandidatesQd]] exactness argument), but long adds through the
+    * whole-stage-codegen'd hash aggregate instead of a Decimal conversion
+    * per candidate row (this scatter is millions of rows per query set on
+    * a low-selectivity corpus — it was the CPU owner of q_hybrid_rrf). */
   private def scoreCandidateRows(ix: Bm25Index, cand: DataFrame): DataFrame =
     cand
-      .withColumn("ts", round(
+      .withColumn("tsu", round(round(
         log(lit(1.0) + (lit(ix.n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
           (col("tf") * lit(K1 + 1.0)) /
           (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("len") / lit(ix.avgLen)))),
-        6).cast(DecimalType(20, 6)))
+        6) * lit(1000000.0), 0).cast(LongType))
       .groupBy("query_id", "doc_id")
-      .agg(round(sum("ts").cast(DoubleType), 6).as("score"))
+      .agg(round(sum("tsu").cast(DoubleType) / lit(1000000.0), 6).as("score"))
 
   // ---- Bounded screening (the many-queries regime) -------------------------
   //
