@@ -40,6 +40,26 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Move the JVM temp root to tmpfs when present (ShuffleDir's rationale,
+    // applied to everything else that lands in java.io.tmpdir during a
+    // bench run: staged streaming landing zones, TEMPORARY stream
+    // checkpoints — fresh UUID dir per start, so restart semantics are
+    // untouched — offset/commit logs, state-store files, and per-batch
+    // sink scratch). All of it is sf0.1-sized (tens of MB); the explicit
+    // durable checkpoints some queries pass by option() are absolute paths
+    // and unaffected. Production guidance is the opposite for CHECKPOINTS
+    // (durable cluster storage — that is their point); this is a
+    // single-host measurement harness with no durability to lose.
+    sys.env.get("SPARK_GRAFT_TMPDIR")
+      .orElse {
+        val shm = new java.io.File("/dev/shm")
+        if (shm.isDirectory && shm.canWrite) {
+          val d = new java.io.File(shm, "graft_bench_tmp")
+          d.mkdirs()
+          Some(d.getAbsolutePath)
+        } else None
+      }
+      .foreach(t => System.setProperty("java.io.tmpdir", t))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
