@@ -325,6 +325,22 @@ object ScaleTest {
       val sBig = timeDocStream(name, docsDst)
       println(f"$name,$sSmall%.2f,$sBig%.2f,${sBig / sSmall}%.1f")
     }
+    // Strategy-crossover rows for the decontam gate: time BOTH screening
+    // strategies at both scales (auto picks broadcast at these corpus
+    // sizes — the forced-distributed rows measure the kernel the gate
+    // switches to past BroadcastScreenMaxBytes, so the crossover is a
+    // measurement, not an assertion).
+    println("query,mode,docs1x_s,docs10x_s")
+    Seq("broadcast", "distributed").foreach { mode =>
+      spark.conf.set("graft.retrieval.screenMode", mode)
+      try {
+        timeDocStream("q_stream_decontam", src)
+        val a = timeDocStream("q_stream_decontam", src)
+        timeDocStream("q_stream_decontam", docsDst)
+        val b = timeDocStream("q_stream_decontam", docsDst)
+        println(f"q_stream_decontam,$mode,$a%.2f,$b%.2f")
+      } finally spark.conf.unset("graft.retrieval.screenMode")
+    }
     // The vector-ingest gate streams EMBEDDINGS, so its 10x axis is the
     // vecs-mode corpus (10x genuinely distinct vectors — corpus IVF index
     // 10x, arrival stream 10x). Same warm-then-time discipline.

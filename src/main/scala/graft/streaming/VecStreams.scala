@@ -135,9 +135,99 @@ object VecStreams {
         (coalesce(col("nn_cos"), lit(-2.0)) < lit(AdmitCosMax)).as("admit"))
   }
 
+  /** Driver-built snapshot of the standing IVF index for the broadcast
+    * screening strategy: trained centroid grid + cell-grouped corpus
+    * vectors. Bounded by the corpus embedding payload (n x dims x 4 bytes),
+    * which is what the size gate checks before building. */
+  private[graft] case class VecScreenSnapshot(
+      nprobe: Int,
+      cents: Array[(Int, Array[Long])],
+      cells: Map[Int, Array[(Long, Array[Float])]])
+
+  /** Mirror of [[graft.functions.VectorFunctions.floatCosine]]'s exact
+    * arithmetic (float multiplies, sequential double accumulation) — the
+    * broadcast screen must reproduce the Catalyst expression bit-for-bit. */
+  private def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i); val y = b(i)
+      dot += (x * y).toDouble
+      na += (x * x).toDouble
+      nb += (y * y).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The whole per-arrival screen against a [[VecScreenSnapshot]]:
+    * integer scaling (floor(x*S + 0.5)), exact-integer squared-L2 routing
+    * to the nprobe nearest cells (ties on cent_id), exact 4-dp cosine over
+    * those cells' members, best neighbor by (cos DESC, nid ASC) — value-
+    * identical to [[screenBatch]]'s distributed kernel per its own
+    * determinism discipline (every step is exact integers or mirrored
+    * IEEE arithmetic; StreamingSpec replays both modes end-to-end). */
+  private[graft] def screenOneLocal(ss: VecScreenSnapshot,
+      emb: Array[Float]): Option[(Long, Double)] = {
+    val sarr = new Array[Long](emb.length)
+    var i = 0
+    while (i < emb.length) {
+      sarr(i) = math.floor(emb(i).toDouble * Similarity.ScaleQ.toDouble + 0.5).toLong
+      i += 1
+    }
+    def sqDist(c: Array[Long]): Long = {
+      var d = 0L; var j = 0
+      while (j < sarr.length) { val t = sarr(j) - c(j); d += t * t; j += 1 }
+      d
+    }
+    val ranked = ss.cents.map { case (cid, carr) => (sqDist(carr), cid) }
+    java.util.Arrays.sort(ranked, Ordering.Tuple2[Long, Int])
+    var bestNid = -1L
+    var bestCos = Double.NegativeInfinity
+    ranked.take(ss.nprobe).foreach { case (_, cid) =>
+      ss.cells.getOrElse(cid, Array.empty[(Long, Array[Float])]).foreach {
+        case (nid, cemb) =>
+          val cos = java.math.BigDecimal.valueOf(cosLocal(emb, cemb))
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (cos > bestCos || (cos == bestCos && nid < bestNid)) {
+            bestCos = cos; bestNid = nid
+          }
+      }
+    }
+    if (bestNid < 0) None else Some((bestNid, bestCos))
+  }
+
+  /** Verdicts for an arrival frame via the broadcast screen — the
+    * zero-shuffle strategy for a corpus whose embedding payload fits the
+    * broadcast gate (the decontam-gate discipline applied to vectors). */
+  private[graft] def screenBatchLocal(s: SparkSession,
+      snap: org.apache.spark.broadcast.Broadcast[VecScreenSnapshot],
+      batch: DataFrame): DataFrame = {
+    import s.implicits._
+    batch.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val ss = snap.value
+        it.map { case (vid, emb) =>
+          screenOneLocal(ss, emb) match {
+            case Some((nid, cos)) => (vid, nid, cos, cos < AdmitCosMax)
+            case None => (vid, -1L, -2.0, true)
+          }
+        }
+      }
+      .toDF("vec_id", "nn_id", "nn_cos", "admit")
+  }
+
   /** Per-vector admission verdict for every arriving embedding: nearest
     * corpus neighbor (by exact cosine over the probed IVF cells) and
-    * admit/reject against [[AdmitCosMax]]. */
+    * admit/reject against [[AdmitCosMax]].
+    *
+    * Screening strategy is selected by INDEX SIZE (the
+    * [[DocStreams.streamDecontam]] discipline): a corpus whose embedding
+    * payload is under [[graft.llm.Retrieval.BroadcastScreenMaxBytes]]
+    * broadcasts its trained index and screens each micro-batch in one
+    * mapPartitions pass; larger corpora keep the distributed probed-cells
+    * kernel. `graft.similarity.screenMode` = broadcast|distributed
+    * overrides for A/B measurement; verdicts are identical either way. */
   def streamVecIngest(s: SparkSession, d: String): DataFrame = {
     import java.nio.file._
     val dir = stageVecs(s, d)
@@ -145,13 +235,41 @@ object VecStreams {
     // The standing IVF index, built once and reused by every micro-batch:
     // exact-integer k-means centroids + cell-assigned corpus vectors.
     val sx = graft.TrackedCaches.track(Similarity.scaledOf(corpus).cache())
-    val k = Similarity.centroidsFor(sx.count())
+    val nVec = sx.count()
+    val k = Similarity.centroidsFor(nVec)
     val nprobe = Similarity.probesFor(k)
     val cents = Similarity.trainCentroids(sx,
       Similarity.seedCentroidsOf(corpus, sx, k))
-    val cells = graft.TrackedCaches.track(
-      Similarity.assignCells(sx, cents).join(corpus, "vec_id")
-        .select(col("vec_id"), col("embedding"), col("cell")).cache())
+
+    val mode = s.conf.getOption("graft.similarity.screenMode").getOrElse("auto")
+    val dims = if (nVec == 0) 0L
+      else corpus.select(size(col("embedding"))).head().getInt(0).toLong
+    val useBroadcast = mode match {
+      case "broadcast" => true
+      case "distributed" => false
+      case _ => nVec * dims * 4 <= graft.llm.Retrieval.BroadcastScreenMaxBytes
+    }
+
+    val screen: DataFrame => DataFrame =
+      if (useBroadcast) {
+        val cellRows = Similarity.assignCells(sx, cents).join(corpus, "vec_id")
+          .select(col("vec_id"), col("embedding"), col("cell")).collect()
+        val centRows = cents.collect().map(r =>
+          (r.getAs[Number]("cent_id").intValue(),
+            r.getSeq[Long](r.fieldIndex("carr")).toArray))
+        val cellMap = cellRows
+          .map(r => (r.getAs[Number]("cell").intValue(),
+            (r.getAs[Long]("vec_id"), r.getSeq[Float](r.fieldIndex("embedding")).toArray)))
+          .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+        val snap = s.sparkContext.broadcast(
+          VecScreenSnapshot(nprobe, centRows, cellMap))
+        (batch: DataFrame) => screenBatchLocal(s, snap, batch)
+      } else {
+        val cells = graft.TrackedCaches.track(
+          Similarity.assignCells(sx, cents).join(corpus, "vec_id")
+            .select(col("vec_id"), col("embedding"), col("cell")).cache())
+        (batch: DataFrame) => screenBatch(batch, cents, cells, nprobe)
+      }
 
     val outBase = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_vec_ingest")
     if (Files.exists(outBase)) {
@@ -165,7 +283,7 @@ object VecStreams {
     val q = stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
        batchId: Long) =>
-        screenBatch(batch.toDF(), cents, cells, nprobe)
+        screen(batch.toDF())
           .write.mode("overwrite")
           .parquet(outBase.resolve(s"v$batchId").toString)
         latest = batchId
@@ -187,8 +305,8 @@ object VecStreams {
     // Zero staged chunks (empty arrival slice): screen a LIMIT 0 batch for
     // the exact output schema instead of reading an empty path list.
     if (latest < 0)
-      screenBatch(corpus.select(col("vec_id"), col("embedding")).limit(0),
-        cents, cells, nprobe).orderBy("vec_id")
+      screen(corpus.select(col("vec_id"), col("embedding")).limit(0))
+        .orderBy("vec_id")
     else
       s.read.parquet((0L to latest).map(b => outBase.resolve(s"v$b").toString): _*)
         .orderBy("vec_id")

@@ -501,6 +501,27 @@ class StreamingSpec extends SparkSpec {
     assert(out(12L) == ((-1L, false)), "unknown user must carry sentinel, unflagged")
   }
 
+  test("vec-ingest broadcast screen == distributed screen, end-to-end bit-for-bit") {
+    // Same strategy-selection contract as the decontam gate: the broadcast
+    // snapshot screen and the distributed probed-cells kernel must emit
+    // IDENTICAL verdicts — same nn_id, same 4-dp cosine, same admits.
+    def run(mode: String) = {
+      spark.conf.set("graft.similarity.screenMode", mode)
+      try graft.streaming.VecStreams.streamVecIngest(spark, Sf).collect()
+      finally spark.conf.unset("graft.similarity.screenMode")
+    }
+    val bc = run("broadcast")
+    graft.TrackedCaches.release()
+    spark.catalog.clearCache()
+    val dist = run("distributed")
+    graft.TrackedCaches.release()
+    spark.catalog.clearCache()
+    assert(bc.nonEmpty && bc.length == dist.length)
+    bc.zip(dist).foreach { case (a, b) =>
+      assert(a == b, s"vec screen-path divergence: broadcast=$a distributed=$b")
+    }
+  }
+
   test("decontam broadcast screen == distributed screen, end-to-end bit-for-bit") {
     // The gate picks its physical screening strategy by index size (the
     // broadcast-join philosophy); both strategies must produce IDENTICAL
