@@ -134,10 +134,112 @@ object DocStreams {
         coalesce(col("near_src"), lit(-1L)).as("near_dup_of"))
   }
 
+  /** Driver-built snapshot of the standing dedup index for the broadcast
+    * screening strategy. The CORPUS side is collected from the very frames
+    * the distributed kernel probes (signaturesOf / digest rollup — same
+    * Spark arithmetic, zero replication risk); only the ARRIVAL side's
+    * minhash is recomputed locally, mirroring [[graft.llm.Dedup]]'s
+    * shingle/hash/permutation pipeline token for token. */
+  private[graft] case class DedupScreenSnapshot(
+      sigs: Map[Long, Array[Long]],
+      bandIndex: Map[(Int, Long, Long, Long, Long), Array[Long]],
+      digests: Map[String, Long])
+
+  /** Arrival-side MinHash signature, mirroring [[Dedup.signaturesOf]]:
+    * distinct word-3-gram shingles, 28-bit md5-prefix base hash, min of
+    * each affine permutation mod Prime. Returns null for a doc with fewer
+    * than 3 words (no shingles — such docs have no signature row in the
+    * distributed frame either). */
+  private[graft] def localSignature(text: String): Array[Long] = {
+    val ws = text.split(" ", -1)
+    if (ws.length < 3) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new scala.collection.mutable.HashSet[String]()
+    val sig = Array.fill(Dedup.NumHashes)(Long.MaxValue)
+    var i = 0
+    while (i + 2 < ws.length) {
+      val sh = ws(i) + " " + ws(i + 1) + " " + ws(i + 2)
+      if (seen.add(sh)) {
+        md.reset()
+        val hex = md.digest(sh.getBytes("UTF-8"))
+          .take(4).map(b => f"${b & 0xff}%02x").mkString // 8 hex chars
+        val h = java.lang.Long.parseLong(hex.substring(0, 7), 16)
+        var j = 0
+        while (j < Dedup.NumHashes) {
+          val v = (Dedup.HashA(j) * h + Dedup.HashB(j)) % Dedup.Prime
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Hex md5 of a UTF-8 string — Spark's md5() rendering. */
+  private def md5Hex(text: String): String = {
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** One arrival's verdict against a [[DedupScreenSnapshot]] — value-
+    * identical to [[screenBatch]]: exact dup via the digest map, near-dup
+    * source = min corpus doc sharing an LSH band with >=
+    * MinhashMatchThreshold signature agreement. */
+  private[graft] def screenOneLocal(ss: DedupScreenSnapshot, text: String):
+      (Boolean, Long) = {
+    val isExact = ss.digests.contains(md5Hex(text))
+    val sig = localSignature(text)
+    if (sig == null) return (isExact, -1L)
+    val rows = Dedup.NumHashes / Dedup.Bands
+    var near = -1L
+    val cand = new scala.collection.mutable.HashSet[Long]()
+    var b = 0
+    while (b < Dedup.Bands) {
+      val k = (b, sig(b * rows), sig(b * rows + 1), sig(b * rows + 2),
+        sig(b * rows + 3))
+      ss.bandIndex.get(k).foreach(_.foreach(cand.add))
+      b += 1
+    }
+    cand.foreach { db =>
+      val cs = ss.sigs(db)
+      var nEq = 0; var j = 0
+      while (j < Dedup.NumHashes) { if (cs(j) == sig(j)) nEq += 1; j += 1 }
+      if (nEq >= Dedup.MinhashMatchThreshold && (near < 0 || db < near))
+        near = db
+    }
+    (isExact, near)
+  }
+
+  /** Verdicts for an arrival frame via the broadcast screen — the
+    * zero-shuffle strategy for a sub-[[graft.llm.Retrieval.BroadcastScreenMaxBytes]]
+    * corpus (the decontam-gate discipline applied to the dedup gate). */
+  private[graft] def screenBatchLocal(s: SparkSession,
+      snap: org.apache.spark.broadcast.Broadcast[DedupScreenSnapshot],
+      batch: DataFrame): DataFrame = {
+    import s.implicits._
+    batch.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val ss = snap.value
+        it.map { case (did, text) =>
+          val (ex, near) = screenOneLocal(ss, text)
+          (did, ex, near)
+        }
+      }
+      .toDF("doc_id", "is_exact_dup", "near_dup_of")
+  }
+
   /** Per-doc admission verdict for every arriving doc: exact dup (identical
     * text exists in the corpus), near-dup source (smallest corpus doc
     * sharing an LSH band with >= MinhashMatchThreshold/NumHashes signature
-    * agreement; -1 when none). */
+    * agreement; -1 when none).
+    *
+    * Screening strategy is selected by INDEX SIZE like [[streamDecontam]]:
+    * under the broadcast gate the corpus signature/band/digest index is
+    * snapshotted (collected from the SAME distributed frames the other
+    * strategy probes) and each micro-batch screens in one mapPartitions
+    * pass; `graft.dedup.screenMode` = broadcast|distributed overrides.
+    * StreamingSpec holds both modes row-identical end-to-end. */
   def streamIngestDedup(s: SparkSession, d: String): DataFrame = {
     import java.nio.file._
     val dir = stageDocs(s, d)
@@ -145,13 +247,47 @@ object DocStreams {
     // The standing corpus index, built once and reused by every micro-batch:
     // band rows + signatures for the near-dup join, digests for exact dup.
     val rows = Dedup.NumHashes / Dedup.Bands
-    val corpusSig = graft.TrackedCaches.track(
-      Dedup.signaturesOf(corpus).cache())
-    val corpusBands = Dedup.bandRows(corpusSig)
-      .toDF(("db" +: (0 until rows).map(r => s"w$r")) :+ "band": _*)
-    val corpusDigests = graft.TrackedCaches.track(
-      corpus.select(md5(col("text")).as("digest"), col("doc_id"))
-        .groupBy("digest").agg(min("doc_id").as("exact_src")).cache())
+    val mode = s.conf.getOption("graft.dedup.screenMode").getOrElse("auto")
+    val useBroadcast = mode match {
+      case "broadcast" => true
+      case "distributed" => false
+      case _ =>
+        val st = corpus.agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).as("bytes")).head()
+        st.getLong(0) == 0L ||
+          st.getLong(1) <= graft.llm.Retrieval.BroadcastScreenMaxBytes
+    }
+
+    val screen: DataFrame => DataFrame =
+      if (useBroadcast) {
+        val sigRows = Dedup.signaturesOf(corpus).collect()
+        val sigs = sigRows.map(r => r.getLong(0) ->
+          (0 until Dedup.NumHashes).map(i => r.getLong(i + 1)).toArray).toMap
+        val bandIndex = sigRows.flatMap { r =>
+          val did = r.getLong(0)
+          (0 until Dedup.Bands).map { b =>
+            ((b, r.getLong(b * rows + 1), r.getLong(b * rows + 2),
+              r.getLong(b * rows + 3), r.getLong(b * rows + 4)), did)
+          }
+        }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
+        val digests = corpus
+          .select(md5(col("text")).as("digest"), col("doc_id"))
+          .groupBy("digest").agg(min("doc_id").as("exact_src")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val snap = s.sparkContext.broadcast(
+          DedupScreenSnapshot(sigs, bandIndex, digests))
+        (batch: DataFrame) => screenBatchLocal(s, snap, batch)
+      } else {
+        val corpusSig = graft.TrackedCaches.track(
+          Dedup.signaturesOf(corpus).cache())
+        val corpusBands = Dedup.bandRows(corpusSig)
+          .toDF(("db" +: (0 until rows).map(r => s"w$r")) :+ "band": _*)
+        val corpusDigests = graft.TrackedCaches.track(
+          corpus.select(md5(col("text")).as("digest"), col("doc_id"))
+            .groupBy("digest").agg(min("doc_id").as("exact_src")).cache())
+        (batch: DataFrame) =>
+          screenBatch(batch, corpusSig, corpusBands, corpusDigests)
+      }
 
     val outBase = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_ingest")
     if (Files.exists(outBase)) {
@@ -165,7 +301,7 @@ object DocStreams {
     val q = stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
        batchId: Long) =>
-        screenBatch(batch, corpusSig, corpusBands, corpusDigests)
+        screen(batch.toDF())
           .write.mode("overwrite")
           .parquet(outBase.resolve(s"v$batchId").toString)
         latest = batchId
@@ -193,8 +329,8 @@ object DocStreams {
     // return an empty verdict frame with the exact output schema (screening
     // a LIMIT 0 batch) instead of calling read.parquet on an empty path list.
     if (latest < 0)
-      screenBatch(corpus.select(col("doc_id"), col("text")).limit(0),
-        corpusSig, corpusBands, corpusDigests).orderBy("doc_id")
+      screen(corpus.select(col("doc_id"), col("text")).limit(0))
+        .orderBy("doc_id")
     else
       s.read.parquet((0L to latest).map(b => outBase.resolve(s"v$b").toString): _*)
         .orderBy("doc_id")

@@ -501,6 +501,26 @@ class StreamingSpec extends SparkSpec {
     assert(out(12L) == ((-1L, false)), "unknown user must carry sentinel, unflagged")
   }
 
+  test("ingest-dedup broadcast screen == distributed screen, end-to-end bit-for-bit") {
+    // Third gate under the size-based strategy contract: identical
+    // exact-dup flags and near-dup sources from both physical screens.
+    def run(mode: String) = {
+      spark.conf.set("graft.dedup.screenMode", mode)
+      try graft.streaming.DocStreams.streamIngestDedup(spark, Sf).collect()
+      finally spark.conf.unset("graft.dedup.screenMode")
+    }
+    val bc = run("broadcast")
+    graft.TrackedCaches.release()
+    spark.catalog.clearCache()
+    val dist = run("distributed")
+    graft.TrackedCaches.release()
+    spark.catalog.clearCache()
+    assert(bc.nonEmpty && bc.length == dist.length)
+    bc.zip(dist).foreach { case (a, b) =>
+      assert(a == b, s"dedup screen-path divergence: broadcast=$a distributed=$b")
+    }
+  }
+
   test("vec-ingest broadcast screen == distributed screen, end-to-end bit-for-bit") {
     // Same strategy-selection contract as the decontam gate: the broadcast
     // snapshot screen and the distributed probed-cells kernel must emit
