@@ -1,0 +1,166 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge TRAINING over the documents corpus — the
+  * subword-tokenizer-construction step of an LLM data pipeline, run as a
+  * distributed iterative corpus operator (the reference has no tokenizer
+  * surface; this extends the text-analysis family the way the dedup/ANN
+  * families extend documents/embeddings).
+  *
+  * Word-level BPE (Sennrich et al., the standard formulation, applied at
+  * whitespace-token granularity rather than characters so the synthetic
+  * corpus yields meaningful merges — [[CorpusStats.bpePairs]] is the
+  * complementary single-round CHARACTER-pair statistic; this is the
+  * multi-round TRAINER): each round counts every ADJACENT UNIT PAIR
+  * occurrence corpus-wide, merges the most frequent pair into one unit
+  * (ties break on the pair string ascending), rewrites the corpus, and
+  * repeats for [[MergeRounds]] rounds. Overlapping occurrences count
+  * individually ("a a a" holds two (a,a) pairs) but APPLY leftmost-first
+  * non-overlapping — true BPE application order.
+  *
+  * Application is a plain string `replace`, made EXACT by the unit
+  * encoding: every unit is self-delimited as `(unit)`, so a pair pattern
+  * `(t1)(t2)` shares no characters with an adjacent occurrence and
+  * leftmost non-overlapping replace IS leftmost-greedy BPE ("(a)(a)(a)(a)"
+  * merges units 1-2 then 3-4 in one pass; a space-delimited encoding
+  * would consume the shared delimiter and silently skip every other
+  * occurrence in a run — BpeSpec pins this with a crafted chain). Both
+  * engines' `replace` scan leftmost non-overlapping, which is what makes
+  * the oracle an unrolled-CTE replay. '_' joins merged units; the corpus
+  * vocabulary is clean lowercase words, so neither the joiner nor the
+  * parens can collide (BpeSpec asserts both).
+  *
+  * Scale shape (100 TB): per round, ONE map-side-combined pair-count
+  * aggregate over the corpus (the winner is a 1-row TakeOrdered — never a
+  * global sort), one scalar unit-count aggregate, and a pure map rewrite;
+  * the rewritten corpus materializes via eager localCheckpoint each round
+  * (the PageRank-rounds discipline — round r never re-executes rounds
+  * 1..r-1, so total work is MergeRounds x one corpus pass). The driver
+  * holds only the K winning pairs. This is the textbook distributed BPE
+  * trainer shape; the production refinement (delta pair-count maintenance
+  * instead of a full recount per round) optimizes the same aggregate, not
+  * a different plan. */
+object Bpe {
+
+  /** Merge rounds learned/reported. Enough to exercise chained merges
+    * (winners that contain earlier merged units) at every test SF. */
+  val MergeRounds = 8
+
+  /** Unit bound for the oracle's constant-range pair expansion (DuckDB
+    * cannot lateral-join generate_series on a column) — same role and
+    * value as [[Dedup.MaxWords]]; BpeSpec asserts the corpus stays under
+    * it (unit count per doc only shrinks across rounds). */
+  val MaxUnits = 300
+
+  /** Unit list of the paren-encoded corpus column `u` (Spark side). */
+  private def unitsOfU =
+    split(expr("trim(BOTH '()' FROM u)"), "[)][(]")
+
+  /** The learned merge table: one row per round — (rank, left_unit,
+    * right_unit, n_occurrences of the winning pair when it won,
+    * units_after = corpus unit count after applying that merge). */
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeMergesOf(s, Tables.documents(s, d).select("doc_id", "text"))
+
+  /** [[bpeMerges]] over an explicit (doc_id, text) frame — exposed so
+    * BpeSpec can prove the overlap/greedy semantics on crafted corpora. */
+  private[graft] def bpeMergesOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    var cur = docs.select(concat(lit("("),
+        org.apache.spark.sql.functions.replace(col("text"), lit(" "), lit(")(")),
+        lit(")")).as("u"))
+      .localCheckpoint(true)
+    // units_after(r) is derived, not re-scanned: corpus units = total pair
+    // occurrences + doc count (each doc holds pairs_per_doc + 1 units), so
+    // round r+1's pair table — needed anyway for its winner — also prices
+    // round r's result, and only the FINAL round pays a direct unit count.
+    // Both aggregates of a round act on the one cached vocab-arity pair
+    // table, so each round is a single corpus pass at any scale.
+    val nDocs = cur.count()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    // (rank, left, right, cnt) awaiting its units_after from the next round
+    var pending: Option[(Int, String, String, Long)] = None
+    var r = 0
+    var exhausted = false
+    while (r < MergeRounds && !exhausted) {
+      r += 1
+      val pc = cur
+        .select(unitsOfU.as("us"))
+        .select(explode(expr(
+          """CASE WHEN size(us) >= 2
+             THEN transform(sequence(0, size(us) - 2),
+                            i -> concat(us[i], ' ', us[i + 1]))
+             ELSE array() END""")).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("cnt"))
+        .cache()
+      val top = pc.orderBy(col("cnt").desc, col("p")).limit(1).collect()
+      pending.foreach { case (pr, t1, t2, cnt) =>
+        val pairSum = pc.agg(sum("cnt")).head()
+        val unitsNow = (if (pairSum.isNullAt(0)) 0L else pairSum.getLong(0)) + nDocs
+        out += ((pr, t1, t2, cnt, unitsNow))
+        pending = None
+      }
+      pc.unpersist(blocking = false)
+      if (top.isEmpty) {
+        // Every document is a single unit — nothing left to merge. The
+        // merge table simply ends early (a corpus property, not an error).
+        exhausted = true
+      } else {
+        val p = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        val Array(t1, t2) = p.split(" ", 2)
+        cur = cur.select(
+          org.apache.spark.sql.functions.replace(
+            col("u"), lit("(" + t1 + ")(" + t2 + ")"),
+            lit("(" + t1 + "_" + t2 + ")")).as("u"))
+          .localCheckpoint(true)
+        pending = Some((r, t1, t2, cnt))
+      }
+    }
+    // The last applied merge has no successor pair table — price it with
+    // the one direct unit count of the whole run.
+    pending.foreach { case (pr, t1, t2, cnt) =>
+      val unitsAfter = cur.agg(sum(size(unitsOfU))).head().getLong(0)
+      out += ((pr, t1, t2, cnt, unitsAfter))
+    }
+    out.toSeq.toDF("rank", "left_unit", "right_unit", "n_occurrences", "units_after")
+      .orderBy("rank")
+  }
+
+  /** Oracle: [[MergeRounds]] unrolled CTE rounds with the same
+    * count/tie-break/replace arithmetic over the same paren encoding. */
+  val bpeMergesSql: String = {
+    def round(prev: String, i: Int): String =
+      s"""p$i AS (SELECT us[j] || ' ' || us[j + 1] AS p, count(*) AS cnt
+               FROM (SELECT string_split(trim(u, '()'), ')(') AS us FROM $prev),
+                    generate_series(1, $MaxUnits) t(j)
+               WHERE j <= len(us) - 1
+               GROUP BY 1),
+         w$i AS (SELECT p, cnt FROM p$i ORDER BY cnt DESC, p LIMIT 1),
+         d$i AS (SELECT doc_id,
+                   replace(u, '(' || replace(w$i.p, ' ', ')(') || ')',
+                           '(' || replace(w$i.p, ' ', '_') || ')') AS u
+                 FROM $prev, w$i),
+         s$i AS (SELECT $i AS rank,
+                   split_part(p, ' ', 1) AS left_unit,
+                   split_part(p, ' ', 2) AS right_unit,
+                   CAST(cnt AS BIGINT) AS n_occurrences,
+                   (SELECT CAST(sum(len(string_split(trim(u, '()'), ')('))) AS BIGINT)
+                    FROM d$i) AS units_after
+                 FROM w$i)"""
+    val rounds = (1 to MergeRounds)
+      .map(i => round(if (i == 1) "d0" else s"d${i - 1}", i))
+      .mkString(",\n        ")
+    val sel = (1 to MergeRounds).map(i => s"SELECT * FROM s$i")
+      .mkString("\n        UNION ALL ")
+    s"""WITH d0 AS (SELECT doc_id, '(' || replace(text, ' ', ')(') || ')' AS u
+                    FROM documents),
+        $rounds
+        SELECT CAST(rank AS INT) AS rank, left_unit, right_unit,
+               n_occurrences, units_after
+        FROM ($sel) ORDER BY rank"""
+  }
+}

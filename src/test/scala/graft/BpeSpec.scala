@@ -1,0 +1,105 @@
+package graft
+
+import graft.llm.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE merge-training specs: an in-memory replay of the full algorithm over
+  * the real corpus, crafted-corpus proofs of the overlap/greedy semantics,
+  * and the joiner/bound preconditions the oracle depends on. */
+class BpeSpec extends SparkSpec {
+
+  /** Reference replay: word-level BPE with occurrence counts, (cnt DESC,
+    * pair-string ASC) winner selection, and leftmost non-overlapping
+    * application — the exact semantics the distributed trainer and the
+    * DuckDB oracle both implement. */
+  private def replay(texts: Seq[String], rounds: Int): Seq[(Int, String, String, Long, Long)] = {
+    var docs = texts.map(_.split(" ", -1).toVector)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      r += 1
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      docs.foreach(us => us.sliding(2).filter(_.size == 2)
+        .foreach(p => counts((p(0), p(1))) += 1))
+      if (counts.isEmpty) done = true
+      else {
+        val ((t1, t2), cnt) = counts.minBy { case ((a, b), n) => (-n, a + " " + b) }
+        docs = docs.map { us =>
+          val next = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < us.length) {
+            if (i + 1 < us.length && us(i) == t1 && us(i + 1) == t2) {
+              next += t1 + "_" + t2; i += 2 // leftmost, non-overlapping
+            } else { next += us(i); i += 1 }
+          }
+          next.toVector
+        }
+        out += ((r, t1, t2, cnt, docs.map(_.length.toLong).sum))
+      }
+    }
+    out.toSeq
+  }
+
+  private def run(texts: Seq[String], rounds: Int = Bpe.MergeRounds) = {
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Bpe.bpeMergesOf(spark, df).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+  }
+
+  test("merge table equals the in-memory replay on the real corpus") {
+    val texts = Tables.documents(spark, Sf).select("text")
+      .collect().map(_.getString(0)).toSeq
+    val got = Bpe.bpeMerges(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val expect = replay(texts, Bpe.MergeRounds)
+    assert(got == expect, s"merge divergence:\n got   ${got.take(3)}\n expect ${expect.take(3)}")
+    assert(got.size == Bpe.MergeRounds, "corpus must sustain all rounds")
+    // units_after strictly decreases: every merge applies at least once
+    got.map(_._5).sliding(2).foreach { case Seq(a, b) => assert(b < a); case _ => }
+  }
+
+  test("merges chain: a later winner contains an earlier merged unit") {
+    // "x y z" xN: round 1 ties (x,y)/(y,z) at N -> lexicographic picks
+    // (x,y); round 2's only pair is (x_y, z) -> the chained merge.
+    val got = run(Seq.fill(4)("x y z"), rounds = 2)
+    assert(got.map(m => (m._1, m._2, m._3, m._4)) ==
+      Seq((1, "x", "y", 4L), (2, "x_y", "z", 4L)), s"chain broke: $got")
+    assert(got.last._5 == 4L, "fully merged corpus is one unit per doc")
+  }
+
+  test("overlapping pair occurrences count individually but apply leftmost-first") {
+    // "a a a a": pair (a,a) occurs 3 times; application merges positions
+    // (1,2) and (3,4) -> 2 units. One doc is enough to pin the semantics.
+    val got = run(Seq("a a a a"), rounds = 1).head
+    assert((got._2, got._3, got._4) == (("a", "a", 3L)),
+      s"overlap counting broke: $got")
+    assert(got._5 == 2L, s"leftmost application broke: $got")
+  }
+
+  test("merge patterns respect unit boundaries (no substring collisions)") {
+    // (b,c) wins with 3; "ab c" must NOT be rewritten by the ' b c '
+    // pattern even though "b c" appears inside it as a substring.
+    val got = run(Seq("b c", "b c", "b c", "ab c", "ab c"), rounds = 1).head
+    assert((got._2, got._3, got._4) == (("b", "c", 3L)), s"wrong winner: $got")
+    // 3 merged docs at 1 unit + 2 untouched docs at 2 units
+    assert(got._5 == 3L + 4L, s"boundary collision: $got")
+  }
+
+  test("oracle preconditions hold: no joiner/parens in the vocabulary, units under the bound") {
+    val bad = Tables.documents(spark, Sf)
+      .filter(col("text").contains("_") || col("text").contains("(") ||
+        col("text").contains(")")).count()
+    assert(bad == 0, "corpus text contains a reserved encoding character")
+    val maxUnits = Tables.documents(spark, Sf)
+      .select(size(split(col("text"), " ")).as("n"))
+      .agg(max("n")).head().getInt(0)
+    assert(maxUnits <= Bpe.MaxUnits,
+      s"doc with $maxUnits units exceeds the oracle's MaxUnits=${Bpe.MaxUnits}")
+  }
+}

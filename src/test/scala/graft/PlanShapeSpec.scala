@@ -177,6 +177,26 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     graft.TrackedCaches.release()
   }
 
+  test("broadcast screens plan as one mapPartitions pass — zero exchanges") {
+    // The small-index strategy's whole point: per micro-batch the screen
+    // must be scan -> deserialize -> mapPartitions -> serialize, with NO
+    // Exchange (a shuffle per batch would erase the strategy's advantage
+    // and silently reintroduce the deep-plan cost it exists to avoid).
+    import graft.llm.Retrieval
+    val docs = Tables.documents(spark, Sf)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    val snap = spark.sparkContext.broadcast(Retrieval.buildScreenSnapshot(corpus))
+    val batch = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+    val out = Retrieval.screenBatchLocal(spark, snap, batch)
+    out.collect()
+    val plan = out.queryExecution.executedPlan
+    val ex = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(ex.isEmpty, s"broadcast screen must not shuffle:\n$plan")
+    snap.destroy()
+  }
+
   test("LM scoring broadcasts both model sides; bucketing never windows") {
     // The bigram stream is corpus-scale; the model tables are vocab-bounded.
     // A sort-merge join here would shuffle the corpus per scoring pass.
