@@ -136,6 +136,7 @@ object SparkEntry {
     "q_lang_id" -> (TextAnalysis.langId _),
     "q_token_counts" -> (TextAnalysis.tokenCounts _),
     "q_bpe_merges" -> (graft.llm.Bpe.bpeMerges _),
+    "q_bpe_apply" -> (graft.llm.Bpe.bpeApply _),
     "q_hash_sample" -> (TextAnalysis.hashSample _),
     "q_stratified_sample" -> ((s: SparkSession, d: String) =>
       TextAnalysis.stratifiedSample(s, d)),
@@ -517,6 +518,7 @@ object SparkEntry {
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_token_counts" -> TextAnalysis.tokenCountsSql,
     "q_bpe_merges" -> graft.llm.Bpe.bpeMergesSql,
+    "q_bpe_apply" -> graft.llm.Bpe.bpeApplySql,
     "q_hash_sample" -> TextAnalysis.hashSampleSql,
     "q_stratified_sample" -> TextAnalysis.stratifiedSampleSql,
     "q_media_meta" -> Multimodal.mediaMetaSql,

@@ -65,11 +65,36 @@ object Bpe {
   def bpeMerges(s: SparkSession, d: String): DataFrame =
     bpeMergesOf(s, Tables.documents(s, d).select("doc_id", "text"))
 
+  /** Per-document tokenization report under the trained merges — the
+    * APPLY step and the number a pipeline sizes its token budget with:
+    * (doc_id, units_before = whitespace tokens, units_after = BPE units,
+    * saved_pct = 4-dp percentage shrink). Shares the training loop (the
+    * rewritten corpus IS the applied tokenization, since word-level BPE
+    * training rewrites greedily exactly as application does). */
+  def bpeApply(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val (_, fin) = trainOn(s, docs)
+    fin
+      .select(col("doc_id"), size(unitsOfU).as("units_after"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("units_before")), "doc_id")
+      .select(col("doc_id"), col("units_before"), col("units_after"),
+        round(lit(100.0) * (col("units_before") - col("units_after"))
+          .cast("double") / col("units_before"), 4).as("saved_pct"))
+      .orderBy("doc_id")
+  }
+
   /** [[bpeMerges]] over an explicit (doc_id, text) frame — exposed so
     * BpeSpec can prove the overlap/greedy semantics on crafted corpora. */
-  private[graft] def bpeMergesOf(s: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def bpeMergesOf(s: SparkSession, docs: DataFrame): DataFrame =
+    trainOn(s, docs)._1
+
+  /** The shared training loop: returns (merge table, final rewritten
+    * corpus (doc_id, u)). */
+  private def trainOn(s: SparkSession, docs: DataFrame):
+      (DataFrame, DataFrame) = {
     import s.implicits._
-    var cur = docs.select(concat(lit("("),
+    var cur = docs.select(col("doc_id"), concat(lit("("),
         org.apache.spark.sql.functions.replace(col("text"), lit(" "), lit(")(")),
         lit(")")).as("u"))
       .localCheckpoint(true)
@@ -112,7 +137,7 @@ object Bpe {
         val p = top(0).getString(0)
         val cnt = top(0).getLong(1)
         val Array(t1, t2) = p.split(" ", 2)
-        cur = cur.select(
+        cur = cur.select(col("doc_id"),
           org.apache.spark.sql.functions.replace(
             col("u"), lit("(" + t1 + ")(" + t2 + ")"),
             lit("(" + t1 + "_" + t2 + ")")).as("u"))
@@ -126,13 +151,37 @@ object Bpe {
       val unitsAfter = cur.agg(sum(size(unitsOfU))).head().getLong(0)
       out += ((pr, t1, t2, cnt, unitsAfter))
     }
-    out.toSeq.toDF("rank", "left_unit", "right_unit", "n_occurrences", "units_after")
-      .orderBy("rank")
+    (out.toSeq
+      .toDF("rank", "left_unit", "right_unit", "n_occurrences", "units_after")
+      .orderBy("rank"),
+      cur)
   }
 
   /** Oracle: [[MergeRounds]] unrolled CTE rounds with the same
     * count/tie-break/replace arithmetic over the same paren encoding. */
-  val bpeMergesSql: String = {
+  val bpeMergesSql: String = sqlWithRounds(
+    (1 to MergeRounds).map(i => s"SELECT * FROM s$i")
+      .mkString("\n        UNION ALL ") match {
+      case sel =>
+        s"""SELECT CAST(rank AS INT) AS rank, left_unit, right_unit,
+               n_occurrences, units_after
+        FROM ($sel) ORDER BY rank"""
+    })
+
+  /** Oracle of [[bpeApply]]: the same chain's FINAL corpus, reported
+    * per document. */
+  val bpeApplySql: String = sqlWithRounds(
+    s"""SELECT d.doc_id,
+          CAST(len(string_split(text, ' ')) AS INT) AS units_before,
+          CAST(len(string_split(trim(f.u, '()'), ')(')) AS INT) AS units_after,
+          round(CAST(100 AS DOUBLE)
+                * CAST(len(string_split(text, ' '))
+                       - len(string_split(trim(f.u, '()'), ')(')) AS DOUBLE)
+                / len(string_split(text, ' ')), 4) AS saved_pct
+        FROM documents d JOIN d$MergeRounds f ON d.doc_id = f.doc_id
+        ORDER BY d.doc_id""")
+
+  private def sqlWithRounds(tail: String): String = {
     def round(prev: String, i: Int): String =
       s"""p$i AS (SELECT us[j] || ' ' || us[j + 1] AS p, count(*) AS cnt
                FROM (SELECT string_split(trim(u, '()'), ')(') AS us FROM $prev),
@@ -154,13 +203,9 @@ object Bpe {
     val rounds = (1 to MergeRounds)
       .map(i => round(if (i == 1) "d0" else s"d${i - 1}", i))
       .mkString(",\n        ")
-    val sel = (1 to MergeRounds).map(i => s"SELECT * FROM s$i")
-      .mkString("\n        UNION ALL ")
     s"""WITH d0 AS (SELECT doc_id, '(' || replace(text, ' ', ')(') || ')' AS u
                     FROM documents),
         $rounds
-        SELECT CAST(rank AS INT) AS rank, left_unit, right_unit,
-               n_occurrences, units_after
-        FROM ($sel) ORDER BY rank"""
+        $tail"""
   }
 }

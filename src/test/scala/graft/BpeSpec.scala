@@ -64,6 +64,42 @@ class BpeSpec extends SparkSpec {
     got.map(_._5).sliding(2).foreach { case Seq(a, b) => assert(b < a); case _ => }
   }
 
+  test("apply report agrees with the replay's final tokenization per doc") {
+    val docRows = Tables.documents(spark, Sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // replay the training and keep the final unit vectors per doc
+    var docs = docRows.map { case (id, t) => id -> t.split(" ", -1).toVector }.toMap
+    (1 to Bpe.MergeRounds).foreach { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      docs.values.foreach(us => us.sliding(2).filter(_.size == 2)
+        .foreach(p => counts((p(0), p(1))) += 1))
+      val ((t1, t2), _) = counts.minBy { case ((a, b), n) => (-n, a + " " + b) }
+      docs = docs.view.mapValues { us =>
+        val next = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < us.length) {
+          if (i + 1 < us.length && us(i) == t1 && us(i + 1) == t2) {
+            next += t1 + "_" + t2; i += 2
+          } else { next += us(i); i += 1 }
+        }
+        next.toVector
+      }.toMap
+    }
+    val got = Bpe.bpeApply(spark, Sf).collect()
+    assert(got.nonEmpty && got.length == docRows.length)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val before = docs(id) // final units; before count from raw text
+      assert(r.getInt(1) == docRows.find(_._1 == id).get._2.split(" ", -1).length)
+      assert(r.getInt(2) == before.length,
+        s"doc $id: units_after ${r.getInt(2)} != replay ${before.length}")
+      assert(r.getInt(2) <= r.getInt(1))
+    }
+    // merges actually compressed something somewhere
+    assert(got.exists(r => r.getInt(2) < r.getInt(1)))
+  }
+
   test("merges chain: a later winner contains an earlier merged unit") {
     // "x y z" xN: round 1 ties (x,y)/(y,z) at N -> lexicographic picks
     // (x,y); round 2's only pair is (x_y, z) -> the chained merge.
