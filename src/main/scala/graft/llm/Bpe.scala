@@ -137,6 +137,10 @@ object Bpe {
         val p = top(0).getString(0)
         val cnt = top(0).getLong(1)
         val Array(t1, t2) = p.split(" ", 2)
+        // Eager checkpoint: lazy (eager=false) was measured SLOWER here
+        // (9.0 vs 8.2 s for the query pair) — deferring materialization
+        // into the next round's first action serializes what the eager
+        // job overlaps across cores.
         cur = cur.select(col("doc_id"),
           org.apache.spark.sql.functions.replace(
             col("u"), lit("(" + t1 + ")(" + t2 + ")"),
