@@ -96,7 +96,15 @@ object Stats {
     * points at the k/[[HistBuckets]] interpolated quantiles, row counts per
     * bucket by threshold comparison. The optimizer-selectivity shape: depth
     * is ~uniform by construction, so range-predicate estimates read
-    * straight off bucket fractions. */
+    * straight off bucket fractions.
+    *
+    * Cost note (round-9 isolated best-of-2): ~3.5-3.9 s wall / ~9 cpu-s at
+    * sf0.1 — the EXACT `percentile` aggregate buffers a per-value count
+    * map over 6M rows (plus a second scan for the bucket pass); that is
+    * the price of oracle-exact cut points, paid by design (the sketch
+    * alternative is the separately-shipped q_approx_quantile). Round 8's
+    * 2.28 s row was a favorable min of the same plan, not a regression
+    * baseline. */
   def equidepthHist(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(round(col("l_extendedprice") * 100, 0).cast(LongType).as("c"))
