@@ -276,6 +276,7 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", ShuffleDir.path)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -15,6 +15,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", ShuffleDir.path)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)

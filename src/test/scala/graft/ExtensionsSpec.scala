@@ -19,6 +19,7 @@ class ExtensionsSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", graft.ShuffleDir.path)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
     .config("spark.ui.enabled", "false")
     .withExtensions(new GraftExtensions)
     .getOrCreate()

@@ -15,6 +15,7 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", graft.ShuffleDir.path)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
     .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
     .config("spark.ui.enabled", "false")
     .withExtensions(new graft.functions.GraftExtensions)
