@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -12,20 +12,21 @@ import org.apache.spark.sql.types._
   * retrieval; this extends the LLM-pipeline surface the same way the ANN
   * family does for vectors.
   *
-  * Both rankers share one inverted-index shape: postings (doc, term, tf)
-  * built in a single corpus pass, joined on term against the (tiny,
-  * broadcast) query-side term lists. Cost is bounded by posting-list
-  * length: query terms with df above [[Retrieval.MaxDfPct]]% of the corpus
-  * are dropped before the join (their BM25 idf is ~0 anyway — the classic
-  * stopword cut), so no single term can drag in a corpus-scale posting
-  * list. At web scale the
-  * next steps are impact-ordered postings + WAND-style early exit; the
-  * join shape here is what those optimize, not replace.
+  * Both rankers share one inverted-index shape: IMPACT postings (doc,
+  * term, tf, imp) built in a single corpus pass, joined on term against
+  * the (tiny, broadcast) query-side term lists. Three cost bounds stack:
+  * query terms with df above [[Retrieval.MaxDfPct]]% of the corpus are
+  * dropped before any join (their BM25 idf is ~0 anyway — the classic
+  * stopword cut); every posting's score contribution is precomputed at
+  * build time so scatter rows cost a codegen'd long add, not a
+  * transcendental + BigDecimal round; and the batch top-k runs the
+  * MaxScore term-partition (see the bounded-top-k block below), which
+  * never joins the posting lists of provably non-competitive terms.
   *
   * Determinism for the oracle diff (file-wide discipline): every per-term
-  * double is rounded to 6 dp and summed as DECIMAL(20,6) — exact and
-  * order-independent — then the total is rounded back to 6 dp; ranking
-  * ties break on doc_id. Arithmetic is written with EXPLICIT parentheses
+  * double is rounded to 6 dp and summed as exact micro-units — order-
+  * independent — then the total is rounded back to 6 dp; ranking ties
+  * break on doc_id. Arithmetic is written with EXPLICIT parentheses
   * mirrored token-for-token in the DuckDB SQL, because IEEE ops are only
   * reproducible if associated identically. */
 object Retrieval {
@@ -51,18 +52,45 @@ object Retrieval {
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
-  /** The standing corpus side of BM25: postings WITH the doc length folded
-    * in (so scoring probes ONE table — no per-batch doc-arity join), term
-    * dfs, and the corpus stats COLLECTED to scalars (1-row aggregate — the
-    * trainCentroids discipline) so the df ceiling can prune the QUERY side
-    * before the postings join ever runs. `cache` pins tf/dft (via
-    * TrackedCaches) and materializes them eagerly for callers that probe
-    * the index repeatedly — the streaming decontamination gate builds it
-    * ONCE and scores every micro-batch against it without another corpus
-    * pass; the raw postings used during the build are unpersisted once the
-    * derived tables exist, so steady-state memory is tf + dft only. */
+  /** The standing corpus side of BM25: IMPACT postings — each (doc, term)
+    * row carries tf, the doc length, the term df, AND `imp`, the term's
+    * exact BM25 contribution to that doc in 6-dp micro-units. A query is a
+    * term SET here (the short-query convention — query-side tf is
+    * membership), so a pair's score is just the SUM of the shared terms'
+    * precomputed impacts: the per-row ln/divide/round arithmetic is paid
+    * ONCE per posting at build time (amortized across every query and
+    * cached), and the scoring scatter becomes a codegen'd long-sum hash
+    * aggregate with zero per-row BigDecimal work. This is the standard
+    * impact-indexing move (Lucene's precomputed norms, impact-ordered
+    * postings), and the per-term `max(imp)` ceilings it enables drive the
+    * MaxScore bounded top-k below. Corpus stats are COLLECTED to scalars
+    * (1-row aggregate — the trainCentroids discipline) so the df ceiling
+    * can prune the QUERY side before the postings join ever runs. `cache`
+    * pins tf/dft (via TrackedCaches) and materializes them eagerly for
+    * callers that probe the index repeatedly — the streaming
+    * decontamination gate builds it ONCE and scores every micro-batch
+    * against it without another corpus pass; the raw postings used during
+    * the build are unpersisted once the derived tables exist, so
+    * steady-state memory is tf + dft only. */
   private[graft] case class Bm25Index(tf: DataFrame, dft: DataFrame,
       n: Long, avgLen: Double)
+
+  /** One posting's BM25 contribution as EXACT 6-dp micro-units, over
+    * (tf, df, len) columns. Robertson idf is strictly positive, so
+    * ts >= 0; round(ts, 6) is the double nearest a 6-dp decimal m*1e-6,
+    * and round(ts,6)*1e6 lands within ~2e-8 of the integer m (|m| <= ~1e8,
+    * relative double error 2^-52) — nowhere near the .5 boundary — so
+    * `+0.5` then the truncating long cast recovers m exactly with ONE
+    * BigDecimal round per posting (the round-9 formulation paid two; the
+    * r10 isolated A/B measured double-round 1.87 s / DECIMAL 1.81 s /
+    * single-round 1.81 s wall on q_bm25_topk — and this build-time version
+    * removes the per-scatter-row cost entirely). */
+  private def impMicros(n: Long, avgLen: Double): Column =
+    (round(
+      log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * lit(K1 + 1.0)) /
+        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("len") / lit(avgLen)))),
+      6) * lit(1000000.0) + lit(0.5)).cast(LongType)
 
   private[graft] def buildIndex(docs: DataFrame, cache: Boolean = false): Bm25Index = {
     val tf0 = postings(docs)
@@ -70,21 +98,25 @@ object Retrieval {
     val dl = tf0.groupBy("doc_id").agg(sum("tf").as("len"))
     val st = dl.agg(count(lit(1)).as("n"),
       (sum("len").cast(DoubleType) / count(lit(1))).as("avglen")).collect()(0)
+    val (n, avgLen) = (st.getLong(0), st.getDouble(1))
     def pin(df: DataFrame): DataFrame =
       if (cache) graft.TrackedCaches.track(df.cache()) else df
-    val tf = pin(tf0.join(dl, "doc_id"))
     val dft = pin(tf0.groupBy("term").agg(count(lit(1)).as("df")))
+    val tf = pin(tf0.join(dl, "doc_id").join(dft, "term")
+      .withColumn("imp", impMicros(n, avgLen)))
     if (cache) { tf.count(); dft.count(); tf0.unpersist() }
-    Bm25Index(tf, dft, st.getLong(0), st.getDouble(1))
+    Bm25Index(tf, dft, n, avgLen)
   }
 
-  /** Candidate (query, corpus-doc, tf, df, len) rows: the df ceiling is
+  /** Candidate (query, corpus-doc, ..., imp) rows: the df ceiling is
     * applied to the QUERY term list BEFORE the postings join — a
     * stopword-class term is dropped without its corpus-scale posting list
-    * ever entering a join. */
+    * ever entering a join. The query side keeps only (term, query_id) so
+    * the joined rows carry the INDEX's df/len/imp unambiguously. */
   private def candidates(ix: Bm25Index, queryTerms: DataFrame): DataFrame = {
     val qt = queryTerms.join(ix.dft, "term")
       .filter(col("df") * 100 <= lit(ix.n) * MaxDfPct)
+      .select("term", "query_id")
     ix.tf.join(broadcast(qt), "term")
       .filter(col("doc_id") =!= col("query_id"))
   }
@@ -95,26 +127,21 @@ object Retrieval {
     * side only, so a score depends on nothing but the standing corpus and
     * the query's own terms (the invariance the streaming gate relies on). */
   private[graft] def scoreAgainst(ix: Bm25Index, queryTerms: DataFrame): DataFrame =
-    scoreCandidateRows(ix, candidates(ix, queryTerms))
+    scoreCandidateRows(candidates(ix, queryTerms))
 
   /** BM25 aggregation over an already-built candidate row set — split out
     * so a hybrid ranker can materialize [[candidates]] ONCE and feed both
     * its lexical scorer and this one instead of re-running the postings
-    * probe per ranker. Accumulates exact 6-dp micro-units in a BIGINT
-    * rather than DECIMAL(20,6) rows — same values (see the
-    * [[scoreCandidatesQd]] exactness argument), but long adds through the
-    * whole-stage-codegen'd hash aggregate instead of a Decimal conversion
-    * per candidate row (this scatter is millions of rows per query set on
-    * a low-selectivity corpus — it was the CPU owner of q_hybrid_rrf). */
-  private def scoreCandidateRows(ix: Bm25Index, cand: DataFrame): DataFrame =
+    * probe per ranker. With impacts precomputed in the index this is a
+    * pure long-sum hash aggregate (exact 6-dp micro-units — the long sum
+    * IS the decimal sum), entirely inside whole-stage codegen: zero
+    * per-row transcendentals, rounds, or BigDecimal allocations on the
+    * scatter, which is millions of rows per query set on a
+    * low-selectivity corpus and was the CPU owner of q_hybrid_rrf. */
+  private def scoreCandidateRows(cand: DataFrame): DataFrame =
     cand
-      .withColumn("tsu", round(round(
-        log(lit(1.0) + (lit(ix.n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("tf") * lit(K1 + 1.0)) /
-          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("len") / lit(ix.avgLen)))),
-        6) * lit(1000000.0), 0).cast(LongType))
       .groupBy("query_id", "doc_id")
-      .agg(round(sum("tsu").cast(DoubleType) / lit(1000000.0), 6).as("score"))
+      .agg(round(sum("imp").cast(DoubleType) / lit(1000000.0), 6).as("score"))
 
   // ---- Bounded screening (the many-queries regime) -------------------------
   //
@@ -233,7 +260,7 @@ object Retrieval {
     * streaming gate's once-per-run build). */
   private[graft] def forwardIndex(ix: Bm25Index, cache: Boolean = false): DataFrame = {
     val fwd = ix.tf
-      .join(ix.dft.filter(col("df") * 100 <= lit(ix.n) * MaxDfPct), "term")
+      .filter(col("df") * 100 <= lit(ix.n) * MaxDfPct)
       .groupBy("doc_id", "len")
       .agg(sort_array(collect_list(struct(col("term"), col("tf")))).as("terms"))
     if (cache) {
@@ -435,22 +462,256 @@ object Retrieval {
       .toDF("doc_id", "top_match", "top_score")
   }
 
+  // ---- MaxScore bounded top-k (the batch exact-retrieval scale path) -------
+  //
+  // scoreAgainst's scatter is queries x (the posting lists of every query
+  // term) — and when no query term is selective (this corpus's 30-of-31
+  // terms sit at df ~77%, deliberately under the 85% ceiling), that is
+  // queries x ~0.8N rows: the classic unbounded-postings join, the one
+  // corpus-product term the round-9 audit flagged. The standard exact
+  // answer is MaxScore (Turtle & Flood 1995; the same per-term score
+  // ceilings WAND refines): split each query's terms into ESSENTIAL and
+  // NON-ESSENTIAL sets such that the non-essential ceilings sum below the
+  // running k-th score — then a doc containing no essential term provably
+  // cannot reach the top k, and its posting rows are never joined. Batch
+  // (two-phase) formulation here:
+  //
+  //   ub(t)  = max posting impact of t (exact, from the impact index)
+  //   seed   = each query's SeedTerms highest-ub terms; their posting
+  //            lists generate phase-1 candidates, CAPPED at SeedCandCap
+  //            by shared-seed-term count and scored EXACTLY via a
+  //            candidate-bounded probe of the impact index
+  //   theta  = the k-th best phase-1 score (a lower bound on the final
+  //            k-th best — phase-1 pairs are scored exactly and the final
+  //            candidate set is a superset)
+  //   P      = the maximal ub-ascending prefix of the query's terms with
+  //            cumulative ub STRICTLY below theta; E = the rest. A doc
+  //            sharing only P-terms scores <= sum ub(P) < theta <= final
+  //            k-th, so it can neither enter the top k nor tie into it
+  //            (ties break on doc_id, but exclusion is strict).
+  //   phase2 = candidates of E-minus-seed posting lists not already
+  //            scored, scored the same way; top-k of both phases is the
+  //            EXACT global top-k.
+  //
+  // Per-query row bound on the bounded route: sum of the ESSENTIAL terms'
+  // posting lists (candidate generation) + candidate-count x doc-length
+  // (exact scoring) — the non-essential lists are never joined. On a
+  // Zipfian corpus E is the rare tail and that bound is a small fraction
+  // of the corpus. But term-partition pruning is only as good as the
+  // corpus's selectivity: on this synthetic selectivity-floor corpus
+  // (30 of 31 terms at df ~77%) E degenerates to nearly every term, and
+  // the bounded route would pay candidate-gen + forward-probe + extra
+  // stage barriers to score what the plain scatter scores in ONE
+  // broadcast-join pass (measured: an always-bounded build of this
+  // operator was 3.7 s vs the scatter's 1.8 s isolated at sf0.1). So,
+  // like the screen's broadcast-vs-distributed choice, the route is
+  // COST-BASED per query on exact statistics, at two levels: (a) the
+  // SelectivePruneDfPct gate sends queries with no selective rare term
+  // straight to the scatter from the df statistics alone — no theta
+  // phase, no extra jobs; (b) queries that do seed a theta are still
+  // re-checked after the partition — when the essential posting mass is
+  // at least MaxScoreScatterFrac of the whole scatter, pruning cannot
+  // pay and the query keeps the single-pass scatter plan (still exact by
+  // construction). The theta/term-partition bookkeeping is driver-side
+  // and QUERY-ARITY (NumQueries x ~30 terms and one k-th-score row per
+  // query — the batch op's contract is few queries; the many-queries
+  // regime is the bounded screen above).
+
+  /** Phase-1 candidate-generation terms per query: the SeedTerms
+    * highest-ceiling (= rarest, highest-idf) terms seed theta. 4 mirrors
+    * RareTerms — enough that the k-th seed score is a tight bound on a
+    * corpus with any selective terms, cheap when there are none. */
+  val SeedTerms = 4
+  /** Phase-1 candidates kept per query (by shared-seed-term count desc,
+    * doc_id — the screen's cap discipline). Theta only needs the k-th
+    * best of SOME exactly-scored subset; 256 >> TopK keeps it tight
+    * while bounding phase 1 at 256 forward-probe rows per query even
+    * when a seed term's posting list is corpus-scale. */
+  val SeedCandCap = 256
+  /** Scatter-vs-bounded routing threshold: a query whose essential terms
+    * hold at least this fraction of its total sub-ceiling posting mass
+    * (exact dfs, known driver-side) takes the one-pass scatter — the
+    * bounded route's candidate-gen alone would scan almost as many rows
+    * and then pay the forward probe and barriers on top. */
+  val MaxScoreScatterFrac = 0.5
+  /** A-priori gate on the theta phase itself: a query enters MaxScore
+    * seeding only if its rarest term matches at most this percent of the
+    * corpus. Above it no selective head exists — seed candidates are
+    * corpus-scale, theta degenerates, and the partition keeps ~every term
+    * essential — so the query goes straight to the scatter without paying
+    * phase-1 jobs (measured on the selectivity-floor bench corpus:
+    * always-running the theta phase cost 3.6 s vs 1.9 s isolated). */
+  val SelectivePruneDfPct = 25
+
+  /** The routed plan plus its pruning evidence (what the spec gates):
+    * per-query essential-term lists and which queries actually took the
+    * bounded route. */
+  private[graft] case class MaxScorePlan(result: DataFrame,
+      essential: Map[Long, Seq[String]], nTerms: Map[Long, Int],
+      boundedQueries: Set[Long])
+
+  /** Exact BM25 scores of explicit (query_id, doc_id) pairs via a
+    * candidate-bounded probe of the impact index: rows touched =
+    * sum over candidate docs of doc length, never a posting-list scatter.
+    * The candidate side carries no broadcast hint — phase 1 is
+    * SeedCandCap-bounded and auto-broadcasts; a phase-2 candidate set on
+    * a low-selectivity corpus can be wide and AQE picks the join. */
+  private def scorePairs(ix: Bm25Index, qtSub: DataFrame,
+      cand: DataFrame): DataFrame =
+    ix.tf.select("doc_id", "term", "imp")
+      .join(cand, "doc_id")
+      .join(broadcast(qtSub), Seq("query_id", "term"))
+      .groupBy("query_id", "doc_id").agg(sum("imp").as("smicro"))
+
+  private[graft] def maxScoreTopK(s: SparkSession, ix: Bm25Index,
+      queryTerms: DataFrame, k: Int): MaxScorePlan = {
+    import s.implicits._
+    val qtSub = subCeilingQueryDf(ix, queryTerms)
+      .select("query_id", "term", "df")
+    // (query, term, df) — driver-side, query-arity (see block comment).
+    val qd = qtSub.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[String]("term"),
+        r.getAs[Long]("df")))
+    // per query: (term, df)
+    val byQdf: Map[Long, Array[(String, Long)]] =
+      qd.groupBy(_._1).map { case (q, ts) => q -> ts.map(t => (t._2, t._3)) }
+    val nTerms = byQdf.map { case (q, ts) => q -> ts.length }
+    // A-priori selectivity gate: MaxScore's premise is a selective rare
+    // term — theta comes from a small seed candidate set, and P can only
+    // absorb the common tail when the rare head scores well above it. A
+    // query whose RAREST term still matches more than SelectivePruneDfPct%
+    // of the corpus has no such head: every candidate set is corpus-scale,
+    // theta degenerates to an average-doc score, and the partition keeps
+    // nearly every term essential — so the theta phase would spend jobs to
+    // conclude "scatter". Route those queries to the scatter directly on
+    // the df statistics alone (exactness is route-invariant; only cost
+    // moves).
+    val selective: Set[Long] = byQdf.iterator.collect {
+      case (q, ts) if ts.iterator.map(_._2).min * 100 <=
+        ix.n * SelectivePruneDfPct => q
+    }.toSet
+    val qtPairs = qtSub.select("query_id", "term")
+    // (term -> max impact) for the selective queries' terms only — the
+    // collect stays query-arity even on a web-scale vocabulary.
+    val ubOf: Map[String, Long] =
+      if (selective.isEmpty) Map.empty
+      else {
+        val terms = byQdf.iterator.filter(t => selective(t._1))
+          .flatMap(_._2.iterator.map(_._1)).toSeq.distinct
+        ix.tf.filter(col("term").isin(terms: _*))
+          .groupBy("term").agg(max("imp").as("ub")).collect()
+          .map(r => r.getAs[String]("term") -> r.getAs[Long]("ub")).toMap
+      }
+    // Phase 1 (selective queries only): capped seed candidates + exact
+    // scores + per-query theta.
+    val seed: Map[Long, Seq[String]] = byQdf.collect {
+      case (q, ts) if selective(q) =>
+        q -> ts.map(t => (t._1, ubOf(t._1)))
+          .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && utf8Lt(a._1, b._1)))
+          .take(SeedTerms).map(_._1).toSeq
+    }
+    val phase1: Option[(DataFrame, DataFrame, Map[Long, Long])] =
+      if (selective.isEmpty) None
+      else {
+        val seedHits = ix.tf.select("doc_id", "term")
+          .join(broadcast(seed.toSeq.flatMap { case (q, ts) => ts.map(q -> _) }
+            .toDF("query_id", "term")), Seq("term"))
+          .filter(col("doc_id") =!= col("query_id"))
+          .groupBy("query_id", "doc_id").agg(count(lit(1)).as("nmatch"))
+        val cand1 = graft.TrackedCaches.track(
+          graft.plans.TopKPerKey.topKPerKey(seedHits, SeedCandCap, Seq("query_id"),
+            Seq("nmatch" -> false, "doc_id" -> true))
+            .select("query_id", "doc_id").cache())
+        val score1 = graft.TrackedCaches.track(
+          scorePairs(ix, qtPairs, cand1).cache())
+        val theta = graft.plans.TopKPerKey
+          .topKPerKey(score1, k, Seq("query_id"), Seq("smicro" -> false, "doc_id" -> true))
+          .groupBy("query_id").agg(min("smicro").as("theta"), count(lit(1)).as("nc"))
+          .collect().iterator
+          .filter(_.getAs[Long]("nc") == k)
+          .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("theta")).toMap
+        Some((cand1, score1, theta))
+      }
+    val theta: Map[Long, Long] = phase1.map(_._3).getOrElse(Map.empty)
+    // Term partition: P = maximal ub-asc prefix with cum sum < theta.
+    // Non-selective queries keep every term essential by definition.
+    val essential: Map[Long, Seq[String]] = byQdf.map { case (q, ts) =>
+      if (!selective(q)) q -> ts.map(_._1).toSeq
+      else {
+        val asc = ts.map(t => (t._1, ubOf(t._1)))
+          .sortWith((a, b) => a._2 < b._2 || (a._2 == b._2 && utf8Lt(a._1, b._1)))
+        q -> (theta.get(q) match {
+          case None => asc.map(_._1).toSeq // under k seed candidates: no bound
+          case Some(th) =>
+            var cum = 0L
+            var i = 0
+            while (i < asc.length && cum + asc(i)._2 < th) { cum += asc(i)._2; i += 1 }
+            asc.drop(i).map(_._1).toSeq
+        })
+      }
+    }
+    // Cost-based route per query: essential posting mass vs total.
+    val bounded: Set[Long] = selective.filter { q =>
+      val ess = essential(q).toSet
+      val dfOf = byQdf(q).iterator.toMap
+      val total = dfOf.valuesIterator.sum
+      val essMass = ess.iterator.map(dfOf).sum
+      total > 0 && essMass < MaxScoreScatterFrac * total
+    }
+    val scatterQs = byQdf.keySet -- bounded
+    // Bounded route: phase-2 candidates from essential-but-unseeded
+    // posting lists, minus already-scored; union with phase-1 scores.
+    val boundedScores: Option[DataFrame] = phase1.collect {
+      case (cand1, score1, _) if bounded.nonEmpty =>
+        val s1 = score1.filter(col("query_id").isin(bounded.toSeq: _*))
+        val e2 = essential.toSeq.filter(q => bounded(q._1)).flatMap { case (q, ts) =>
+          val sd = seed(q).toSet
+          ts.filterNot(sd).map(q -> _)
+        }
+        if (e2.isEmpty) s1
+        else {
+          val c2 = ix.tf.select("doc_id", "term")
+            .join(broadcast(e2.toDF("query_id", "term")), Seq("term"))
+            .filter(col("doc_id") =!= col("query_id"))
+            .select("query_id", "doc_id").distinct()
+            .join(cand1, Seq("query_id", "doc_id"), "left_anti")
+          s1.unionByName(scorePairs(ix, qtPairs, c2))
+        }
+    }
+    // Scatter route: the one-pass broadcast postings join, exact scores of
+    // every matching pair for the routed queries.
+    val scatterScores: Option[DataFrame] =
+      if (scatterQs.isEmpty) None
+      else Some(
+        candidates(ix, queryTerms.filter(col("query_id").isin(scatterQs.toSeq: _*)))
+          .groupBy("query_id", "doc_id").agg(sum("imp").as("smicro")))
+    val scoresAll = (boundedScores.toSeq ++ scatterScores.toSeq)
+      .reduce(_ unionByName _)
+    val top = graft.plans.TopKPerKey.topKPerKey(scoresAll, k, Seq("query_id"),
+      Seq("smicro" -> false, "doc_id" -> true))
+    val w = Window.partitionBy("query_id").orderBy(col("smicro").desc, col("doc_id"))
+    // Ranking on exact micro-units; the reported 6-dp double is a monotone
+    // injective image of them (6-dp decimals this small are exact in
+    // double), so the oracle's ORDER BY rounded-score agrees rank-for-rank.
+    val result = top
+      .withColumn("rk", row_number().over(w).cast(IntegerType))
+      .select(col("query_id"), col("rk"), col("doc_id"),
+        round(col("smicro").cast(DoubleType) / lit(1000000.0), 6).as("score"))
+    MaxScorePlan(result, essential, nTerms, bounded)
+  }
+
   /** BM25 top-k: score = sum over shared terms of
     * ln(1 + (N - df + 0.5)/(df + 0.5)) * (tf*(k1+1)) / (tf + k1*(1 - b + b*len/avglen))
-    * — the Robertson/Lucene formulation (always-positive idf). The corpus
-    * pass builds postings + doc lengths once; df is a term-arity aggregate;
-    * (N, avglen) are collected scalars and the query term lists broadcast. */
+    * — the Robertson/Lucene formulation (always-positive idf), evaluated
+    * once per posting into the impact index and ranked through the
+    * MaxScore bounded path above (exact; see the block comment for the
+    * pruning bound and RetrievalSpec for the equality + pruning gates). */
   def bm25TopK(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val ix = buildIndex(docs, cache = true)
     val qt = ix.tf.filter(col("doc_id") < NumQueries)
       .select(col("doc_id").as("query_id"), col("term"))
-    val agg = scoreAgainst(ix, qt)
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
-    agg.withColumn("rk", row_number().over(w).cast(IntegerType))
-      .filter(col("rk") <= TopK)
-      .select(col("query_id"), col("rk"), col("doc_id"), col("score"))
-      .orderBy("query_id", "rk")
+    maxScoreTopK(s, ix, qt, TopK).result.orderBy("query_id", "rk")
   }
 
   val bm25Sql: String =
@@ -504,7 +765,7 @@ object Retrieval {
     // rankers — materialize it once and score BM25 and Jaccard from the
     // same cached rows instead of probing the postings twice.
     val cnd = graft.TrackedCaches.track(candidates(ix, qt).cache())
-    val bm = scoreCandidateRows(ix, cnd)
+    val bm = scoreCandidateRows(cnd)
     val wb = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
     val bmRanks = bm.withColumn("rk", row_number().over(wb))
       .filter(col("rk") <= ListK).select("query_id", "doc_id", "rk")

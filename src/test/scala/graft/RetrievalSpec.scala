@@ -93,6 +93,75 @@ class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"a query exceeded CandCap: $worst > ${Retrieval.CandCap}")
   }
 
+  // MaxScore gates: the routed top-k must EQUAL the full scatter on any
+  // corpus (route choice is cost-only), and on a corpus with genuinely
+  // selective terms the bounded route must actually engage and actually
+  // shrink the essential term set — the pruning-evidence analogue of a
+  // plan-shape assert.
+  private def bruteTopK(ix: graft.llm.Retrieval.Bm25Index,
+      qt: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    Retrieval.scoreAgainst(ix, qt)
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= Retrieval.TopK)
+      .select("query_id", "rk", "doc_id", "score")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+  }
+
+  test("maxscore routed top-k equals the full scatter exactly") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+    val ix = Retrieval.buildIndex(docs)
+    val qt = ix.tf.filter(col("doc_id") < Retrieval.NumQueries)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val plan = Retrieval.maxScoreTopK(spark, ix, qt, Retrieval.TopK)
+    val routed = plan.result.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+    assert(routed == bruteTopK(ix, qt), "routed top-k diverged from full scatter")
+    graft.TrackedCaches.release()
+  }
+
+  test("maxscore prunes non-essential posting lists on a selective corpus") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // Crafted corpus, 200 docs: 8 common terms at df=150 (75% — under the
+    // 85% ceiling, over the 25% selectivity gate) and one rare term per
+    // query at df=13 (6.5%). Rare idf ~2.7 dominates the 6-common ub mass
+    // ~1.7, so theta from the rare-sharing cluster absorbs EVERY common
+    // term into the non-essential set: E should collapse to the rare term.
+    val docs = (0L until 200L).map { i =>
+      val commons = (0 until 8).collect { case j if (i + j) % 4 != 0 => s"c$j" }
+      val rare =
+        if (i < 5) Seq(s"r$i")
+        else (0 until 5).collect { case q if i >= 5 + q * 12 && i < 17 + q * 12 => s"r$q" }
+      (i, (commons ++ rare).mkString(" "))
+    }.toDF("doc_id", "text")
+    val ix = Retrieval.buildIndex(docs)
+    val qt = ix.tf.filter(col("doc_id") < Retrieval.NumQueries)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val plan = Retrieval.maxScoreTopK(spark, ix, qt, Retrieval.TopK)
+    val routed = plan.result.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+    // Every query routes bounded, and pruning is real: the essential set
+    // is a strict subset of the query's terms (here: the rare term alone).
+    assert(plan.boundedQueries == (0L until 5L).toSet,
+      s"expected all queries bounded, got ${plan.boundedQueries}")
+    (0L until 5L).foreach { q =>
+      assert(plan.essential(q).size < plan.nTerms(q),
+        s"query $q: essential ${plan.essential(q)} did not shrink below ${plan.nTerms(q)}")
+      assert(plan.essential(q).contains(s"r$q"),
+        s"query $q: rare term not essential: ${plan.essential(q)}")
+    }
+    // And the bounded result is still the exact top-k.
+    assert(routed == bruteTopK(ix, qt), "bounded top-k diverged from full scatter")
+    graft.TrackedCaches.release()
+  }
+
   test("postings join broadcasts the query side and never goes quadratic") {
     val df = Retrieval.bm25TopK(spark, Sf)
     df.collect()
