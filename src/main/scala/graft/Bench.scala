@@ -65,7 +65,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", ShuffleDir.path)
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      // Default 1 = one file per mapper (measured suite-faster, commit
+      // e9beb82); env-overridable so per-query effects of the writer
+      // choice can be measured as a controlled pair (SCALING.md table).
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1"))
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)

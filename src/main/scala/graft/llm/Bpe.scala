@@ -68,16 +68,44 @@ object Bpe {
   /** Per-document tokenization report under the trained merges — the
     * APPLY step and the number a pipeline sizes its token budget with:
     * (doc_id, units_before = whitespace tokens, units_after = BPE units,
-    * saved_pct = 4-dp percentage shrink). Shares the training loop (the
-    * rewritten corpus IS the applied tokenization, since word-level BPE
-    * training rewrites greedily exactly as application does). */
+    * saved_pct = 4-dp percentage shrink). Trains the merge table, then
+    * feeds it to [[bpeApplyWith]] — the honest production split (train a
+    * small merge table, apply it as a pure map), exercised end-to-end by
+    * the shipped query. The query's cost stays trainer-dominated because
+    * the table must come from THIS corpus under the bench's per-query
+    * isolation; a real pipeline trains once on a sample and pays only
+    * [[bpeApplyWith]]'s single pass everywhere else. */
   def bpeApply(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val (_, fin) = trainOn(s, docs)
-    fin
-      .select(col("doc_id"), size(unitsOfU).as("units_after"))
-      .join(docs.select(col("doc_id"),
-        size(split(col("text"), " ")).as("units_before")), "doc_id")
+    val merges = trainOn(s, docs)._1.collect()
+      .map(r => (r.getAs[String]("left_unit"), r.getAs[String]("right_unit")))
+      .toSeq
+    bpeApplyWith(docs, merges)
+  }
+
+  /** PRODUCTION apply: tokenize a corpus under an ALREADY-TRAINED,
+    * rank-ordered merge table without re-running the trainer. The whole
+    * merge chain is ONE fused projection — the rank-ordered `replace`s
+    * compose left-to-right on the paren encoding, which replays the
+    * trainer's per-round leftmost-greedy rewrites exactly (each trainer
+    * round IS a single replace of the winner over the previous round's
+    * corpus) — so this is a single map pass with no aggregates, no
+    * checkpoints and no shuffles, vs the trainer's MergeRounds corpus
+    * passes. The merge table is driver-side by design: a tokenizer is
+    * KB-scale however big the corpus it was trained on. BpeSpec proves
+    * row-for-row equality with [[bpeApply]] under the corpus's own
+    * trained table. */
+  def bpeApplyWith(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val enc = concat(lit("("),
+      org.apache.spark.sql.functions.replace(col("text"), lit(" "), lit(")(")),
+      lit(")"))
+    val applied = merges.foldLeft(enc) { case (c, (t1, t2)) =>
+      org.apache.spark.sql.functions.replace(c,
+        lit("(" + t1 + ")(" + t2 + ")"), lit("(" + t1 + "_" + t2 + ")"))
+    }
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("units_before"), applied.as("u"))
+      .select(col("doc_id"), col("units_before"), size(unitsOfU).as("units_after"))
       .select(col("doc_id"), col("units_before"), col("units_after"),
         round(lit(100.0) * (col("units_before") - col("units_after"))
           .cast("double") / col("units_before"), 4).as("saved_pct"))
@@ -85,14 +113,17 @@ object Bpe {
   }
 
   /** [[bpeMerges]] over an explicit (doc_id, text) frame — exposed so
-    * BpeSpec can prove the overlap/greedy semantics on crafted corpora. */
-  private[graft] def bpeMergesOf(s: SparkSession, docs: DataFrame): DataFrame =
-    trainOn(s, docs)._1
+    * BpeSpec can prove the overlap/greedy semantics on crafted corpora;
+    * `rounds` genuinely bounds the loop (BpeSpec's crafted runs rely on
+    * it, not on the corpus happening to exhaust). */
+  private[graft] def bpeMergesOf(s: SparkSession, docs: DataFrame,
+      rounds: Int = MergeRounds): DataFrame =
+    trainOn(s, docs, rounds)._1
 
   /** The shared training loop: returns (merge table, final rewritten
     * corpus (doc_id, u)). */
-  private def trainOn(s: SparkSession, docs: DataFrame):
-      (DataFrame, DataFrame) = {
+  private def trainOn(s: SparkSession, docs: DataFrame,
+      rounds: Int = MergeRounds): (DataFrame, DataFrame) = {
     import s.implicits._
     var cur = docs.select(col("doc_id"), concat(lit("("),
         org.apache.spark.sql.functions.replace(col("text"), lit(" "), lit(")(")),
@@ -110,7 +141,7 @@ object Bpe {
     var pending: Option[(Int, String, String, Long)] = None
     var r = 0
     var exhausted = false
-    while (r < MergeRounds && !exhausted) {
+    while (r < rounds && !exhausted) {
       r += 1
       val pc = cur
         .select(unitsOfU.as("us"))
@@ -194,9 +225,10 @@ object Bpe {
                GROUP BY 1),
          w$i AS (SELECT p, cnt FROM p$i ORDER BY cnt DESC, p LIMIT 1),
          d$i AS (SELECT doc_id,
-                   replace(u, '(' || replace(w$i.p, ' ', ')(') || ')',
-                           '(' || replace(w$i.p, ' ', '_') || ')') AS u
-                 FROM $prev, w$i),
+                   CASE WHEN w$i.p IS NULL THEN u
+                        ELSE replace(u, '(' || replace(w$i.p, ' ', ')(') || ')',
+                                     '(' || replace(w$i.p, ' ', '_') || ')') END AS u
+                 FROM $prev LEFT JOIN w$i ON TRUE),
          s$i AS (SELECT $i AS rank,
                    split_part(p, ' ', 1) AS left_unit,
                    split_part(p, ' ', 2) AS right_unit,

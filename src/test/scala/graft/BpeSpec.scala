@@ -46,7 +46,7 @@ class BpeSpec extends SparkSpec {
     import spark.implicits._
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
-    Bpe.bpeMergesOf(spark, df).collect()
+    Bpe.bpeMergesOf(spark, df, rounds).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2),
         r.getLong(3), r.getLong(4))).toSeq
   }
@@ -98,6 +98,27 @@ class BpeSpec extends SparkSpec {
     }
     // merges actually compressed something somewhere
     assert(got.exists(r => r.getInt(2) < r.getInt(1)))
+  }
+
+  test("applyWith a pre-trained merge table reproduces the trainer's apply") {
+    // The production split: train once, then tokenize via the pure-map
+    // applyWith — must match the trainer-coupled bpeApply row-for-row.
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+    val merges = Bpe.bpeMerges(spark, Sf).collect()
+      .map(r => (r.getAs[String]("left_unit"), r.getAs[String]("right_unit")))
+      .toSeq
+    val viaTable = Bpe.bpeApplyWith(docs, merges).collect().map(_.toSeq).toSeq
+    val coupled = Bpe.bpeApply(spark, Sf).collect().map(_.toSeq).toSeq
+    assert(viaTable.nonEmpty && viaTable == coupled,
+      "applyWith diverged from the trainer-coupled apply")
+  }
+
+  test("rounds parameter genuinely bounds the trainer") {
+    // A corpus that could sustain many merges must stop at the requested
+    // round count — the crafted-corpus tests depend on this bound, not on
+    // the corpus happening to exhaust.
+    val got = run(Seq.fill(3)("p q r s t u v w"), rounds = 2)
+    assert(got.size == 2, s"expected 2 rounds, got ${got.size}: $got")
   }
 
   test("merges chain: a later winner contains an earlier merged unit") {
