@@ -164,7 +164,7 @@ object ScaleTest {
     // a change to buildDocs must bump this suffix so a stale cached corpus
     // can't skew the reported ratios.
     val dst =
-      stagedDir(s"graft_docs10x_c${copies}_m5_d1000000_", src)
+      stagedDir(s"graft_docs${copies}x_c${copies}_m5_d1000000_", src)
     if (!new java.io.File(s"$dst/_built").exists()) {
       buildDocs(spark, src, dst, copies)
       new java.io.File(s"$dst/_built").createNewFile()
@@ -221,7 +221,7 @@ object ScaleTest {
     // Same replicated corpus (and stamp discipline) as the streams mode;
     // `runMain graft.ScaleTest events 30` runs the 30x ladder (30M events,
     // the point where a super-linear per-user kernel would visibly bend).
-    val dst = stagedDir(s"graft_events10x_c${copies}_s1000000_", src)
+    val dst = stagedDir(s"graft_events${copies}x_c${copies}_s1000000_", src)
     if (!new java.io.File(s"$dst/_built").exists()) {
       buildStreams(spark, src, dst, copies)
       new java.io.File(s"$dst/_built").createNewFile()

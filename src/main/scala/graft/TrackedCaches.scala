@@ -15,12 +15,22 @@ import org.apache.spark.sql.Dataset
 object TrackedCaches {
   private val frames = new ConcurrentLinkedQueue[Dataset[_]]()
   private val rdds = new ConcurrentLinkedQueue[RDD[_]]()
+  private val bcasts =
+    new ConcurrentLinkedQueue[org.apache.spark.broadcast.Broadcast[_]]()
 
   /** Track an already-cached Dataset for later release; returns it. */
   def track[T](ds: Dataset[T]): Dataset[T] = { frames.add(ds); ds }
 
   /** Track an already-persisted RDD for later release; returns it. */
   def trackRdd[T](rdd: RDD[T]): RDD[T] = { rdds.add(rdd); rdd }
+
+  /** Track an explicit broadcast (the streaming gates' index snapshots)
+    * for later release. unpersist, not destroy: release() runs after the
+    * query's final action, but a caller that lazily re-executes a plan
+    * holding the handle (the gates' empty-arrival fallback) must still be
+    * able to re-broadcast on demand. */
+  def trackBroadcast[T](b: org.apache.spark.broadcast.Broadcast[T])
+      : org.apache.spark.broadcast.Broadcast[T] = { bcasts.add(b); b }
 
   /** Unpersist everything tracked since the last release. Safe to call on
     * frames whose session is already stopped. */
@@ -34,6 +44,11 @@ object TrackedCaches {
     while (r != null) {
       try r.unpersist(blocking = false) catch { case _: Exception => () }
       r = rdds.poll()
+    }
+    var b = bcasts.poll()
+    while (b != null) {
+      try b.unpersist(blocking = false) catch { case _: Exception => () }
+      b = bcasts.poll()
     }
   }
 }

@@ -274,8 +274,8 @@ object DocStreams {
           .select(md5(col("text")).as("digest"), col("doc_id"))
           .groupBy("digest").agg(min("doc_id").as("exact_src")).collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val snap = s.sparkContext.broadcast(
-          DedupScreenSnapshot(sigs, bandIndex, digests))
+        val snap = graft.TrackedCaches.trackBroadcast(s.sparkContext.broadcast(
+          DedupScreenSnapshot(sigs, bandIndex, digests)))
         (batch: DataFrame) => screenBatchLocal(s, snap, batch)
       } else {
         val corpusSig = graft.TrackedCaches.track(
@@ -542,7 +542,8 @@ object DocStreams {
 
     val screen: DataFrame => DataFrame =
       if (useBroadcast) {
-        val snap = s.sparkContext.broadcast(Retrieval.buildScreenSnapshot(corpus))
+        val snap = graft.TrackedCaches.trackBroadcast(
+          s.sparkContext.broadcast(Retrieval.buildScreenSnapshot(corpus)))
         (batch: DataFrame) =>
           Retrieval.screenBatchLocal(s, snap, batch.select(col("doc_id"), col("text")))
             .select(col("doc_id"), col("top_match"), col("top_score"),

@@ -261,8 +261,8 @@ object VecStreams {
           .map(r => (r.getAs[Number]("cell").intValue(),
             (r.getAs[Long]("vec_id"), r.getSeq[Float](r.fieldIndex("embedding")).toArray)))
           .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
-        val snap = s.sparkContext.broadcast(
-          VecScreenSnapshot(nprobe, centRows, cellMap))
+        val snap = graft.TrackedCaches.trackBroadcast(s.sparkContext.broadcast(
+          VecScreenSnapshot(nprobe, centRows, cellMap)))
         (batch: DataFrame) => screenBatchLocal(s, snap, batch)
       } else {
         val cells = graft.TrackedCaches.track(
