@@ -80,13 +80,19 @@ object PlanDump {
       "a digest self-aggregate joined back on digest (aggregation join, " +
       "linear in docs), then a source-arity rollup — no window over the " +
       "corpus, no self cross join."),
-    "q_bm25_topk" -> ("Inverted-index BM25 retrieval. Expect: cached " +
-      "length-folded postings probed by the BROADCAST query-term x df " +
-      "side (df-ceiling applied to the query list BEFORE this join; " +
-      "corpus stats are collected scalars, so no stats join exists at " +
-      "all), and the top-k window partitioned per query — bounded, never " +
-      "global (RetrievalSpec gates broadcast presence and no cartesian " +
-      "product)."),
+    "q_bm25_topk" -> ("Impact-index BM25 retrieval through the MaxScore " +
+      "router. Expect: cached IMPACT postings (per-posting contribution " +
+      "precomputed at build — the scoring aggregate is a pure long sum, " +
+      "no per-row rounds) probed by the BROADCAST query-term side " +
+      "(df-ceiling applied to the query list BEFORE this join; corpus " +
+      "stats are collected scalars, so no stats join exists at all), the " +
+      "custom TopKPerKey operator bounding the rank stage, and the final " +
+      "window partitioned per query over <= k x queries rows. On this " +
+      "selectivity-floor corpus the router's df gate picks the one-pass " +
+      "scatter for every query (no selective rare term exists); the " +
+      "bounded two-phase route and its pruning are gated by RetrievalSpec " +
+      "on a crafted selective corpus (essential-term sets provably " +
+      "shrink, result provably equal)."),
     "q_ann_ivf_rescore" -> ("Two-stage compressed-first-pass ANN. Expect: " +
       "the probe stage shaped like q_ann_ivf (broadcast probes onto " +
       "cell-partitioned int8 codes), the custom TopKPerKey operator " +

@@ -180,7 +180,12 @@ object ScaleTest {
       "q_ppl_buckets", "q_source_scorecard", "q_bm25_topk", "q_hybrid_rrf",
       "q_train_split", "q_shard_manifest", "q_source_overlap",
       "q_pmi_pairs", "q_len_hist", "q_ngram_novelty", "q_dedup_savings",
-      "q_pad_waste", "q_media_motion")
+      "q_pad_waste", "q_media_motion",
+      // Streaming decontamination joins the ladder (round 10): its index
+      // cost scales with the corpus and its screen strategy is
+      // size-selected, so the Nx row measures both the build slope and
+      // which side of the broadcast crossover the corpus lands on.
+      "q_stream_decontam")
     def time(dir: String): Map[String, Double] =
       subset.map { name =>
         val t0 = System.nanoTime()

@@ -113,6 +113,25 @@ class BpeSpec extends SparkSpec {
       "applyWith diverged from the trainer-coupled apply")
   }
 
+  test("delta-maintained trainer equals the recounting baseline") {
+    import spark.implicits._
+    // Real corpus: full 8-round table equality, including units_after —
+    // which cross-checks the delta path's char-shrink arithmetic against
+    // the baseline's next-round-pair-sum derivation.
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+    def tbl(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(tbl(Bpe.bpeMergesDeltaOf(spark, docs)) ==
+      tbl(Bpe.bpeMergesOf(spark, docs)), "delta trainer diverged on the corpus")
+    // Crafted overlap chain: the delta recount of a changed doc must
+    // handle overlapping occurrences and chained merges like the baseline.
+    val chain = Seq.fill(3)("a a a a").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    assert(tbl(Bpe.bpeMergesDeltaOf(spark, chain, 3)) ==
+      tbl(Bpe.bpeMergesOf(spark, chain, 3)), "delta trainer diverged on overlap chain")
+  }
+
   test("rounds parameter genuinely bounds the trainer") {
     // A corpus that could sustain many merges must stop at the requested
     // round count — the crafted-corpus tests depend on this bound, not on
