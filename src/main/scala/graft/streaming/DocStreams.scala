@@ -139,11 +139,56 @@ object DocStreams {
     * the distributed kernel probes (signaturesOf / digest rollup — same
     * Spark arithmetic, zero replication risk); only the ARRIVAL side's
     * minhash is recomputed locally, mirroring [[graft.llm.Dedup]]'s
-    * shingle/hash/permutation pipeline token for token. */
-  private[graft] case class DedupScreenSnapshot(
-      sigs: Map[Long, Array[Long]],
-      bandIndex: Map[(Int, Long, Long, Long, Long), Array[Long]],
-      digests: Map[String, Long])
+    * shingle/hash/permutation pipeline token for token.
+    *
+    * Layout is FLAT arrays (the decontam snapshot's round-10 lesson): the
+    * previous Map-of-tuples form spent ~9 s of driver groupBy assembling
+    * a 1.9M-tuple band index plus ~4 s of per-run broadcast
+    * java-serialization at the 30x ladder, against a 0.5 s screen. The
+    * band index is DERIVABLE from the signatures (band keys are signature
+    * slices — the same derivation [[graft.llm.Dedup.bandRows]] performs
+    * distributed), so it is neither built on the driver nor serialized:
+    * it rebuilds @transient-lazily after deserialization in one linear
+    * pass. Digests carry membership only — both screen strategies emit
+    * `is_exact_dup` as a boolean, so the min-source doc the distributed
+    * frame also computes is never observable here. */
+  private[graft] class DedupScreenSnapshot(
+      val docIds: Array[Long],    // one row per corpus doc with a signature
+      val sigsFlat: Array[Long],  // docIds.length * NumHashes, row-major
+      val digests: Array[String]) // corpus text md5s (membership set)
+      extends Serializable {
+    @transient lazy val digestSet: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String](digests.length * 2)
+      digests.foreach(s.add)
+      s
+    }
+    /** Per band: (band-key 4-slice of the signature) -> doc row indexes. */
+    @transient lazy val bandMaps: Array[java.util.HashMap[
+        (Long, Long, Long, Long), scala.collection.mutable.ArrayBuffer[Int]]] = {
+      val rows = graft.llm.Dedup.NumHashes / graft.llm.Dedup.Bands
+      val maps = Array.fill(graft.llm.Dedup.Bands)(
+        new java.util.HashMap[(Long, Long, Long, Long),
+          scala.collection.mutable.ArrayBuffer[Int]]())
+      var di = 0
+      while (di < docIds.length) {
+        val base = di * graft.llm.Dedup.NumHashes
+        var b = 0
+        while (b < graft.llm.Dedup.Bands) {
+          val k = (sigsFlat(base + b * rows), sigsFlat(base + b * rows + 1),
+            sigsFlat(base + b * rows + 2), sigsFlat(base + b * rows + 3))
+          var buf = maps(b).get(k)
+          if (buf == null) {
+            buf = new scala.collection.mutable.ArrayBuffer[Int]()
+            maps(b).put(k, buf)
+          }
+          buf += di
+          b += 1
+        }
+        di += 1
+      }
+      maps
+    }
+  }
 
   /** Arrival-side MinHash signature, mirroring [[Dedup.signaturesOf]]:
     * distinct word-3-gram shingles, 28-bit md5-prefix base hash, min of
@@ -188,23 +233,28 @@ object DocStreams {
     * MinhashMatchThreshold signature agreement. */
   private[graft] def screenOneLocal(ss: DedupScreenSnapshot, text: String):
       (Boolean, Long) = {
-    val isExact = ss.digests.contains(md5Hex(text))
+    val isExact = ss.digestSet.contains(md5Hex(text))
     val sig = localSignature(text)
     if (sig == null) return (isExact, -1L)
     val rows = Dedup.NumHashes / Dedup.Bands
     var near = -1L
-    val cand = new scala.collection.mutable.HashSet[Long]()
+    val cand = new scala.collection.mutable.HashSet[Int]()
     var b = 0
     while (b < Dedup.Bands) {
-      val k = (b, sig(b * rows), sig(b * rows + 1), sig(b * rows + 2),
+      val k = (sig(b * rows), sig(b * rows + 1), sig(b * rows + 2),
         sig(b * rows + 3))
-      ss.bandIndex.get(k).foreach(_.foreach(cand.add))
+      val buf = ss.bandMaps(b).get(k)
+      if (buf != null) buf.foreach(cand.add)
       b += 1
     }
-    cand.foreach { db =>
-      val cs = ss.sigs(db)
+    cand.foreach { di =>
+      val base = di * Dedup.NumHashes
       var nEq = 0; var j = 0
-      while (j < Dedup.NumHashes) { if (cs(j) == sig(j)) nEq += 1; j += 1 }
+      while (j < Dedup.NumHashes) {
+        if (ss.sigsFlat(base + j) == sig(j)) nEq += 1
+        j += 1
+      }
+      val db = ss.docIds(di)
       if (nEq >= Dedup.MinhashMatchThreshold && (near < 0 || db < near))
         near = db
     }
@@ -261,21 +311,22 @@ object DocStreams {
     val screen: DataFrame => DataFrame =
       if (useBroadcast) {
         val sigRows = Dedup.signaturesOf(corpus).collect()
-        val sigs = sigRows.map(r => r.getLong(0) ->
-          (0 until Dedup.NumHashes).map(i => r.getLong(i + 1)).toArray).toMap
-        val bandIndex = sigRows.flatMap { r =>
-          val did = r.getLong(0)
-          (0 until Dedup.Bands).map { b =>
-            ((b, r.getLong(b * rows + 1), r.getLong(b * rows + 2),
-              r.getLong(b * rows + 3), r.getLong(b * rows + 4)), did)
+        val docIds = sigRows.map(_.getLong(0))
+        val sigsFlat = new Array[Long](docIds.length * Dedup.NumHashes)
+        var di = 0
+        while (di < sigRows.length) {
+          var j = 0
+          while (j < Dedup.NumHashes) {
+            sigsFlat(di * Dedup.NumHashes + j) = sigRows(di).getLong(j + 1)
+            j += 1
           }
-        }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
+          di += 1
+        }
         val digests = corpus
-          .select(md5(col("text")).as("digest"), col("doc_id"))
-          .groupBy("digest").agg(min("doc_id").as("exact_src")).collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
+          .select(md5(col("text")).as("digest"))
+          .distinct().collect().map(_.getString(0))
         val snap = graft.TrackedCaches.trackBroadcast(s.sparkContext.broadcast(
-          DedupScreenSnapshot(sigs, bandIndex, digests)))
+          new DedupScreenSnapshot(docIds, sigsFlat, digests)))
         (batch: DataFrame) => screenBatchLocal(s, snap, batch)
       } else {
         val corpusSig = graft.TrackedCaches.track(
