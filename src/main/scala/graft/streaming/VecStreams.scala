@@ -136,13 +136,40 @@ object VecStreams {
   }
 
   /** Driver-built snapshot of the standing IVF index for the broadcast
-    * screening strategy: trained centroid grid + cell-grouped corpus
+    * screening strategy: trained centroid grid + cell-assigned corpus
     * vectors. Bounded by the corpus embedding payload (n x dims x 4 bytes),
-    * which is what the size gate checks before building. */
-  private[graft] case class VecScreenSnapshot(
-      nprobe: Int,
-      cents: Array[(Int, Array[Long])],
-      cells: Map[Int, Array[(Long, Array[Float])]])
+    * which is what the size gate checks before building. Layout is FLAT
+    * primitive arrays (the family-wide round-10 snapshot discipline — see
+    * [[graft.llm.Retrieval.ScreenSnapshot]]): embeddings live in one
+    * float matrix and centroids in one long matrix, so broadcast
+    * serialization is block writes rather than a boxed-tuple object
+    * graph; the cell->members index is derived transiently after
+    * deserialization. */
+  private[graft] class VecScreenSnapshot(
+      val nprobe: Int, val dims: Int,
+      val centIds: Array[Int],
+      val centFlat: Array[Long],  // centIds.length * dims, row-major
+      val vecIds: Array[Long],    // corpus vectors
+      val cellOf: Array[Int],     // parallel: assigned cell
+      val embFlat: Array[Float])  // vecIds.length * dims, row-major
+      extends Serializable {
+    @transient lazy val cellMembers: java.util.HashMap[
+        Integer, scala.collection.mutable.ArrayBuffer[Int]] = {
+      val m = new java.util.HashMap[Integer,
+        scala.collection.mutable.ArrayBuffer[Int]]()
+      var i = 0
+      while (i < cellOf.length) {
+        var buf = m.get(cellOf(i))
+        if (buf == null) {
+          buf = new scala.collection.mutable.ArrayBuffer[Int]()
+          m.put(cellOf(i), buf)
+        }
+        buf += i
+        i += 1
+      }
+      m
+    }
+  }
 
   /** Mirror of [[graft.functions.VectorFunctions.floatCosine]]'s exact
     * arithmetic (float multiplies, sequential double accumulation) — the
@@ -152,6 +179,24 @@ object VecStreams {
     var i = 0
     while (i < a.length) {
       val x = a(i); val y = b(i)
+      dot += (x * y).toDouble
+      na += (x * x).toDouble
+      nb += (y * y).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** [[cosLocal]] with the first vector read from a flat row-major matrix
+    * at `off` — value-identical (per-index float multiplies are
+    * commutative bitwise and the norm product is a commutative double
+    * multiply, so operand roles don't affect the result). */
+  private def cosLocalAt(flat: Array[Float], off: Int, d: Int,
+      b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < d) {
+      val x = flat(off + i); val y = b(i)
       dot += (x * y).toDouble
       na += (x * x).toDouble
       nb += (y * y).toDouble
@@ -175,23 +220,31 @@ object VecStreams {
       sarr(i) = math.floor(emb(i).toDouble * Similarity.ScaleQ.toDouble + 0.5).toLong
       i += 1
     }
-    def sqDist(c: Array[Long]): Long = {
+    def sqDistAt(ci: Int): Long = {
+      val base = ci * ss.dims
       var d = 0L; var j = 0
-      while (j < sarr.length) { val t = sarr(j) - c(j); d += t * t; j += 1 }
+      while (j < sarr.length) { val t = sarr(j) - ss.centFlat(base + j); d += t * t; j += 1 }
       d
     }
-    val ranked = ss.cents.map { case (cid, carr) => (sqDist(carr), cid) }
+    val ranked = new Array[(Long, Int)](ss.centIds.length)
+    var ci = 0
+    while (ci < ss.centIds.length) {
+      ranked(ci) = (sqDistAt(ci), ss.centIds(ci))
+      ci += 1
+    }
     java.util.Arrays.sort(ranked, Ordering.Tuple2[Long, Int])
     var bestNid = -1L
     var bestCos = Double.NegativeInfinity
     ranked.take(ss.nprobe).foreach { case (_, cid) =>
-      ss.cells.getOrElse(cid, Array.empty[(Long, Array[Float])]).foreach {
-        case (nid, cemb) =>
-          val cos = java.math.BigDecimal.valueOf(cosLocal(emb, cemb))
-            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-          if (cos > bestCos || (cos == bestCos && nid < bestNid)) {
-            bestCos = cos; bestNid = nid
-          }
+      val members = ss.cellMembers.get(cid)
+      if (members != null) members.foreach { vi =>
+        val nid = ss.vecIds(vi)
+        val cos = java.math.BigDecimal.valueOf(
+            cosLocalAt(ss.embFlat, vi * ss.dims, ss.dims, emb))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (cos > bestCos || (cos == bestCos && nid < bestNid)) {
+          bestCos = cos; bestNid = nid
+        }
       }
     }
     if (bestNid < 0) None else Some((bestNid, bestCos))
@@ -254,15 +307,32 @@ object VecStreams {
       if (useBroadcast) {
         val cellRows = Similarity.assignCells(sx, cents).join(corpus, "vec_id")
           .select(col("vec_id"), col("embedding"), col("cell")).collect()
-        val centRows = cents.collect().map(r =>
-          (r.getAs[Number]("cent_id").intValue(),
-            r.getSeq[Long](r.fieldIndex("carr")).toArray))
-        val cellMap = cellRows
-          .map(r => (r.getAs[Number]("cell").intValue(),
-            (r.getAs[Long]("vec_id"), r.getSeq[Float](r.fieldIndex("embedding")).toArray)))
-          .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+        val centRows = cents.collect()
+        val dimsI = dims.toInt
+        val centIds = centRows.map(_.getAs[Number]("cent_id").intValue())
+        val centFlat = new Array[Long](centRows.length * dimsI)
+        var i = 0
+        while (i < centRows.length) {
+          val carr = centRows(i).getSeq[Long](centRows(i).fieldIndex("carr"))
+          var j = 0
+          while (j < dimsI) { centFlat(i * dimsI + j) = carr(j); j += 1 }
+          i += 1
+        }
+        val vecIds = new Array[Long](cellRows.length)
+        val cellOf = new Array[Int](cellRows.length)
+        val embFlat = new Array[Float](cellRows.length * dimsI)
+        i = 0
+        while (i < cellRows.length) {
+          vecIds(i) = cellRows(i).getAs[Long]("vec_id")
+          cellOf(i) = cellRows(i).getAs[Number]("cell").intValue()
+          val e = cellRows(i).getSeq[Float](cellRows(i).fieldIndex("embedding"))
+          var j = 0
+          while (j < dimsI) { embFlat(i * dimsI + j) = e(j); j += 1 }
+          i += 1
+        }
         val snap = graft.TrackedCaches.trackBroadcast(s.sparkContext.broadcast(
-          VecScreenSnapshot(nprobe, centRows, cellMap)))
+          new VecScreenSnapshot(nprobe, dimsI, centIds, centFlat,
+            vecIds, cellOf, embFlat)))
         (batch: DataFrame) => screenBatchLocal(s, snap, batch)
       } else {
         val cells = graft.TrackedCaches.track(
