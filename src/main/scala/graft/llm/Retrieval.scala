@@ -543,9 +543,12 @@ object Retrieval {
   //            sharing only P-terms scores <= sum ub(P) < theta <= final
   //            k-th, so it can neither enter the top k nor tie into it
   //            (ties break on doc_id, but exclusion is strict).
-  //   phase2 = candidates of E-minus-seed posting lists not already
-  //            scored, scored the same way; top-k of both phases is the
-  //            EXACT global top-k.
+  //   phase2 = candidates of ALL essential posting lists not already
+  //            scored in phase 1 (the seed lists are rescanned — the
+  //            phase-1 cap can evict a doc that still beats theta),
+  //            scored the same way; top-k of both phases is the EXACT
+  //            global top-k: every doc sharing an essential term is
+  //            scored by one phase or the other.
   //
   // Per-query row bound on the bounded route: sum of the ESSENTIAL terms'
   // posting lists (candidate generation) + candidate-count x doc-length
@@ -713,14 +716,21 @@ object Retrieval {
       total > 0 && essMass < MaxScoreScatterFrac * total
     }
     val scatterQs = byQdf.keySet -- bounded
-    // Bounded route: phase-2 candidates from essential-but-unseeded
-    // posting lists, minus already-scored; union with phase-1 scores.
+    // Bounded route: phase-2 candidates from ALL essential posting lists,
+    // minus the already-scored phase-1 candidates; union with phase-1
+    // scores. The seed lists MUST be rescanned here: phase 1 caps its
+    // candidate set at SeedCandCap by (shared-seed-count, doc_id), and a
+    // doc evicted by that cap — few shared seed terms but, say, one
+    // huge-tf posting — can still outscore theta; exactness requires
+    // every doc sharing >= 1 essential term to be scored, and the
+    // anti-join below already dedupes the phase-1 overlap, so the extra
+    // cost stays inside the documented essential-posting-mass bound
+    // (the eviction-regression spec in RetrievalSpec pins this case).
     val boundedScores: Option[DataFrame] = phase1.collect {
       case (cand1, score1, _) if bounded.nonEmpty =>
         val s1 = score1.filter(col("query_id").isin(bounded.toSeq: _*))
         val e2 = essential.toSeq.filter(q => bounded(q._1)).flatMap { case (q, ts) =>
-          val sd = seed(q).toSet
-          ts.filterNot(sd).map(q -> _)
+          ts.map(q -> _)
         }
         if (e2.isEmpty) s1
         else {

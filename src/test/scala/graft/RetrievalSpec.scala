@@ -162,6 +162,47 @@ class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     graft.TrackedCaches.release()
   }
 
+  test("maxscore phase 2 rescans seed lists: cap-evicted docs still surface") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 2000 docs. Query 0 = {r, c0..c3}; r at df=401 (20% — passes the
+    // selectivity gate), commons at df=1401 (70% — sub-ceiling). Docs
+    // 1-300 duplicate the query text, so phase 1's (shared-seed-count,
+    // doc_id) cap keeps docs 1-256 and EVICTS everything else —
+    // including doc 399, which shares ONLY r but with tf=50 is the
+    // corpus's single best BM25 hit, while theta absorbs every common
+    // term into the non-essential set (E = {r}). Exactness therefore
+    // requires phase 2 to rescan the SEED term's posting list for the
+    // evicted tail — the regression this spec pins is phase 2 skipping
+    // seed lists and silently dropping doc 399 from the top k.
+    val docs = (0L until 2000L).map { i =>
+      val t =
+        if (i <= 300L) "r c0 c1 c2 c3"
+        else if (i == 399L) Seq.fill(50)("r").mkString(" ")
+        else if (i <= 400L) "r"
+        else if (i <= 1500L) "c0 c1 c2 c3"
+        else "z"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val ix = Retrieval.buildIndex(docs)
+    val qt = ix.tf.filter(col("doc_id") === 0L)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val plan = Retrieval.maxScoreTopK(spark, ix, qt, Retrieval.TopK)
+    val routed = plan.result.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+    // The claim only bites if the route is genuinely bounded with E={r}.
+    assert(plan.boundedQueries == Set(0L),
+      s"query not routed bounded: ${plan.boundedQueries}")
+    assert(plan.essential(0L) == Seq("r"),
+      s"essential set not collapsed to the rare term: ${plan.essential(0L)}")
+    assert(routed == bruteTopK(ix, qt),
+      "routed top-k diverged from the full scatter on the eviction corpus")
+    assert(routed.exists(t => t._3 == 399L && t._2 == 1),
+      s"cap-evicted doc 399 missing from rank 1: $routed")
+    graft.TrackedCaches.release()
+  }
+
   test("postings join broadcasts the query side and never goes quadratic") {
     val df = Retrieval.bm25TopK(spark, Sf)
     df.collect()
