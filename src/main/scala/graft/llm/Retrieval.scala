@@ -812,28 +812,62 @@ object Retrieval {
     * weighted term overlap vs set overlap) are cut at [[ListK]], and every
     * candidate scores sum(1/(RrfK + rank)) over the lists it appears in.
     * RRF needs only RANKS, so the fusion is immune to the scorers' scale
-    * difference — the reason it is the standard first hybrid. Plan shape:
-    * both rankers reuse the same broadcast-query postings join; fusion is
-    * a union of two (query, doc, rank) lists followed by one tiny
-    * aggregate. */
+    * difference — the reason it is the standard first hybrid. Both
+    * per-ranker lists route per query through the same cost-based bounded
+    * machinery as [[maxScoreTopK]] (see [[hybridTopK]]): on a corpus with
+    * selective terms neither ranker joins the posting lists the bounds
+    * prove non-competitive; when nothing prunes, both rankers share ONE
+    * cached candidate scatter, which is the optimal single-pass plan. */
   def hybridRrf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val ix = buildIndex(docs, cache = true)
     val qt = ix.tf.filter(col("doc_id") < NumQueries)
       .select(col("doc_id").as("query_id"), col("term"))
-    val nd = ix.tf.groupBy("doc_id").agg(count(lit(1)).as("nterms"))
-    val qn = nd.filter(col("doc_id") < NumQueries)
-      .select(col("doc_id").as("query_id"), col("nterms").as("qterms"))
+    hybridTopK(s, ix, qt).result
+  }
 
-    // The (query term x posting) scatter is the shared cost of both
-    // rankers — materialize it once and score BM25 and Jaccard from the
-    // same cached rows instead of probing the postings twice.
-    val cnd = graft.TrackedCaches.track(candidates(ix, qt).cache())
+  /** The routed hybrid plan plus its pruning evidence (what the spec
+    * gates): per-query essential-term lists for BOTH rankers and which
+    * queries actually took the bounded route. */
+  private[graft] case class HybridPlan(result: DataFrame,
+      bmEssential: Map[Long, Seq[String]], jacEssential: Map[Long, Seq[String]],
+      nTerms: Map[Long, Int], boundedQueries: Set[Long])
+
+  /** Rounded Jaccard in exact micro-units over (inter, qterms, nterms)
+    * columns — jac >= 0, so the `+0.5` + truncating long cast recovers the
+    * 6-dp decimal exactly (the [[impMicros]] argument). Ranking on jmicro
+    * is tie-identical to ranking on the rounded double the scatter path
+    * and the oracle use: 6-dp decimals this small are exact in double, so
+    * the map between them is a monotone bijection. */
+  private def jacMicros: Column =
+    (round(col("inter").cast(DoubleType) /
+      (col("qterms") + col("nterms") - col("inter")).cast(DoubleType), 6)
+      * lit(1000000.0) + lit(0.5)).cast(LongType)
+
+  /** One candidate-bounded probe scoring BOTH rankers' signals of explicit
+    * (query, doc) pairs: the exact BM25 micro-unit sum AND the shared
+    * sub-ceiling term count (the Jaccard numerator). Rows touched = sum of
+    * candidate doc lengths — never a posting-list scatter. */
+  private def scoreHybridPairs(ix: Bm25Index, qtSub: DataFrame,
+      cand: DataFrame): DataFrame =
+    ix.tf.select("doc_id", "term", "imp")
+      .join(cand, "doc_id")
+      .join(broadcast(qtSub), Seq("query_id", "term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("imp").as("smicro"), count(lit(1)).as("inter"))
+
+  /** The one-pass scatter route shared by both rankers: ONE cached
+    * (query term × posting) candidate set feeds the BM25 long-sum and the
+    * Jaccard intersection count, each cut to its top [[ListK]] ranks.
+    * Factored out so the routed plan's spec can build its brute-force
+    * reference from the exact same list constructor. */
+  private[graft] def hybridScatterLists(ix: Bm25Index, queryTerms: DataFrame,
+      nd: DataFrame, qn: DataFrame): (DataFrame, DataFrame) = {
+    val cnd = graft.TrackedCaches.track(candidates(ix, queryTerms).cache())
     val bm = scoreCandidateRows(cnd)
     val wb = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
     val bmRanks = bm.withColumn("rk", row_number().over(wb))
       .filter(col("rk") <= ListK).select("query_id", "doc_id", "rk")
-
     // Token-SET Jaccard: |q ∩ d| / (|q| + |d| - |q ∩ d|), integer-exact
     // until the one division, rounded before ranking. Shares the cached
     // df-capped candidate rows with the BM25 side.
@@ -846,7 +880,12 @@ object Retrieval {
     val wj = Window.partitionBy("query_id").orderBy(col("jac").desc, col("doc_id"))
     val jacRanks = jac.withColumn("rk", row_number().over(wj))
       .filter(col("rk") <= ListK).select("query_id", "doc_id", "rk")
+    (bmRanks, jacRanks)
+  }
 
+  /** RRF fusion of the two per-ranker (query_id, doc_id, rk) lists —
+    * shared by every route combination. */
+  private[graft] def fuseLists(bmRanks: DataFrame, jacRanks: DataFrame): DataFrame = {
     val fused = bmRanks.unionByName(jacRanks)
       .withColumn("contrib", round(lit(1.0) / (lit(RrfK) + col("rk")), 6)
         .cast(DecimalType(20, 6)))
@@ -858,6 +897,180 @@ object Retrieval {
       .filter(col("rk") <= TopK)
       .select(col("query_id"), col("rk"), col("doc_id"), col("rrf"), col("n_lists"))
       .orderBy("query_id", "rk")
+  }
+
+  /** Cost-based routed hybrid — the [[maxScoreTopK]] discipline applied to
+    * BOTH rankers at once. Per query, ONE capped seed-candidate probe
+    * ([[SeedTerms]] lowest-df terms, [[SeedCandCap]] candidates — theta
+    * from ANY exactly-scored subset is a valid lower bound, so one seed
+    * set serves both rankers) scores the BM25 micro-sum and the Jaccard
+    * intersection together, yielding each ranker's theta = its ListK-th
+    * best phase-1 score. Term partitions:
+    *
+    *   - BM25: the MaxScore ub-ascending prefix with cum ub < theta_bm is
+    *     non-essential (a doc sharing only those terms scores strictly
+    *     below the final ListK-th — ties break on doc_id but exclusion is
+    *     strict).
+    *   - Jaccard: the PREFIX-FILTER bound. jac = i/(|q|+|d|-i) with
+    *     |d| >= i gives jac <= i/|q|, so a doc whose ROUNDED jac can reach
+    *     theta_j needs i >= m = ceil((theta_j - 1 ulp) * |q|) shared
+    *     sub-ceiling terms (one 6-dp ulp of slack absorbs the HALF_UP
+    *     rounding boundary) — hence it must share at least one of ANY
+    *     (nSub - m + 1)-subset of the query's sub-ceiling terms; the
+    *     rarest such subset is the essential set.
+    *
+    * A query routes bounded only when BOTH rankers' essential posting
+    * mass sits under [[MaxScoreScatterFrac]] of its total — if either
+    * ranker needs the scatter, the other rides the same cached rows for
+    * free, so partial pruning can't pay. Phase 2 scores the UNION of both
+    * essential sets' posting hits (seed lists rescanned — the phase-1 cap
+    * can evict a doc that still beats theta; extra scored pairs can only
+    * rank below theta, so the union costs nothing in exactness), and each
+    * ranker's top-[[ListK]] over phase-1 ∪ phase-2 is its EXACT list. */
+  private[graft] def hybridTopK(s: SparkSession, ix: Bm25Index,
+      queryTerms: DataFrame): HybridPlan = {
+    import s.implicits._
+    val nd = ix.tf.groupBy("doc_id").agg(count(lit(1)).as("nterms"))
+    val qn = queryTerms.groupBy("query_id").agg(count(lit(1)).as("qterms"))
+    val qtSub = subCeilingQueryDf(ix, queryTerms)
+      .select("query_id", "term", "df")
+    val qtPairs = qtSub.select("query_id", "term")
+    // Driver-side stats: query-arity (the maxScoreTopK discipline).
+    val qd = qtSub.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[String]("term"),
+        r.getAs[Long]("df")))
+    val byQdf: Map[Long, Array[(String, Long)]] =
+      qd.groupBy(_._1).map { case (q, ts) => q -> ts.map(t => (t._2, t._3)) }
+    val nTerms = byQdf.map { case (q, ts) => q -> ts.length }
+    val qFull: Map[Long, Long] = qn.collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("qterms")).toMap
+    val selective: Set[Long] = byQdf.iterator.collect {
+      case (q, ts) if ts.iterator.map(_._2).min * 100 <=
+        ix.n * SelectivePruneDfPct => q
+    }.toSet
+    val ubOf: Map[String, Long] =
+      if (selective.isEmpty) Map.empty
+      else {
+        val terms = byQdf.iterator.filter(t => selective(t._1))
+          .flatMap(_._2.iterator.map(_._1)).toSeq.distinct
+        ix.tf.filter(col("term").isin(terms: _*))
+          .groupBy("term").agg(max("imp").as("ub")).collect()
+          .map(r => r.getAs[String]("term") -> r.getAs[Long]("ub")).toMap
+      }
+    // Phase 1 (selective queries only): one capped seed probe, both
+    // rankers' exact scores, both thetas.
+    val seed: Map[Long, Seq[String]] = byQdf.collect {
+      case (q, ts) if selective(q) =>
+        q -> ts.sortWith((a, b) => a._2 < b._2 ||
+          (a._2 == b._2 && utf8Lt(a._1, b._1))).take(SeedTerms).map(_._1).toSeq
+    }
+    val phase1: Option[(DataFrame, DataFrame, Map[Long, Long], Map[Long, Long])] =
+      if (selective.isEmpty) None
+      else {
+        val seedHits = ix.tf.select("doc_id", "term")
+          .join(broadcast(seed.toSeq.flatMap { case (q, ts) => ts.map(q -> _) }
+            .toDF("query_id", "term")), Seq("term"))
+          .filter(col("doc_id") =!= col("query_id"))
+          .groupBy("query_id", "doc_id").agg(count(lit(1)).as("nmatch"))
+        val cand1 = graft.TrackedCaches.track(
+          graft.plans.TopKPerKey.topKPerKey(seedHits, SeedCandCap, Seq("query_id"),
+            Seq("nmatch" -> false, "doc_id" -> true))
+            .select("query_id", "doc_id").cache())
+        val score1 = graft.TrackedCaches.track(
+          scoreHybridPairs(ix, qtPairs, cand1).cache())
+        def kth(scored: DataFrame, metric: String): Map[Long, Long] =
+          graft.plans.TopKPerKey
+            .topKPerKey(scored, ListK, Seq("query_id"),
+              Seq(metric -> false, "doc_id" -> true))
+            .groupBy("query_id").agg(min(metric).as("th"), count(lit(1)).as("nc"))
+            .collect().iterator
+            .filter(_.getAs[Long]("nc") == ListK)
+            .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("th")).toMap
+        val thB = kth(score1, "smicro")
+        val thJ = kth(score1.join(nd, "doc_id").join(broadcast(qn), "query_id")
+          .withColumn("jmicro", jacMicros), "jmicro")
+        Some((cand1, score1, thB, thJ))
+      }
+    val thB: Map[Long, Long] = phase1.map(_._3).getOrElse(Map.empty)
+    val thJ: Map[Long, Long] = phase1.map(_._4).getOrElse(Map.empty)
+    def ascByDf(ts: Array[(String, Long)]): Array[(String, Long)] =
+      ts.sortWith((a, b) => a._2 < b._2 || (a._2 == b._2 && utf8Lt(a._1, b._1)))
+    val bmEssential: Map[Long, Seq[String]] = byQdf.map { case (q, ts) =>
+      if (!selective(q)) q -> ts.map(_._1).toSeq
+      else q -> (thB.get(q) match {
+        case None => ts.map(_._1).toSeq
+        case Some(th) =>
+          val asc = ts.map(t => (t._1, ubOf(t._1)))
+            .sortWith((a, b) => a._2 < b._2 || (a._2 == b._2 && utf8Lt(a._1, b._1)))
+          var cum = 0L
+          var i = 0
+          while (i < asc.length && cum + asc(i)._2 < th) { cum += asc(i)._2; i += 1 }
+          asc.drop(i).map(_._1).toSeq
+      })
+    }
+    val jacEssential: Map[Long, Seq[String]] = byQdf.map { case (q, ts) =>
+      if (!selective(q)) q -> ts.map(_._1).toSeq
+      else q -> (thJ.get(q) match {
+        case None => ts.map(_._1).toSeq
+        case Some(th) =>
+          val m = (((th - 1L) max 0L) * qFull(q) + 999999L) / 1000000L
+          if (m <= 1L) ts.map(_._1).toSeq
+          else ascByDf(ts).take((ts.length - m.toInt + 1) max 0).map(_._1).toSeq
+      })
+    }
+    // Route: bounded only when BOTH rankers prune well (see scaladoc).
+    val bounded: Set[Long] = selective.filter { q =>
+      val dfOf = byQdf(q).iterator.toMap
+      val total = dfOf.valuesIterator.sum
+      def mass(ess: Seq[String]) = ess.iterator.map(dfOf).sum
+      total > 0 && mass(bmEssential(q)) < MaxScoreScatterFrac * total &&
+        mass(jacEssential(q)) < MaxScoreScatterFrac * total
+    }
+    val scatterQs = byQdf.keySet -- bounded
+    val scatterLists: Option[(DataFrame, DataFrame)] =
+      if (scatterQs.isEmpty) None
+      else Some(hybridScatterLists(ix,
+        queryTerms.filter(col("query_id").isin(scatterQs.toSeq: _*)), nd, qn))
+    val boundedLists: Option[(DataFrame, DataFrame)] = phase1.collect {
+      case (cand1, score1, _, _) if bounded.nonEmpty =>
+        val s1 = score1.filter(col("query_id").isin(bounded.toSeq: _*))
+        val e2 = bounded.toSeq.flatMap { q =>
+          (bmEssential(q) ++ jacEssential(q)).distinct.map(q -> _)
+        }
+        val scored =
+          if (e2.isEmpty) s1
+          else {
+            val c2 = ix.tf.select("doc_id", "term")
+              .join(broadcast(e2.toDF("query_id", "term")), Seq("term"))
+              .filter(col("doc_id") =!= col("query_id"))
+              .select("query_id", "doc_id").distinct()
+              .join(cand1, Seq("query_id", "doc_id"), "left_anti")
+            s1.unionByName(scoreHybridPairs(ix, qtPairs, c2))
+          }
+        val pinned = graft.TrackedCaches.track(scored.cache())
+        val wb = Window.partitionBy("query_id")
+          .orderBy(col("smicro").desc, col("doc_id"))
+        val bmRanks = graft.plans.TopKPerKey
+          .topKPerKey(pinned, ListK, Seq("query_id"),
+            Seq("smicro" -> false, "doc_id" -> true))
+          .withColumn("rk", row_number().over(wb))
+          .select("query_id", "doc_id", "rk")
+        val jacScored = pinned.join(nd, "doc_id").join(broadcast(qn), "query_id")
+          .withColumn("jmicro", jacMicros)
+        val wj = Window.partitionBy("query_id")
+          .orderBy(col("jmicro").desc, col("doc_id"))
+        val jacRanks = graft.plans.TopKPerKey
+          .topKPerKey(jacScored, ListK, Seq("query_id"),
+            Seq("jmicro" -> false, "doc_id" -> true))
+          .withColumn("rk", row_number().over(wj))
+          .select("query_id", "doc_id", "rk")
+        (bmRanks, jacRanks)
+    }
+    val lists = scatterLists.toSeq ++ boundedLists.toSeq
+    val result = fuseLists(
+      lists.map(_._1).reduce(_ unionByName _),
+      lists.map(_._2).reduce(_ unionByName _))
+    HybridPlan(result, bmEssential, jacEssential, nTerms, bounded)
   }
 
   val hybridRrfSql: String =

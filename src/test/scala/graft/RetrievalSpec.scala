@@ -203,6 +203,71 @@ class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     graft.TrackedCaches.release()
   }
 
+  // Hybrid routing gates — same discipline as the MaxScore gates: the
+  // routed fusion must EQUAL the all-scatter fusion on any corpus (route
+  // choice is cost-only), and on a selective corpus BOTH rankers'
+  // essential sets must actually shrink. The brute reference is built
+  // from the same list-constructor + fusion helpers the routed plan's
+  // scatter route uses, so any divergence isolates to the bounded lists.
+  private def hybridSides(docs: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val ix = Retrieval.buildIndex(docs)
+    val qt = ix.tf.filter(col("doc_id") < Retrieval.NumQueries)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val nd = ix.tf.groupBy("doc_id").agg(count(lit(1)).as("nterms"))
+    val qn = qt.groupBy("query_id").agg(count(lit(1)).as("qterms"))
+    (ix, qt, nd, qn)
+  }
+
+  private def asFusedSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+      r.getAs[Long]("doc_id"), r.getAs[Double]("rrf"),
+      r.getAs[Int]("n_lists"))).toSet
+
+  test("hybrid routed fusion equals the all-scatter fusion exactly") {
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+    val (ix, qt, nd, qn) = hybridSides(docs)
+    val routed = asFusedSet(Retrieval.hybridTopK(spark, ix, qt).result)
+    val (bm, jac) = Retrieval.hybridScatterLists(ix, qt, nd, qn)
+    val brute = asFusedSet(Retrieval.fuseLists(bm, jac))
+    assert(routed.nonEmpty && routed == brute,
+      "routed hybrid diverged from the all-scatter fusion")
+    graft.TrackedCaches.release()
+  }
+
+  test("hybrid prunes both rankers on a selective corpus") {
+    import spark.implicits._
+    // The maxscore fixture corpus: 8 commons at df=150 (75%), one rare
+    // term per query at df=13 (6.5%). The BM25 partition collapses to the
+    // rare term; the Jaccard prefix-filter bound (theta_j ~ the 0.75-0.86
+    // identical-pattern plateau, |q| = 7 distinct terms) forces m >= 6
+    // shared terms, leaving 2 essential terms of 7.
+    val docs = (0L until 200L).map { i =>
+      val commons = (0 until 8).collect { case j if (i + j) % 4 != 0 => s"c$j" }
+      val rare =
+        if (i < 5) Seq(s"r$i")
+        else (0 until 5).collect { case q if i >= 5 + q * 12 && i < 17 + q * 12 => s"r$q" }
+      (i, (commons ++ rare).mkString(" "))
+    }.toDF("doc_id", "text")
+    val (ix, qt, nd, qn) = hybridSides(docs)
+    val plan = Retrieval.hybridTopK(spark, ix, qt)
+    val routed = asFusedSet(plan.result)
+    assert(plan.boundedQueries == (0L until 5L).toSet,
+      s"expected all queries bounded, got ${plan.boundedQueries}")
+    (0L until 5L).foreach { q =>
+      assert(plan.bmEssential(q).size < plan.nTerms(q),
+        s"query $q: bm essential ${plan.bmEssential(q)} did not shrink")
+      assert(plan.jacEssential(q).size < plan.nTerms(q),
+        s"query $q: jac essential ${plan.jacEssential(q)} did not shrink")
+      assert(plan.jacEssential(q).contains(s"r$q"),
+        s"query $q: rare term not jac-essential: ${plan.jacEssential(q)}")
+    }
+    val (bm, jac) = Retrieval.hybridScatterLists(ix, qt, nd, qn)
+    assert(routed == asFusedSet(Retrieval.fuseLists(bm, jac)),
+      "bounded hybrid diverged from the all-scatter fusion")
+    graft.TrackedCaches.release()
+  }
+
   test("postings join broadcasts the query side and never goes quadratic") {
     val df = Retrieval.bm25TopK(spark, Sf)
     df.collect()
