@@ -137,6 +137,7 @@ object SparkEntry {
     "q_token_counts" -> (TextAnalysis.tokenCounts _),
     "q_bpe_merges" -> (graft.llm.Bpe.bpeMerges _),
     "q_bpe_apply" -> (graft.llm.Bpe.bpeApply _),
+    "q_bpe_exhaustion" -> (graft.llm.Bpe.bpeExhaustion _),
     "q_hash_sample" -> (TextAnalysis.hashSample _),
     "q_stratified_sample" -> ((s: SparkSession, d: String) =>
       TextAnalysis.stratifiedSample(s, d)),
@@ -519,6 +520,7 @@ object SparkEntry {
     "q_token_counts" -> TextAnalysis.tokenCountsSql,
     "q_bpe_merges" -> graft.llm.Bpe.bpeMergesSql,
     "q_bpe_apply" -> graft.llm.Bpe.bpeApplySql,
+    "q_bpe_exhaustion" -> graft.llm.Bpe.bpeExhaustionSql,
     "q_hash_sample" -> TextAnalysis.hashSampleSql,
     "q_stratified_sample" -> TextAnalysis.stratifiedSampleSql,
     "q_media_meta" -> Multimodal.mediaMetaSql,

@@ -184,7 +184,14 @@ object Bpe {
         val rewritten = changed.select(col("doc_id"),
           org.apache.spark.sql.functions.replace(
             col("u"), lit(pat), lit(merged)).as("u")).cache()
-        val lenOld = changed.agg(sum(length(col("u")))).head().getLong(0)
+        // Invariant made explicit (a maintained count > 0 implies at least
+        // one doc contains the winner pattern): if counts-maintenance ever
+        // drifts, fail loudly here instead of NPE-unboxing a null sum.
+        val lenOldRow = changed.agg(sum(length(col("u")))).head()
+        require(!lenOldRow.isNullAt(0),
+          s"delta trainer invariant broken: winner '$p' (count $cnt) " +
+            "matched no document — the maintained pair table has drifted")
+        val lenOld = lenOldRow.getLong(0)
         val lenNew = rewritten.agg(sum(length(col("u")))).head().getLong(0)
         units -= lenOld - lenNew // one char per applied replacement
         counts = counts.select(col("p"), col("cnt").as("d"))
@@ -297,7 +304,39 @@ object Bpe {
         FROM documents d JOIN d$MergeRounds f ON d.doc_id = f.doc_id
         ORDER BY d.doc_id""")
 
-  private def sqlWithRounds(tail: String): String = {
+  /** Early-exhaustion probe — the oracle's fallback guard exercised at the
+    * ENGINE level, not just in a Scala spec: a corpus derived from the
+    * documents table (first two words of doc_id < 3 — at most three
+    * distinct pairs, so it fully merges within ~3 rounds) trains for the
+    * full [[MergeRounds]]. The Spark trainer ends its table early
+    * (`top.isEmpty` → exhausted); the DuckDB oracle keeps unrolling all
+    * eight CTE rounds and survives only because of the
+    * `LEFT JOIN w$$i ON TRUE` + `CASE WHEN w$$i.p IS NULL THEN u` fallback
+    * in [[sqlWithRounds]] (an inner join would EMPTY d$$i and every round
+    * after it). The driver's hash gate on this query is therefore a
+    * standing engine-level proof of the guard on every round's corpus —
+    * closing the round-10 note that only the live (non-exhausting) corpus
+    * pinned it. BpeSpec carries the in-memory twin on a crafted corpus. */
+  def bpeExhaustion(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 3)
+      .select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 2), " ").as("text"))
+    bpeMergesOf(s, docs)
+  }
+
+  val bpeExhaustionSql: String = sqlWithRounds(
+    (1 to MergeRounds).map(i => s"SELECT * FROM s$i")
+      .mkString("\n        UNION ALL ") match {
+      case sel =>
+        s"""SELECT CAST(rank AS INT) AS rank, left_unit, right_unit,
+               n_occurrences, units_after
+        FROM ($sel) ORDER BY rank"""
+    },
+    source = """(SELECT doc_id,
+                   array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') AS text
+                 FROM documents WHERE doc_id < 3)""")
+
+  private def sqlWithRounds(tail: String, source: String = "documents"): String = {
     def round(prev: String, i: Int): String =
       s"""p$i AS (SELECT us[j] || ' ' || us[j + 1] AS p, count(*) AS cnt
                FROM (SELECT string_split(trim(u, '()'), ')(') AS us FROM $prev),
@@ -321,7 +360,7 @@ object Bpe {
       .map(i => round(if (i == 1) "d0" else s"d${i - 1}", i))
       .mkString(",\n        ")
     s"""WITH d0 AS (SELECT doc_id, '(' || replace(text, ' ', ')(') || ')' AS u
-                    FROM documents),
+                    FROM $source),
         $rounds
         $tail"""
   }

@@ -132,6 +132,34 @@ class BpeSpec extends SparkSpec {
       tbl(Bpe.bpeMergesOf(spark, chain, 3)), "delta trainer diverged on overlap chain")
   }
 
+  test("early exhaustion: trainer ends its table, apply still agrees") {
+    import spark.implicits._
+    // "x y z" x3 fully merges in 2 rounds ((x,y) then (x_y,z)) — the
+    // default MergeRounds=8 keeps asking, so rounds 3..8 exercise the
+    // exhaustion path (empty pair table) in the trainer, the delta
+    // trainer, AND — via q_bpe_exhaustion's driver gate — the oracle's
+    // LEFT JOIN w$i fallback at the DuckDB engine level.
+    val texts = Seq.fill(3)("x y z")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = run(texts) // default rounds = MergeRounds
+    assert(got == replay(texts, Bpe.MergeRounds),
+      s"exhaustion table diverged from replay: $got")
+    assert(got.size == 2 && got.last._5 == 3L,
+      s"expected 2 rounds ending at 3 corpus units, got $got")
+    // applyWith under the early-ended table: every doc collapses to 1 unit.
+    val merges = got.map(m => (m._2, m._3))
+    val applied = Bpe.bpeApplyWith(df, merges).collect()
+    assert(applied.forall(r => r.getInt(1) == 3 && r.getInt(2) == 1),
+      "applyWith mis-handled a fully-merged corpus")
+    // The delta trainer survives exhaustion identically (its top.isEmpty
+    // path plus the counts > 0 filter must agree with the baseline).
+    val delta = Bpe.bpeMergesDeltaOf(spark, df).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(delta == got, s"delta trainer diverged under exhaustion: $delta")
+  }
+
   test("rounds parameter genuinely bounds the trainer") {
     // A corpus that could sustain many merges must stop at the requested
     // round count — the crafted-corpus tests depend on this bound, not on
