@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** In-JVM sampling profiler for single queries — the measurement tool
+  * behind the "profiled, not guessed" adjudications in SCALING.md. Runs
+  * the named queries under the Bench session configuration while a
+  * daemon thread snapshots every live thread's stack at ~100 Hz, then
+  * prints the hottest frames (self-sample counts, RUNNABLE threads only,
+  * JVM plumbing collapsed) so a regression's CPU owner is attributable
+  * to a specific operator or codegen path. Local[32] only — this is a
+  * diagnosis harness, not a cluster profiler.
+  *
+  * Usage: runMain graft.Profile <query> [query ...]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", ShuffleDir.path)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    args.foreach { name =>
+      // Warm pass: JIT + codegen, so samples measure the data path.
+      SparkEntry.queries(name)(spark, sf)
+        .write.format("noop").mode("overwrite").save()
+      TrackedCaches.release(); spark.catalog.clearCache()
+      val counts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+      @volatile var run = true
+      val sampler = new Thread(() => {
+        while (run) {
+          val traces = Thread.getAllStackTraces
+          traces.forEach { (t, st) =>
+            if (t.getState == Thread.State.RUNNABLE && st.nonEmpty &&
+                t.getName != "graft-profiler") {
+              // Top application frame: skip pure JVM/socket plumbing.
+              val frames = st.iterator.map(_.toString).toSeq
+              val top = frames.find(f =>
+                !f.startsWith("java.net") && !f.startsWith("sun.nio") &&
+                  !f.startsWith("java.io.FileDescriptor") &&
+                  !f.startsWith("jdk.internal.misc.Unsafe.park"))
+              top.foreach(f => counts.merge(f, 1, (a, b) => a + b))
+              // Optional caller attribution: when the top frame matches
+              // GRAFT_PROFILE_CALLER_OF, also count the nearest enclosing
+              // spark/graft frame so "who calls the hot leaf" is answerable.
+              sys.env.get("GRAFT_PROFILE_CALLER_OF").foreach { pat =>
+                if (top.exists(_.contains(pat))) {
+                  frames.filter(f => f.contains("spark") || f.contains("graft"))
+                    .take(4).zipWithIndex.foreach { case (f, i) =>
+                      counts.merge(s"CALLER[$i] $f", 1, (a, b) => a + b)
+                    }
+                }
+              }
+            }
+          }
+          Thread.sleep(10)
+        }
+      }, "graft-profiler")
+      sampler.setDaemon(true)
+      val t0 = System.nanoTime()
+      sampler.start()
+      (1 to 3).foreach { _ =>
+        SparkEntry.queries(name)(spark, sf)
+          .write.format("noop").mode("overwrite").save()
+        TrackedCaches.release(); spark.catalog.clearCache()
+      }
+      run = false
+      sampler.join()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] $name 3 timed runs in $dt%.2f s; hottest frames:")
+      import scala.jdk.CollectionConverters._
+      counts.asScala.toSeq.sortBy(-_._2.intValue()).take(30).foreach {
+        case (f, c) => println(f"[profile]   $c%6d  $f")
+      }
+    }
+    spark.stop()
+  }
+}

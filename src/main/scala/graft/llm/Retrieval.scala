@@ -76,21 +76,53 @@ object Retrieval {
       n: Long, avgLen: Double)
 
   /** One posting's BM25 contribution as EXACT 6-dp micro-units, over
-    * (tf, df, len) columns. Robertson idf is strictly positive, so
-    * ts >= 0; round(ts, 6) is the double nearest a 6-dp decimal m*1e-6,
-    * and round(ts,6)*1e6 lands within ~2e-8 of the integer m (|m| <= ~1e8,
-    * relative double error 2^-52) — nowhere near the .5 boundary — so
-    * `+0.5` then the truncating long cast recovers m exactly with ONE
-    * BigDecimal round per posting (the round-9 formulation paid two; the
-    * r10 isolated A/B measured double-round 1.87 s / DECIMAL 1.81 s /
-    * single-round 1.81 s wall on q_bm25_topk — and this build-time version
-    * removes the per-scatter-row cost entirely). */
-  private def impMicros(n: Long, avgLen: Double): Column =
+    * (tf, df, len) columns: m = floor(ts * 1e6 + 0.5) — half-up rounding
+    * of the exact binary product, pure codegen double arithmetic
+    * (Robertson idf is strictly positive, so ts >= 0 and half-up needs no
+    * sign case). The round-10 formulation went through Spark's
+    * `round(ts, 6)`, whose BigDecimal.valueOf(double) calls
+    * Double.toString — and that dtoa was the HOTTEST application frame of
+    * the whole retrieval family in the round-11 sampling profile (~2 cpu-s
+    * per index build at sf0.1, per-posting cost at any scale). Cross-engine
+    * agreement is unchanged-or-better: DuckDB's numeric round(x, 6) also
+    * rounds the binary product (half away from zero = half-up for
+    * positives), while Spark's string-based round rounds the SHORTEST
+    * DECIMAL REPR — either way a 1-ulp ln() difference between libm and
+    * StrictMath can only flip a posting sitting within ~1e-9 of a .5
+    * micro-unit boundary, and RetrievalSpec now pins that the live corpus
+    * has NO posting within 1e-3 micro-units of a boundary (and that this
+    * formulation is posting-for-posting identical to the string-round
+    * one there). */
+  private[graft] def impMicros(n: Long, avgLen: Double): Column =
+    floor(
+      log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * lit(K1 + 1.0)) /
+        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("len") / lit(avgLen))))
+      * lit(1000000.0) + lit(0.5)).cast(LongType)
+
+  /** The round-10 string-round formulation of [[impMicros]], kept ONLY as
+    * RetrievalSpec's cross-formulation oracle (posting-for-posting equality
+    * on the live corpus each round). */
+  private[graft] def impMicrosViaStringRound(n: Long, avgLen: Double): Column =
     (round(
       log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
         (col("tf") * lit(K1 + 1.0)) /
         (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("len") / lit(avgLen)))),
       6) * lit(1000000.0) + lit(0.5)).cast(LongType)
+
+  /** Distance of every posting's shifted micro-unit product
+    * (ts * 1e6 + 0.5) from the nearest INTEGER — where floor() flips —
+    * RetrievalSpec's empirical boundary-safety pin (the corpus minimum
+    * must clear any plausible cross-engine ulp difference by orders of
+    * magnitude). */
+  private[graft] def impBoundaryDist(n: Long, avgLen: Double): Column = {
+    val prod =
+      log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * lit(K1 + 1.0)) /
+        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("len") / lit(avgLen)))) *
+        lit(1000000.0) + lit(0.5)
+    least(prod - floor(prod), floor(prod) + lit(1.0) - prod)
+  }
 
   private[graft] def buildIndex(docs: DataFrame, cache: Boolean = false): Bm25Index = {
     val tf0 = postings(docs)
@@ -221,13 +253,15 @@ object Retrieval {
 
   /** [[scoreCandidates]] over a precomputed [[subCeilingQueryDf]]. The
     * fold accumulates exact 6-dp MICRO-UNITS in a BIGINT rather than a
-    * DECIMAL(38,6): each per-term contribution is already rounded to 6 dp,
-    * so round(contrib * 1e6) is an exact integer (the double is within
-    * ~1e-9 of it — nowhere near the .5 boundary) and the long sum is the
-    * decimal sum. Same value, same order-independence, but long adds
-    * instead of the BigDecimal allocations that owned the in-JVM stack
-    * profile of the streaming gate's batch loop (round-9 measurement:
-    * scala.math.BigDecimal$.decimal was the hottest application frame). */
+    * DECIMAL(38,6), and each per-term contribution is
+    * floor(ts * 1e6 + 0.5) — the [[impMicros]] formulation token for
+    * token, so a fold-scored pair equals the impact-index sum exactly.
+    * Long adds instead of the BigDecimal allocations that owned the
+    * round-9 stack profile of the streaming gate's batch loop — and since
+    * round 11, no string-based round() inside the fold either: the
+    * per-element dtoa (Double.toString inside BigDecimal.valueOf) cost
+    * ~|pairs| x |terms| conversions per decontam micro-batch, the
+    * dominant per-arrival CPU term of the distributed kernel. */
   private[graft] def scoreCandidatesQd(ix: Bm25Index, fwd: DataFrame,
       qd: DataFrame, cand: DataFrame): DataFrame = {
     val qmaps = qd.groupBy("query_id")
@@ -237,12 +271,12 @@ object Retrieval {
         aggregate(
           filter(terms, e -> qmap[e.term] IS NOT NULL),
           CAST(0 AS BIGINT),
-          (acc, e) -> acc + CAST(round(round(
+          (acc, e) -> acc + CAST(floor(
             ln(1.0D + (CAST(${ix.n} AS BIGINT) - qmap[e.term] + 0.5D)
                       / (qmap[e.term] + 0.5D))
             * (e.tf * ${K1 + 1.0}D)
-            / (e.tf + ${K1}D * (${1.0 - B}D + ${B}D * (CAST(len AS DOUBLE) / ${ix.avgLen}D))),
-            6) * 1000000.0D, 0) AS BIGINT))"""))
+            / (e.tf + ${K1}D * (${1.0 - B}D + ${B}D * (CAST(len AS DOUBLE) / ${ix.avgLen}D)))
+            * 1000000.0D + 0.5D) AS BIGINT))"""))
       .select(col("query_id"), col("doc_id"),
         round(col("smicro").cast(DoubleType) / lit(1000000.0), 6).as("score"))
   }
@@ -344,12 +378,16 @@ object Retrieval {
   }
 
   /** Build the [[ScreenSnapshot]] — the impact index ([[buildIndex]],
-    * uncached: snapshot corpora are sub-64MB by the caller's size gate)
-    * collapsed to flat driver arrays by two aggregate jobs (term-side:
-    * df + sorted posting list; doc-side: sub-ceiling (term, imp) pairs,
-    * vocab-coded on the driver). */
+    * CACHED for the duration of the build: the term-side and doc-side
+    * collects below would otherwise each re-run the whole
+    * tokenize + aggregate + join pipeline, and at the 30x ladder that
+    * repeated corpus pass was the snapshot build's dominant term — the
+    * cache is released before returning, so steady-state memory is the
+    * flat arrays only) collapsed to flat driver arrays by two aggregate
+    * jobs (term-side: df + sorted posting list; doc-side: sub-ceiling
+    * (term, imp) pairs, vocab-coded on the driver). */
   private[graft] def buildScreenSnapshot(corpus: DataFrame): ScreenSnapshot = {
-    val ix = buildIndex(corpus)
+    val ix = buildIndex(corpus, cache = true)
     val subTf = ix.tf.filter(col("df") * 100 <= lit(ix.n) * MaxDfPct)
     val termRows = ix.dft
       .filter(col("df") * 100 <= lit(ix.n) * MaxDfPct)
@@ -376,6 +414,11 @@ object Retrieval {
       docImp(i) = rows.iterator.map(_.getAs[Long]("imp")).toArray
       i += 1
     }
+    // The build cache (tf + dft) served its two collects; the snapshot is
+    // self-contained from here. Unpersist the specific frames (they stay
+    // harmlessly in the TrackedCaches queue for the caller's release).
+    ix.tf.unpersist(blocking = false)
+    ix.dft.unpersist(blocking = false)
     new ScreenSnapshot(ix.n, ix.avgLen, terms, termDf, postingArr,
       docIds, docTermIdx, docImp)
   }
@@ -716,6 +759,16 @@ object Retrieval {
       total > 0 && essMass < MaxScoreScatterFrac * total
     }
     val scatterQs = byQdf.keySet -- bounded
+    // Degenerate input — no query has any sub-ceiling term (every term
+    // above the df ceiling, or an empty query set): neither route has
+    // anything to score, and the unionByName reduce below would throw on
+    // an empty Seq. Return the empty result frame with the exact output
+    // schema instead (the old scatter path's behavior).
+    if (byQdf.isEmpty) {
+      val empty = Seq.empty[(Long, Int, Long, Double)]
+        .toDF("query_id", "rk", "doc_id", "score")
+      return MaxScorePlan(empty, Map.empty, Map.empty, Set.empty)
+    }
     // Bounded route: phase-2 candidates from ALL essential posting lists,
     // minus the already-scored phase-1 candidates; union with phase-1
     // scores. The seed lists MUST be rescanned here: phase 1 caps its
@@ -932,6 +985,19 @@ object Retrieval {
     import s.implicits._
     val nd = ix.tf.groupBy("doc_id").agg(count(lit(1)).as("nterms"))
     val qn = queryTerms.groupBy("query_id").agg(count(lit(1)).as("qterms"))
+    // Route-mode override for controlled A/B measurement (the screenMode
+    // discipline): "scatter" short-circuits to the single-pass
+    // hybridScatterLists plan with ZERO routing work — no driver stats
+    // collects, no theta phase — so the routed build's full overhead is
+    // measurable as one isolated pair. Exactness is route-invariant
+    // (RetrievalSpec gates it); only cost moves.
+    val routeMode = s.conf.getOption("graft.retrieval.hybridRoute")
+      .orElse(sys.env.get("GRAFT_HYBRID_ROUTE")).getOrElse("auto")
+    if (routeMode == "scatter") {
+      val (bm, jac) = hybridScatterLists(ix, queryTerms, nd, qn)
+      return HybridPlan(fuseLists(bm, jac), Map.empty, Map.empty,
+        Map.empty, Set.empty)
+    }
     val qtSub = subCeilingQueryDf(ix, queryTerms)
       .select("query_id", "term", "df")
     val qtPairs = qtSub.select("query_id", "term")
@@ -942,12 +1008,19 @@ object Retrieval {
     val byQdf: Map[Long, Array[(String, Long)]] =
       qd.groupBy(_._1).map { case (q, ts) => q -> ts.map(t => (t._2, t._3)) }
     val nTerms = byQdf.map { case (q, ts) => q -> ts.length }
-    val qFull: Map[Long, Long] = qn.collect()
-      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("qterms")).toMap
     val selective: Set[Long] = byQdf.iterator.collect {
       case (q, ts) if ts.iterator.map(_._2).min * 100 <=
         ix.n * SelectivePruneDfPct => q
     }.toSet
+    // Full-query term counts feed only the Jaccard prefix-filter bound of
+    // SELECTIVE queries — skip the collect (one whole Spark job) when the
+    // df stats already routed everything to the scatter (the isolated A/B
+    // measured the routed build's entire overhead as ~5 cpu-s of exactly
+    // these driver-stat jobs).
+    val qFull: Map[Long, Long] =
+      if (selective.isEmpty) Map.empty
+      else qn.collect()
+        .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("qterms")).toMap
     val ubOf: Map[String, Long] =
       if (selective.isEmpty) Map.empty
       else {
@@ -1067,9 +1140,16 @@ object Retrieval {
         (bmRanks, jacRanks)
     }
     val lists = scatterLists.toSeq ++ boundedLists.toSeq
-    val result = fuseLists(
-      lists.map(_._1).reduce(_ unionByName _),
-      lists.map(_._2).reduce(_ unionByName _))
+    // Degenerate input (no sub-ceiling query term anywhere): both route
+    // Options are empty — return the empty result frame with the fusion
+    // output schema rather than throwing on an empty reduce.
+    val result =
+      if (lists.isEmpty)
+        Seq.empty[(Long, Int, Long, Double, Int)]
+          .toDF("query_id", "rk", "doc_id", "rrf", "n_lists")
+      else fuseLists(
+        lists.map(_._1).reduce(_ unionByName _),
+        lists.map(_._2).reduce(_ unionByName _))
     HybridPlan(result, bmEssential, jacEssential, nTerms, bounded)
   }
 

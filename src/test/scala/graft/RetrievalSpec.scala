@@ -79,6 +79,43 @@ class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"score divergence: ${(a.toSet diff b.toSet).take(3)} vs ${(b.toSet diff a.toSet).take(3)}")
   }
 
+  test("floor-based impact micros: formulation-identical and boundary-safe") {
+    // Round 11 replaced the string-based round(ts,6) in the impact
+    // computation (BigDecimal.valueOf -> Double.toString dtoa — the
+    // hottest frame of the retrieval-family profile) with
+    // floor(ts*1e6 + 0.5), half-up on the exact binary product. Two
+    // empirical pins, re-run every round on the live corpora: (1) the two
+    // formulations agree posting-for-posting; (2) no posting's shifted
+    // product sits anywhere near an integer boundary, so a 1-ulp ln()
+    // difference between engines (StrictMath vs libm) cannot flip any
+    // floor — the cross-engine-agreement argument is corpus-verified, not
+    // assumed.
+    import org.apache.spark.sql.functions._
+    Seq(Sf, "/root/testdata/sf0.01").foreach { sf =>
+      val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      val tf0 = Retrieval.postings(docs)
+      val dl = tf0.groupBy("doc_id").agg(sum("tf").as("len"))
+      val st = dl.agg(count(lit(1)).as("n"),
+        (sum("len").cast("double") / count(lit(1))).as("avglen")).head()
+      val (n, avgLen) = (st.getLong(0), st.getDouble(1))
+      val joined = tf0.join(dl, "doc_id")
+        .join(tf0.groupBy("term").agg(count(lit(1)).as("df")), "term")
+      val diverged = joined.filter(
+        Retrieval.impMicros(n, avgLen) =!=
+          Retrieval.impMicrosViaStringRound(n, avgLen)).count()
+      assert(diverged == 0, s"$sf: $diverged postings diverge between " +
+        "floor-based and string-round impact formulations")
+      // A 1-ulp ln() difference perturbs the ~1e7-magnitude shifted
+      // product by ~2e-9 per op (relative 2^-52), call it ~1e-8 through
+      // the whole chain; 1e-6 demands two orders of magnitude of slack
+      // (the sf0.001 corpus minimum measures ~6e-5).
+      val minDist = joined.agg(min(Retrieval.impBoundaryDist(n, avgLen)))
+        .head().getDouble(0)
+      assert(minDist > 1e-6, s"$sf: a posting sits $minDist micro-units " +
+        "from a floor boundary — too close to rely on cross-engine ulp slack")
+    }
+  }
+
   test("screening candidates stay capped per query") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, Sf).select("doc_id", "text")
