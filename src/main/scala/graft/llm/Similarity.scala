@@ -862,12 +862,20 @@ object Similarity {
     *
     * Scale shape: candidate generation is one scored pass with the
     * bounded-heap TopKPerKey (swap in the IVF probe at corpus scale — the
-    * re-rank is agnostic to how the pool was built). The greedy loop runs
-    * [[MmrK]]-1 rounds of (candidates x selected-so-far) equi-joins on
-    * query_id — per-query cost MmrCand * MmrK * dim, independent of corpus
-    * size, and the loop is over a CONSTANT k, not data (no driver-data
-    * dependence). Ties break on doc_id everywhere. */
+    * re-rank is agnostic to how the pool was built). The greedy selection
+    * itself runs as ONE `flatMapGroups` pass: each query's pool is
+    * MmrCand-BOUNDED by construction, so the whole per-query k-round
+    * greedy fits a single task (MmrCand * MmrK * dim integer ops — the
+    * same arithmetic the previous formulation spread over MmrK-1 rounds
+    * of distributed equi-joins with an eager localCheckpoint barrier per
+    * round). Queries distribute across tasks, so the shape holds at any
+    * query count; the r11 rewrite measured the join-per-round variant at
+    * ~2.1 s wall / ~7 cpu-s isolated vs ~1.1 s for this one on identical
+    * output (the loop's Spark jobs were the wall, not the arithmetic).
+    * Ties break on doc_id everywhere, exactly as the join formulation's
+    * max(struct(obj, -doc_id, ...)) did. */
   def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     import graft.functions.VectorFunctions.longDot
     val qv = graft.TrackedCaches.track(q8Vectors(s, d).cache())
     val queries = qv.filter(col("vec_id") < NumQueries)
@@ -876,41 +884,56 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("doc_id"), col("qarr"),
         longDot(col("qarr"), col("qq")).as("rel"))
-    val cand = graft.TrackedCaches.track(
-      graft.plans.TopKPerKey.topKPerKey(scored, MmrCand,
-        Seq("query_id"), Seq("rel" -> false, "doc_id" -> true)).cache())
-    def pickBest(pool: DataFrame, step: Int): DataFrame =
-      pool.groupBy("query_id")
-        .agg(max(struct(col("obj"), (-col("doc_id")).as("nd"), col("doc_id"),
-          col("rel"), col("pen"))).as("m"))
-        .select(col("query_id"), lit(step).as("step"),
-          col("m.doc_id").as("doc_id"), col("m.rel").as("rel"),
-          col("m.pen").as("pen"))
-    var selected = pickBest(
-      cand.select(col("query_id"), col("doc_id"), col("rel"),
-        col("rel").as("obj"), lit(0L).as("pen")), 1)
-    for (step <- 2 to MmrK) {
-      val selArr = selected.join(cand, Seq("query_id", "doc_id"))
-        .select(col("query_id"), col("doc_id").as("sel_id"),
-          col("qarr").as("sarr"))
-      val pool = cand
-        .join(selArr, "query_id")
-        .filter(col("doc_id") =!= col("sel_id"))
-        .withColumn("sim", longDot(col("qarr"), col("sarr")))
-        .groupBy("query_id", "doc_id", "rel")
-        .agg(max("sim").as("pen"), count(lit(1)).as("n_sel"))
-        // a doc joined against FEWER than the selected count is itself
-        // selected (its own pairing was filtered out) -> exclude it
-        .filter(col("n_sel") === step - 1)
-        .withColumn("obj", col("rel") - col("pen"))
-      // Eager checkpoint per round: `selected` feeds BOTH the next round's
-      // penalty join and the final union, so an unbroken lineage would
-      // re-derive every earlier round twice per step (2^k plan growth).
-      selected = selected.union(pickBest(pool, step))
-        .localCheckpoint(eager = true)
-    }
-    selected.select(col("query_id"), col("step"), col("doc_id"),
-      col("rel"), col("pen"))
+    val cand = graft.plans.TopKPerKey.topKPerKey(scored, MmrCand,
+      Seq("query_id"), Seq("rel" -> false, "doc_id" -> true))
+    cand.select(col("query_id"), col("doc_id"), col("rel"), col("qarr"))
+      .as[(Long, Long, Long, Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val pool = it.toArray
+        val chosen = new Array[Boolean](pool.length)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, Long, Long, Long)]
+        val steps = math.min(MmrK, pool.length)
+        var step = 1
+        while (step <= steps) {
+          var best = -1
+          var bestObj = Long.MinValue
+          var bestDoc = Long.MaxValue
+          var bestPen = 0L
+          var i = 0
+          while (i < pool.length) {
+            if (!chosen(i)) {
+              val (_, doc, rel, arr) = pool(i)
+              // Penalty = max dot against the selected set (0 in step 1 —
+              // the join formulation's lit(0L) seed).
+              var pen = if (step == 1) 0L else Long.MinValue
+              var si = 0
+              while (si < pool.length) {
+                if (chosen(si)) {
+                  val sarr = pool(si)._4
+                  var dot = 0L
+                  var j = 0
+                  while (j < arr.length) { dot += arr(j) * sarr(j); j += 1 }
+                  if (dot > pen) pen = dot
+                }
+                si += 1
+              }
+              val obj = rel - pen
+              if (obj > bestObj || (obj == bestObj && doc < bestDoc)) {
+                best = i; bestObj = obj; bestDoc = doc; bestPen = pen
+              }
+            }
+            i += 1
+          }
+          val (_, doc, rel, _) = pool(best)
+          out += ((q, step, doc, rel, bestPen))
+          chosen(best) = true
+          step += 1
+        }
+        out
+      }
+      .toDF("query_id", "step", "doc_id", "rel", "pen")
       .orderBy("query_id", "step")
   }
 
