@@ -472,10 +472,19 @@ object Dedup {
     * Complements [[dupNgramFraction]]: that measures how much of a doc is
     * duplicated ANYWHERE; this says who was first.
     *
-    * Scale shape: distinct (doc, window-hash) stream -> map-side-combined
-    * min(doc_id) per hash -> ONE equi-join back on the hash — an
-    * aggregation join, linear in occurrences, so no df cap is needed. The
-    * score is one division of exact integers (both engines bit-agree). */
+    * Scale shape: JOIN-FREE — both outputs are aggregations. n_windows is
+    * a map-side-combined count per doc over the distinct (doc, hash)
+    * stream; n_owned needs no occurrence join at all, because each hash
+    * contributes its single "first owner" row to exactly one doc: the
+    * hash-arity owner table (min doc_id per hash) re-aggregates by that
+    * owner, and the two doc-arity frames join at output arity. The
+    * previous formulation equi-joined the owner table back onto the FULL
+    * occurrence stream and then re-shuffled occurrence-scale rows by
+    * doc_id — on the 30x ladder that second occurrence-scale
+    * shuffle+join was the query's dominant term (its 4.5x slope was the
+    * dedup family's worst); this shape's only occurrence-scale exchanges
+    * are the two map-side-combined aggregates. The score is one division
+    * of exact integers (both engines bit-agree). */
   def ngramNovelty(s: SparkSession, d: String): DataFrame =
     ngramNoveltyOf(Tables.documents(s, d))
 
@@ -490,11 +499,12 @@ object Dedup {
             ELSE array() END""")).as("g"))
       .select(col("doc_id"), md5(col("g")).as("h"))
     val owner = g.groupBy("h").agg(min("doc_id").as("first_doc"))
-    val owned = g.join(owner, "h")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
-          .as("n_owned"))
+    val nWindows = g.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val nOwned = owner.groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_owned"))
+    val owned = nWindows.join(nOwned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_owned"), lit(0L)).as("n_owned"))
     docs.select(col("doc_id"))
       .join(owned, Seq("doc_id"), "left")
       .select(col("doc_id"),
