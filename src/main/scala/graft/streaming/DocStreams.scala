@@ -39,6 +39,17 @@ object DocStreams {
 
   private val stageLock = new Object
 
+  /** The most recent gate run's broadcast index snapshot — exposed so
+    * StreamingSpec can assert the lifecycle: once a gate's verdict frame is
+    * parquet-backed, its snapshot must be DESTROYED (driver + executor
+    * blocks freed), not merely unpersisted. `TrackedCaches.release()` only
+    * unpersists (the degenerate empty-zone path returns a LAZY frame that
+    * must stay re-broadcastable), so without the explicit destroy a
+    * long-running cluster invoking gates repeatedly accumulates driver
+    * broadcast blocks until the GC-driven ContextCleaner catches up. */
+  @volatile private[graft] var lastSnapshot:
+      Option[org.apache.spark.broadcast.Broadcast[_]] = None
+
   /** Streaming-source schema for the staged arrival slice. */
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -308,6 +319,7 @@ object DocStreams {
           st.getLong(1) <= graft.llm.Retrieval.BroadcastScreenMaxBytes
     }
 
+    var snapOpt: Option[org.apache.spark.broadcast.Broadcast[_]] = None
     val screen: DataFrame => DataFrame =
       if (useBroadcast) {
         val sigRows = Dedup.signaturesOf(corpus).collect()
@@ -327,6 +339,7 @@ object DocStreams {
           .distinct().collect().map(_.getString(0))
         val snap = graft.TrackedCaches.trackBroadcast(s.sparkContext.broadcast(
           new DedupScreenSnapshot(docIds, sigsFlat, digests)))
+        snapOpt = Some(snap)
         (batch: DataFrame) => screenBatchLocal(s, snap, batch)
       } else {
         val corpusSig = graft.TrackedCaches.track(
@@ -379,12 +392,19 @@ object DocStreams {
     // Zero staged chunks (empty arrival slice) means zero micro-batches ran:
     // return an empty verdict frame with the exact output schema (screening
     // a LIMIT 0 batch) instead of calling read.parquet on an empty path list.
+    lastSnapshot = snapOpt
     if (latest < 0)
+      // The returned frame lazily re-runs screen() — the snapshot must
+      // stay valid (TrackedCaches unpersists it after the caller's action).
       screen(corpus.select(col("doc_id"), col("text")).limit(0))
         .orderBy("doc_id")
-    else
+    else {
+      // Verdicts are parquet-backed; the snapshot can never be probed
+      // again — destroy it now (see [[lastSnapshot]]).
+      snapOpt.foreach(_.destroy())
       s.read.parquet((0L to latest).map(b => outBase.resolve(s"v$b").toString): _*)
         .orderBy("doc_id")
+    }
   }
 
   /** Admission ceiling for [[streamQualityGate]]: arrivals scoring above
@@ -591,10 +611,12 @@ object DocStreams {
         st.getLong(0) == 0L || st.getLong(1) <= Retrieval.BroadcastScreenMaxBytes
     }
 
+    var snapOpt: Option[org.apache.spark.broadcast.Broadcast[_]] = None
     val screen: DataFrame => DataFrame =
       if (useBroadcast) {
         val snap = graft.TrackedCaches.trackBroadcast(
           s.sparkContext.broadcast(Retrieval.buildScreenSnapshot(corpus)))
+        snapOpt = Some(snap)
         (batch: DataFrame) =>
           Retrieval.screenBatchLocal(s, snap, batch.select(col("doc_id"), col("text")))
             .select(col("doc_id"), col("top_match"), col("top_score"),
@@ -688,11 +710,16 @@ object DocStreams {
         "need >= 2 batches for the screening to actually be incremental")
     // Same empty-zone discipline as the sibling gates: screen a LIMIT 0
     // batch to produce the exact output schema with zero rows.
+    lastSnapshot = snapOpt
     if (latest < 0)
+      // Lazy frame — the snapshot must stay valid (unpersist-only).
       screen(corpus.limit(0)).orderBy("doc_id")
-    else
+    else {
+      // Parquet-backed verdicts: destroy the snapshot (see [[lastSnapshot]]).
+      snapOpt.foreach(_.destroy())
       s.read.parquet((0L to latest).map(b => outBase.resolve(s"v$b").toString): _*)
         .orderBy("doc_id")
+    }
   }
 
   /** Batch oracle of [[streamDecontam]] (valid per its scaladoc): the same

@@ -42,6 +42,12 @@ object VecStreams {
 
   private val stageLock = new Object
 
+  /** Most recent gate run's broadcast snapshot — the
+    * [[DocStreams.lastSnapshot]] lifecycle discipline (StreamingSpec
+    * asserts it is destroyed once verdicts are parquet-backed). */
+  @volatile private[graft] var lastSnapshot:
+      Option[org.apache.spark.broadcast.Broadcast[_]] = None
+
   /** Streaming-source schema for the staged arrival slice. */
   private val vecSchema = StructType(Seq(
     StructField("vec_id", LongType),
@@ -303,6 +309,7 @@ object VecStreams {
       case _ => nVec * dims * 4 <= graft.llm.Retrieval.BroadcastScreenMaxBytes
     }
 
+    var snapOpt: Option[org.apache.spark.broadcast.Broadcast[_]] = None
     val screen: DataFrame => DataFrame =
       if (useBroadcast) {
         val cellRows = Similarity.assignCells(sx, cents).join(corpus, "vec_id")
@@ -333,6 +340,7 @@ object VecStreams {
         val snap = graft.TrackedCaches.trackBroadcast(s.sparkContext.broadcast(
           new VecScreenSnapshot(nprobe, dimsI, centIds, centFlat,
             vecIds, cellOf, embFlat)))
+        snapOpt = Some(snap)
         (batch: DataFrame) => screenBatchLocal(s, snap, batch)
       } else {
         val cells = graft.TrackedCaches.track(
@@ -374,12 +382,18 @@ object VecStreams {
         "need >= 2 batches for the screening to actually be incremental")
     // Zero staged chunks (empty arrival slice): screen a LIMIT 0 batch for
     // the exact output schema instead of reading an empty path list.
+    lastSnapshot = snapOpt
     if (latest < 0)
+      // Lazy frame — the snapshot must stay valid (unpersist-only).
       screen(corpus.select(col("vec_id"), col("embedding")).limit(0))
         .orderBy("vec_id")
-    else
+    else {
+      // Parquet-backed verdicts: destroy the snapshot (the
+      // [[DocStreams.lastSnapshot]] lifecycle discipline).
+      snapOpt.foreach(_.destroy())
       s.read.parquet((0L to latest).map(b => outBase.resolve(s"v$b").toString): _*)
         .orderBy("vec_id")
+    }
   }
 
   /** Batch oracle: the identical corpus-trained index probed by the same

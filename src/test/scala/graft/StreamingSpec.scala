@@ -570,4 +570,40 @@ class StreamingSpec extends SparkSpec {
     assert(admits == Set(true, false),
       "corpus must exercise both admit verdicts")
   }
+
+  test("gate broadcast snapshots are destroyed once verdicts are parquet-backed") {
+    // Lifecycle contract (the TrackedCaches.release discipline extended to
+    // explicit broadcasts): a gate whose verdict frame is parquet-backed
+    // has no further use for its index snapshot, so the gate must
+    // destroy() it — freeing DRIVER blocks too, which unpersist leaves
+    // behind — rather than let repeated invocations on a long-running
+    // cluster accumulate broadcast blocks until the ContextCleaner's GC
+    // cycle. destroy() makes any later .value throw, which is the
+    // observable proof.
+    def assertDestroyed(name: String,
+        snap: Option[org.apache.spark.broadcast.Broadcast[_]]): Unit = {
+      assert(snap.nonEmpty, s"$name: broadcast screen left no snapshot handle")
+      val e = intercept[org.apache.spark.SparkException](snap.get.value)
+      assert(e.getMessage.toLowerCase.contains("destroy"),
+        s"$name: snapshot was not destroyed: ${e.getMessage}")
+    }
+    def gate[A](conf: String, run: => A): A = {
+      spark.conf.set(conf, "broadcast")
+      try { run } finally spark.conf.unset(conf)
+    }
+    graft.streaming.DocStreams.lastSnapshot = None
+    gate("graft.retrieval.screenMode",
+      graft.streaming.DocStreams.streamDecontam(spark, Sf).collect())
+    assertDestroyed("decontam", graft.streaming.DocStreams.lastSnapshot)
+    graft.streaming.DocStreams.lastSnapshot = None
+    gate("graft.dedup.screenMode",
+      graft.streaming.DocStreams.streamIngestDedup(spark, Sf).collect())
+    assertDestroyed("ingest-dedup", graft.streaming.DocStreams.lastSnapshot)
+    graft.streaming.VecStreams.lastSnapshot = None
+    gate("graft.similarity.screenMode",
+      graft.streaming.VecStreams.streamVecIngest(spark, Sf).collect())
+    assertDestroyed("vec-ingest", graft.streaming.VecStreams.lastSnapshot)
+    graft.TrackedCaches.release()
+    spark.catalog.clearCache()
+  }
 }
