@@ -184,8 +184,11 @@ object ScaleTest {
       // Streaming decontamination joins the ladder (round 10): its index
       // cost scales with the corpus and its screen strategy is
       // size-selected, so the Nx row measures both the build slope and
-      // which side of the broadcast crossover the corpus lands on.
-      "q_stream_decontam")
+      // which side of the broadcast crossover the corpus lands on. The
+      // evolving variant (round 11) rides alongside: same screen, but the
+      // index is driver-maintained and appended per batch — the Nx pair
+      // prices the rebuild-vs-incremental difference directly.
+      "q_stream_decontam", "q_stream_decontam_evolving")
     def time(dir: String): Map[String, Double] =
       subset.map { name =>
         val t0 = System.nanoTime()

@@ -423,6 +423,164 @@ object Retrieval {
       docIds, docTermIdx, docImp)
   }
 
+  /** Local mirror of [[impMicros]] — IDENTICAL functions and op order to
+    * the Catalyst expression (Spark's UnaryLogExpression codegen emits
+    * `java.lang.StrictMath.log`, verified against the 4.1.2 jars; every
+    * add, multiply and divide below associates exactly as the Column
+    * expression does, with the same Long→Double promotion points), so a
+    * driver-maintained index
+    * stamps bit-identical impacts. RetrievalSpec pins append-vs-rebuild
+    * snapshot equality on the live corpus every round. */
+  private[graft] def impMicrosLocal(n: Long, avgLen: Double,
+      tf: Long, df: Long, len: Long): Long =
+    math.floor(
+      StrictMath.log(1.0 + ((n - df).toDouble + 0.5) / (df.toDouble + 0.5)) *
+        (tf.toDouble * (K1 + 1.0)) /
+        (tf.toDouble + K1 * ((1.0 - B) + B * (len.toDouble / avgLen)))
+      * 1000000.0 + 0.5).toLong
+
+  /** Driver-side incrementally-maintained screening index — the
+    * production shape of the decontam gate's standing corpus in the
+    * broadcast regime. Holds the RAW corpus statistics (full-vocabulary
+    * df + posting lists, per-doc term/tf/len — NOT the ceiling-filtered
+    * projection: appending documents moves n, avgLen and every df, which
+    * re-prices every impact and can move terms across the df ceiling in
+    * either direction, so the raw tables are the only representation an
+    * append can maintain exactly). [[append]] costs |batch| local
+    * tokenization; [[snapshot]] projects the current stats to a
+    * [[ScreenSnapshot]] in one index-linear in-memory pass (ceiling
+    * filter + [[impMicrosLocal]] stamping) — vs the corpus-linear Spark
+    * passes a from-scratch [[buildScreenSnapshot]] pays per micro-batch.
+    * Bounded by the broadcast screen's own size gate; the distributed
+    * regime's analogue is bucketed posting appends, out of scope here. */
+  private[graft] final class IncrementalScreenIndex private[Retrieval] () {
+    private var n = 0L
+    private var totalLen = 0L
+    private val dfOf = scala.collection.mutable.HashMap.empty[String, Long]
+    private val postingsOf = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    private val docIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    private val docLen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    private val docTerms = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+    private val docTfs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+
+    /** Ingest one doc's (term -> tf) stats. Tokenization must mirror
+      * [[postings]]: split on single spaces, KEEPING empty tokens
+      * (Spark's split has limit -1 semantics). */
+    private[Retrieval] def add(id: Long, len: Long,
+        terms: Array[String], tfs: Array[Long]): Unit = {
+      var i = 0
+      while (i < terms.length) {
+        dfOf.update(terms(i), dfOf.getOrElse(terms(i), 0L) + 1L)
+        postingsOf.getOrElseUpdate(terms(i),
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += id
+        i += 1
+      }
+      docIds += id; docLen += len
+      docTerms += terms; docTfs += tfs
+      n += 1; totalLen += len
+    }
+
+    /** Append an arrival batch: local tokenize + stats update, no Spark
+      * jobs, no corpus re-scan. */
+    def append(batch: Seq[(Long, String)]): Unit = batch.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val counts = new java.util.LinkedHashMap[String, Long]()
+      toks.foreach(t => counts.merge(t, 1L, (a, b) => a + b))
+      val terms = new Array[String](counts.size)
+      val tfs = new Array[Long](counts.size)
+      var i = 0
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        terms(i) = e.getKey; tfs(i) = e.getValue; i += 1
+      }
+      add(id, toks.length.toLong, terms, tfs)
+    }
+
+    /** Project the current stats to an immutable [[ScreenSnapshot]] —
+      * content-identical to `buildScreenSnapshot(corpus-so-far)`
+      * (RetrievalSpec compares field-for-field up to the row orders the
+      * distributed build leaves arbitrary). The idf factor is hoisted out
+      * of the per-posting loop (vocab-arity StrictMath.log calls instead
+      * of one per posting — same value, same association, so the stamped
+      * impacts are bit-identical), and term lookups go through a plain
+      * java HashMap (no per-term Option allocation). */
+    def snapshot(): ScreenSnapshot = {
+      val avgLen = totalLen.toDouble / n.toDouble
+      val subTerms = dfOf.iterator
+        .filter { case (_, df) => df * 100 <= n * MaxDfPct }
+        .map(_._1).toArray.sorted
+      val termDf = subTerms.map(dfOf)
+      val postArr = subTerms.map(t => postingsOf(t).toArray.sorted)
+      val tIdx = new java.util.HashMap[String, Integer](subTerms.length * 2)
+      val idfOf = new Array[Double](subTerms.length)
+      var k = 0
+      while (k < subTerms.length) {
+        tIdx.put(subTerms(k), k)
+        idfOf(k) = StrictMath.log(1.0 +
+          ((n - termDf(k)).toDouble + 0.5) / (termDf(k).toDouble + 0.5))
+        k += 1
+      }
+      val outIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val outTermIdx = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      val outImp = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+      var d = 0
+      while (d < docIds.length) {
+        val terms = docTerms(d); val tfs = docTfs(d)
+        var nSub = 0
+        var i = 0
+        while (i < terms.length) { if (tIdx.containsKey(terms(i))) nSub += 1; i += 1 }
+        if (nSub > 0) {
+          val len = docLen(d)
+          val ti = new Array[Int](nSub)
+          val im = new Array[Long](nSub)
+          var j = 0
+          i = 0
+          while (i < terms.length) {
+            val boxed = tIdx.get(terms(i))
+            if (boxed != null) {
+              val idx = boxed.intValue()
+              ti(j) = idx
+              im(j) = math.floor(idfOf(idx) *
+                (tfs(i).toDouble * (K1 + 1.0)) /
+                (tfs(i).toDouble + K1 * ((1.0 - B) + B * (len.toDouble / avgLen)))
+                * 1000000.0 + 0.5).toLong
+              j += 1
+            }
+            i += 1
+          }
+          outIds += docIds(d); outTermIdx += ti; outImp += im
+        }
+        d += 1
+      }
+      new ScreenSnapshot(n, avgLen, subTerms, termDf, postArr,
+        outIds.toArray, outTermIdx.toArray, outImp.toArray)
+    }
+  }
+
+  /** Seed an [[IncrementalScreenIndex]] from a corpus frame: ONE
+    * distributed postings pass collapsed to per-doc stat rows (the same
+    * arithmetic [[buildIndex]] runs — df/len derive from the collected tf
+    * rows, so the seeded index and a Spark-built one cannot disagree). */
+  private[graft] def incrementalIndexOf(corpus: DataFrame): IncrementalScreenIndex = {
+    // Parallel primitive arrays, not an array of structs — per-term Row
+    // decoding owned the seed collect's profile at the 30x ladder.
+    val rows = postings(corpus)
+      .groupBy("doc_id")
+      .agg(sum("tf").as("len"),
+        collect_list(col("term")).as("terms"),
+        collect_list(col("tf")).as("tfs"))
+      .collect()
+    val ix = new IncrementalScreenIndex()
+    rows.foreach { r =>
+      val terms = r.getSeq[String](r.fieldIndex("terms")).toArray
+      val tfs = r.getSeq[Long](r.fieldIndex("tfs")).toArray
+      ix.add(r.getAs[Long]("doc_id"), r.getAs[Long]("len"), terms, tfs)
+    }
+    ix
+  }
+
   /** Unsigned-UTF-8 term comparison — the binary ordering Spark's
     * UTF8String sort and DuckDB's collation both use, so the rare-term
     * tiebreak matches the distributed window's `ORDER BY df, term` even on

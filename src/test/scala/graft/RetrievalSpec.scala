@@ -116,6 +116,37 @@ class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("incremental screen index append equals a from-scratch rebuild") {
+    // The evolving gate's driver-maintained index must be bit-identical
+    // to rebuilding the snapshot from the grown corpus: appending docs
+    // moves n/avgLen/df (re-pricing every impact, possibly moving terms
+    // across the df ceiling), and the local impact mirror must reproduce
+    // the Catalyst expression exactly (StrictMath.log + identical op
+    // order). Compared content-wise — the distributed build's row orders
+    // are arbitrary where the screen is order-invariant.
+    import org.apache.spark.sql.functions.col
+    val all = Tables.documents(spark, Sf).select("doc_id", "text")
+    val corpus = all.filter(col("doc_id") % 5 =!= 0)
+    val batch = all.filter(col("doc_id") % 5 === 0).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(batch.nonEmpty)
+    val inc = Retrieval.incrementalIndexOf(corpus)
+    inc.append(batch)
+    val viaInc = inc.snapshot()
+    val rebuilt = Retrieval.buildScreenSnapshot(all)
+    def content(ss: Retrieval.ScreenSnapshot) = (
+      ss.n, ss.avgLen,
+      ss.terms.toSeq.zip(ss.termDf.toSeq),
+      ss.terms.indices.map(i => ss.terms(i) -> ss.postings(i).toSeq).toMap,
+      ss.docIds.indices.map { d =>
+        ss.docIds(d) -> ss.docTermIdx(d).indices
+          .map(j => ss.terms(ss.docTermIdx(d)(j)) -> ss.docImp(d)(j)).toMap
+      }.toMap)
+    assert(content(viaInc) == content(rebuilt),
+      "incremental snapshot diverged from the from-scratch rebuild")
+    assert(viaInc.n == all.count(), "snapshot lost documents")
+  }
+
   test("screening candidates stay capped per query") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, Sf).select("doc_id", "text")

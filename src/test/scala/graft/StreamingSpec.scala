@@ -571,6 +571,43 @@ class StreamingSpec extends SparkSpec {
       "corpus must exercise both admit verdicts")
   }
 
+  test("evolving decontam: batch 0 equals the static gate, batch 1 sees the grown index") {
+    // The evolving gate screens batch 0 against the corpus-only index —
+    // identical verdicts to the static gate for those arrivals — then
+    // ingests it, so batch 1 is scored against corpus ∪ batch-0 with
+    // recomputed BM25 statistics (n, avgLen, df all move; scores must).
+    val evolving = graft.streaming.DocStreams.streamDecontamEvolving(spark, Sf).collect()
+    // Lifecycle: the final snapshot is destroyed once verdicts are
+    // parquet-backed (the gate's broadcast discipline).
+    val snap = graft.streaming.DocStreams.lastSnapshot
+    assert(snap.nonEmpty)
+    intercept[org.apache.spark.SparkException](snap.get.value)
+    graft.TrackedCaches.release()
+    spark.catalog.clearCache()
+    spark.conf.set("graft.retrieval.screenMode", "broadcast")
+    val static0 =
+      try graft.streaming.DocStreams.streamDecontam(spark, Sf).collect()
+      finally spark.conf.unset("graft.retrieval.screenMode")
+    graft.TrackedCaches.release()
+    spark.catalog.clearCache()
+    assert(evolving.length == static0.length, "arrival coverage differs")
+    // Replay the staged-zone batch arithmetic (the oracle's).
+    val ids = evolving.map(_.getLong(0))
+    val (lo, hi) = (ids.min, ids.max)
+    val span = (hi - lo) / 4 + 1
+    def batchOf(id: Long) = ((id - lo) / span) / 2
+    val eMap = evolving.map(r => r.getLong(0) -> r.toSeq).toMap
+    val sMap = static0.map(r => r.getLong(0) -> r.toSeq).toMap
+    val b0 = ids.filter(batchOf(_) == 0L)
+    val b1 = ids.filter(batchOf(_) == 1L)
+    assert(b0.nonEmpty && b1.nonEmpty, "both batches must be populated")
+    b0.foreach { id =>
+      assert(eMap(id) == sMap(id), s"batch-0 verdict moved for arrival $id")
+    }
+    assert(b1.exists(id => eMap(id) != sMap(id)),
+      "no batch-1 score moved — the index did not grow")
+  }
+
   test("gate broadcast snapshots are destroyed once verdicts are parquet-backed") {
     // Lifecycle contract (the TrackedCaches.release discipline extended to
     // explicit broadcasts): a gate whose verdict frame is parquet-backed
