@@ -406,6 +406,25 @@ object Dedup {
     * corpus's ~100-word docs carry a meaningful number of windows. */
   val DupN = 13
 
+  /** The [[DupN]]-word window strings of a tokenized doc (`ws` column) as
+    * a SQL expression — UNROLLED element accesses joined by concat_ws,
+    * not `array_join(slice(ws, i + 1, DupN))`: the slice materializes a
+    * 13-element collection per window position, and at the 30x ladder
+    * that Scala-collection machinery (IndexedSeqOps.slice / toArray /
+    * Vector copies inside the interpreted higher-order lambda) was the
+    * single hottest frame family of the window queries — ~2x their
+    * corpus-side cost. concat_ws over direct ArrayData accesses emits
+    * the IDENTICAL string (both join with ' '; split() never yields null
+    * elements), so the md5s and every downstream result are unchanged
+    * and the DuckDB oracle keeps its array_to_string(slice) form. */
+  private def dupWindowsExpr: String = {
+    val parts = (0 until DupN).map(k => s"ws[i + $k]").mkString(", ")
+    s"""CASE WHEN size(ws) >= $DupN
+        THEN transform(sequence(0, size(ws) - $DupN),
+                       i -> concat_ws(' ', $parts))
+        ELSE array() END"""
+  }
+
   /** Corpus-duplicated text fraction per document — the "how much of this
     * doc exists elsewhere" QUALITY signal that complements the pairwise
     * dedup family: for every [[DupN]]-word window (every position, not
@@ -423,11 +442,7 @@ object Dedup {
   def dupNgramFraction(s: SparkSession, d: String): DataFrame = {
     val w = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-    val g = w.select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(ws) >= $DupN
-            THEN transform(sequence(0, size(ws) - $DupN),
-                           i -> array_join(slice(ws, i + 1, $DupN), ' '))
-            ELSE array() END""")).as("g"))
+    val g = w.select(col("doc_id"), explode(expr(dupWindowsExpr)).as("g"))
       .select(col("doc_id"), md5(col("g")).as("h"))
     val df_ = g.groupBy("h").agg(countDistinct("doc_id").as("df"))
     val dup = g.join(df_.filter(col("df") > 1), "h")
@@ -492,11 +507,8 @@ object Dedup {
     * DedupSpec can prove the verbatim-late-copy case. */
   private[graft] def ngramNoveltyOf(docs: DataFrame): DataFrame = {
     val w = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-    val g = w.select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(ws) >= $DupN
-            THEN array_distinct(transform(sequence(0, size(ws) - $DupN),
-                           i -> array_join(slice(ws, i + 1, $DupN), ' ')))
-            ELSE array() END""")).as("g"))
+    val g = w.select(col("doc_id"),
+        explode(array_distinct(expr(dupWindowsExpr))).as("g"))
       .select(col("doc_id"), md5(col("g")).as("h"))
     val owner = g.groupBy("h").agg(min("doc_id").as("first_doc"))
     val nWindows = g.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
@@ -557,11 +569,7 @@ object Dedup {
   private[graft] def dupSpansOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-    val g = w.select(col("doc_id"), posexplode(expr(
-        s"""CASE WHEN size(ws) >= $DupN
-            THEN transform(sequence(0, size(ws) - $DupN),
-                           i -> array_join(slice(ws, i + 1, $DupN), ' '))
-            ELSE array() END""")))
+    val g = w.select(col("doc_id"), posexplode(expr(dupWindowsExpr)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), md5(col("col")).as("h"))
     val df_ = g.groupBy("h").agg(countDistinct("doc_id").as("df"))
     val dup = g.join(df_.filter(col("df") > 1), "h")
