@@ -104,12 +104,14 @@ object PlanDump {
       "combined shingle aggregate, broadcast anti-join cap, ONE equi-join " +
       "on the shingle hash) — both direction scores come off the single " +
       "intersection row, so there is no second candidate join."),
-    "q_ngram_novelty" -> ("First-occurrence n-gram novelty. Expect: ONE " +
-      "shingle stream (map-side-combined), a window-hash aggregation join " +
-      "back onto it for the first-owner (min doc_id) — linear in " +
-      "occurrences, no df cap needed because ownership is an aggregate, " +
-      "not a pair join — then a left join onto the doc spine so zero-window " +
-      "docs still report. No self-join, no global window."),
+    "q_ngram_novelty" -> ("First-occurrence n-gram novelty, JOIN-FREE " +
+      "round-11 shape. Expect: ONE distinct-window stream feeding two " +
+      "map-side-combined aggregates — per-doc window counts, and the " +
+      "hash-arity first-owner (min doc_id) table re-aggregated by owner — " +
+      "joined only at DOC arity, then the left join onto the doc spine. " +
+      "No occurrence-scale join anywhere (the pre-r11 plan joined the " +
+      "owner table back onto the full occurrence stream and re-shuffled " +
+      "it by doc_id — its 30x ladder term), no self-join, no global window."),
     "q_pagerank_dist" -> ("Distributed PageRank output stage (the web-scale " +
       "formulation). The rank vector stays executor-resident: rounds " +
       "materialize via eager localCheckpoint, so this plan shows the final " +
@@ -149,12 +151,15 @@ object PlanDump {
       "product, no sort-merge — with the edit-distance filter above the " +
       "join. Fact rows are never paired; at 100 TB this plan's size scales " +
       "with vocabulary, not corpus."),
-    "q_mmr_rerank" -> ("MMR diversity re-rank final stage. Expect: candidate " +
+    "q_mmr_rerank" -> ("MMR diversity re-rank. Expect: candidate " +
       "generation as a broadcast of the query side onto the int8-code scan " +
       "into the bounded-heap TopKPerKey (partial heaps below ONE exchange " +
-      "on query_id), then MmrK-1 rounds of (candidate x selected) " +
-      "query_id-keyed joins over MmrCand-bounded frames — integer long_dot " +
-      "kernels, no cartesian, no global sort until the 25-row presentation."),
+      "on query_id), then the whole MmrK-round greedy as a SINGLE " +
+      "flatMapGroups over the MmrCand-bounded per-query pools (round 11 — " +
+      "the former MmrK-1 join rounds each cost an exchange pair plus an " +
+      "eager checkpoint and owned the wall). One exchange for the " +
+      "grouping, integer dot kernels inside the task, no cartesian, no " +
+      "global sort until the 25-row presentation."),
     "q_basket_pairs" -> ("Market-basket association rules. Expect: ONE self " +
       "equi-join of the distinct (order, part) incidence on the order key " +
       "(per-key quadratic bounded by basket size), map-side-combined pair " +
