@@ -22,6 +22,11 @@ import org.apache.spark.sql.types._
   * transcendental + BigDecimal round; and the batch top-k runs the
   * MaxScore term-partition (see the bounded-top-k block below), which
   * never joins the posting lists of provably non-competitive terms.
+  * (Design note: WAND's document-at-a-time pivot bound is strictly
+  * tighter than MaxScore's term-level bound, but it requires doc-ordered
+  * cursor iteration over posting lists — inherently sequential state the
+  * shuffle-relational shape can't express; MaxScore's partition maps
+  * onto set-difference joins, which is why it is the bound used here.)
   *
   * Determinism for the oracle diff (file-wide discipline): every per-term
   * double is rounded to 6 dp and summed as exact micro-units — order-
