@@ -108,7 +108,12 @@ object Bench {
     // of burning a round-trip through the judge. BENCH_PRIOR.json is
     // (re)written by every FULL-suite run (subset runs never overwrite
     // it, so isolated experiments can't poison the baseline).
-    val priorPath = java.nio.file.Paths.get("BENCH_PRIOR.json")
+    // Anchored to the repo root (where sbt runs) but env-overridable: a
+    // spark-submit launched from elsewhere would otherwise silently miss
+    // the committed baseline (disabling the drift retry) and strand its
+    // end-of-run rewrite in the wrong directory.
+    val priorPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PRIOR", "BENCH_PRIOR.json"))
     val priorCpuMs: Map[String, Long] =
       if (!java.nio.file.Files.exists(priorPath)) Map.empty
       else {
@@ -309,9 +314,14 @@ object Bench {
     // Full-suite runs refresh the next round's cpu-drift baseline (see the
     // priorCpuMs comment); subset runs leave it untouched.
     if (only.isEmpty) {
-      val prior = results.map { case (k, w, _, c, _) =>
-        "\"" + k + "\":[" + num(w, 2) + "," + c + "]"
-      }.mkString("{", ",", "}")
+      // Failed queries keep their sentinel (near-zero) rows out of the
+      // baseline: a query that fails this round and recovers next round
+      // would otherwise false-trigger the drift detector on the bogus
+      // prior (and waste its extra runs).
+      val prior = results.filter { case (k, _, _, _, _) => !errors.contains(k) }
+        .map { case (k, w, _, c, _) =>
+          "\"" + k + "\":[" + num(w, 2) + "," + c + "]"
+        }.mkString("{", ",", "}")
       java.nio.file.Files.write(priorPath, (prior + "\n").getBytes("UTF-8"))
     }
     spark.stop()

@@ -38,12 +38,18 @@ object Profile {
           traces.forEach { (t, st) =>
             if (t.getState == Thread.State.RUNNABLE && st.nonEmpty &&
                 t.getName != "graft-profiler") {
-              // Top application frame: skip pure JVM/socket plumbing.
+              // A thread whose TOP frame is an I/O-poll/park primitive is
+              // idle despite reporting RUNNABLE (epoll waiters do) — drop
+              // the sample entirely. Skipping just the frame and counting
+              // the first application caller below it would credit an idle
+              // Netty/shuffle event loop with ~100 samples/s and let it
+              // outrank the real CPU owner.
               val frames = st.iterator.map(_.toString).toSeq
-              val top = frames.find(f =>
-                !f.startsWith("java.net") && !f.startsWith("sun.nio") &&
-                  !f.startsWith("java.io.FileDescriptor") &&
-                  !f.startsWith("jdk.internal.misc.Unsafe.park"))
+              val idle = frames.headOption.exists(f =>
+                f.startsWith("java.net") || f.startsWith("sun.nio") ||
+                  f.startsWith("java.io.FileDescriptor") ||
+                  f.startsWith("jdk.internal.misc.Unsafe.park"))
+              val top = if (idle) None else frames.headOption
               top.foreach(f => counts.merge(f, 1, (a, b) => a + b))
               // Optional caller attribution: when the top frame matches
               // GRAFT_PROFILE_CALLER_OF, also count the nearest enclosing

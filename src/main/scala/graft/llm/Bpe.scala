@@ -280,16 +280,21 @@ object Bpe {
       cur)
   }
 
-  /** Oracle: [[MergeRounds]] unrolled CTE rounds with the same
-    * count/tie-break/replace arithmetic over the same paren encoding. */
-  val bpeMergesSql: String = sqlWithRounds(
+  /** Shared merges-table tail (rank/left/right/count/units_after over the
+    * union of all round rows) — ONE definition so the exhaustion oracle can
+    * never drift from the merges oracle's output shape. */
+  private val mergesTailSql: String =
     (1 to MergeRounds).map(i => s"SELECT * FROM s$i")
       .mkString("\n        UNION ALL ") match {
       case sel =>
         s"""SELECT CAST(rank AS INT) AS rank, left_unit, right_unit,
                n_occurrences, units_after
         FROM ($sel) ORDER BY rank"""
-    })
+    }
+
+  /** Oracle: [[MergeRounds]] unrolled CTE rounds with the same
+    * count/tie-break/replace arithmetic over the same paren encoding. */
+  val bpeMergesSql: String = sqlWithRounds(mergesTailSql)
 
   /** Oracle of [[bpeApply]]: the same chain's FINAL corpus, reported
     * per document. */
@@ -324,14 +329,7 @@ object Bpe {
     bpeMergesOf(s, docs)
   }
 
-  val bpeExhaustionSql: String = sqlWithRounds(
-    (1 to MergeRounds).map(i => s"SELECT * FROM s$i")
-      .mkString("\n        UNION ALL ") match {
-      case sel =>
-        s"""SELECT CAST(rank AS INT) AS rank, left_unit, right_unit,
-               n_occurrences, units_after
-        FROM ($sel) ORDER BY rank"""
-    },
+  val bpeExhaustionSql: String = sqlWithRounds(mergesTailSql,
     source = """(SELECT doc_id,
                    array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') AS text
                  FROM documents WHERE doc_id < 3)""")

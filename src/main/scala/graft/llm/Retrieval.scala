@@ -98,22 +98,25 @@ object Retrieval {
     * has NO posting within 1e-3 micro-units of a boundary (and that this
     * formulation is posting-for-posting identical to the string-round
     * one there). */
+  /** The ONE definition of the per-posting BM25 term-score product ts —
+    * idf(df) * tf*(k1+1) / (tf + k1*(1-b + b*len/avglen)) — shared by all
+    * three builders below. Their whole contract (and RetrievalSpec's
+    * floor-vs-round and boundary-distance pins) is that every formulation
+    * evaluates the IDENTICAL Column expression tree; deriving them from
+    * one builder makes token-identity structural instead of a discipline. */
+  private def tsProduct(n: Long, avgLen: Double): Column =
+    log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      (col("tf") * lit(K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("len") / lit(avgLen))))
+
   private[graft] def impMicros(n: Long, avgLen: Double): Column =
-    floor(
-      log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-        (col("tf") * lit(K1 + 1.0)) /
-        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("len") / lit(avgLen))))
-      * lit(1000000.0) + lit(0.5)).cast(LongType)
+    floor(tsProduct(n, avgLen) * lit(1000000.0) + lit(0.5)).cast(LongType)
 
   /** The round-10 string-round formulation of [[impMicros]], kept ONLY as
     * RetrievalSpec's cross-formulation oracle (posting-for-posting equality
     * on the live corpus each round). */
   private[graft] def impMicrosViaStringRound(n: Long, avgLen: Double): Column =
-    (round(
-      log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-        (col("tf") * lit(K1 + 1.0)) /
-        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("len") / lit(avgLen)))),
-      6) * lit(1000000.0) + lit(0.5)).cast(LongType)
+    (round(tsProduct(n, avgLen), 6) * lit(1000000.0) + lit(0.5)).cast(LongType)
 
   /** Distance of every posting's shifted micro-unit product
     * (ts * 1e6 + 0.5) from the nearest INTEGER — where floor() flips —
@@ -121,11 +124,7 @@ object Retrieval {
     * must clear any plausible cross-engine ulp difference by orders of
     * magnitude). */
   private[graft] def impBoundaryDist(n: Long, avgLen: Double): Column = {
-    val prod =
-      log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-        (col("tf") * lit(K1 + 1.0)) /
-        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("len") / lit(avgLen)))) *
-        lit(1000000.0) + lit(0.5)
+    val prod = tsProduct(n, avgLen) * lit(1000000.0) + lit(0.5)
     least(prod - floor(prod), floor(prod) + lit(1.0) - prod)
   }
 

@@ -166,15 +166,10 @@ object Advanced {
     if (!cached) {
       Seq(o, l).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
       Seq("orders_b", "lineitem_b").foreach { t =>
-        val p = java.nio.file.Paths.get(wh, s"$db.db", t)
-        if (java.nio.file.Files.exists(p)) {
-          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(x => java.nio.file.Files.delete(x))
-        }
+        graft.Fs.deleteRec(java.nio.file.Paths.get(wh, s"$db.db", t))
       }
-      java.nio.file.Files.list(java.nio.file.Paths.get(wh))
-        .filter(p => p.getFileName.toString.startsWith(s"$db.marker_"))
-        .forEach(p => java.nio.file.Files.delete(p))
+      graft.Fs.deleteChildrenWithPrefix(
+        java.nio.file.Paths.get(wh), s"$db.marker_")
     }
     if (!cached) {
       Tables.orders(s, d).write.mode("overwrite")

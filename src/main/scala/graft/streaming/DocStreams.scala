@@ -69,8 +69,7 @@ object DocStreams {
     val marker = base.resolve("_staged")
     if (Files.exists(marker)) return base.toString
     if (Files.exists(base)) {
-      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+      graft.Fs.deleteRec(base)
     }
     Files.createDirectories(base)
     val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
@@ -92,16 +91,14 @@ object DocStreams {
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       // A sparse doc_id space can leave a range empty (no part file) —
       // skip it rather than stage a zero-row chunk or throw.
-      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
-        .findFirst()
-      if (part.isPresent) {
+      val part = graft.Fs.firstWithSuffix(tmp, ".parquet")
+      if (part.isDefined) {
         val dst = base.resolve(f"chunk_$i%02d.parquet")
-        Files.move(part.get(), dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(part.get, dst, StandardCopyOption.REPLACE_EXISTING)
         Files.setLastModifiedTime(dst,
           attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
       }
-      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+      graft.Fs.deleteRec(tmp)
     }
     docs.unpersist()
     Files.createFile(marker)
@@ -355,8 +352,7 @@ object DocStreams {
 
     val outBase = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_ingest")
     if (Files.exists(outBase)) {
-      Files.walk(outBase).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+      graft.Fs.deleteRec(outBase)
     }
     Files.createDirectories(outBase)
     @volatile var latest = -1L
@@ -384,8 +380,7 @@ object DocStreams {
     // zone has enough chunks for two triggers: a sparse doc_id space can
     // legitimately stage fewer than 3 non-empty chunks (stageDocs skips
     // empty ranges), and one-batch screening of such a corpus is correct.
-    val nChunks = Files.list(Paths.get(dir))
-      .filter(p => p.toString.endsWith(".parquet")).count()
+    val nChunks = graft.Fs.countWithSuffix(Paths.get(dir), ".parquet")
     require(latest >= 1 || nChunks <= 2,
       s"ingest dedup ran ${latest + 1} micro-batches over $nChunks chunks — " +
         "need >= 2 batches for the screening to actually be incremental")
@@ -434,8 +429,7 @@ object DocStreams {
       TextAnalysis.bigramModel(TextAnalysis.bigramsOf(corpus.select("doc_id", "text")))
     val outBase = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_gate")
     if (Files.exists(outBase)) {
-      Files.walk(outBase).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+      graft.Fs.deleteRec(outBase)
     }
     Files.createDirectories(outBase)
     @volatile var latest = -1L
@@ -457,8 +451,7 @@ object DocStreams {
       val qs = q.start()
       try qs.processAllAvailable() finally qs.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", saved)
-    val nChunks = Files.list(Paths.get(dir))
-      .filter(p => p.toString.endsWith(".parquet")).count()
+    val nChunks = graft.Fs.countWithSuffix(Paths.get(dir), ".parquet")
     require(latest >= 1 || nChunks <= 2,
       s"quality gate ran ${latest + 1} micro-batches over $nChunks chunks — " +
         "need >= 2 batches for the gate to actually be incremental")
@@ -659,8 +652,7 @@ object DocStreams {
 
     val outBase = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_decontam")
     if (Files.exists(outBase)) {
-      Files.walk(outBase).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+      graft.Fs.deleteRec(outBase)
     }
     Files.createDirectories(outBase)
     @volatile var latest = -1L
@@ -703,8 +695,7 @@ object DocStreams {
     val qs = q.start()
     try { try qs.processAllAvailable() finally qs.stop() }
     finally s.conf.set("spark.sql.shuffle.partitions", saved)
-    val nChunks = Files.list(Paths.get(dir))
-      .filter(p => p.toString.endsWith(".parquet")).count()
+    val nChunks = graft.Fs.countWithSuffix(Paths.get(dir), ".parquet")
     require(latest >= 1 || nChunks <= 2,
       s"decontam gate ran ${latest + 1} micro-batches over $nChunks chunks — " +
         "need >= 2 batches for the screening to actually be incremental")
@@ -771,8 +762,7 @@ object DocStreams {
     val outBase = Paths.get(System.getProperty("java.io.tmpdir"),
       "graft_stream_decontam_evolving")
     if (Files.exists(outBase)) {
-      Files.walk(outBase).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+      graft.Fs.deleteRec(outBase)
     }
     Files.createDirectories(outBase)
     @volatile var latest = -1L
@@ -810,8 +800,7 @@ object DocStreams {
     try { try qs.processAllAvailable() finally qs.stop() }
     finally s.conf.set("spark.sql.shuffle.partitions", saved)
     lastSnapshot = Some(snap)
-    val nChunks = Files.list(Paths.get(dir))
-      .filter(p => p.toString.endsWith(".parquet")).count()
+    val nChunks = graft.Fs.countWithSuffix(Paths.get(dir), ".parquet")
     if (latest < 0) {
       // Empty arrival slice: nothing screened, nothing ingested — return
       // the empty verdict frame (snapshot stays valid for the lazy plan).
@@ -910,65 +899,21 @@ object DocStreams {
         SELECT * FROM b0out UNION ALL SELECT * FROM b1out
         ORDER BY doc_id"""
 
-  /** Batch oracle of [[streamDecontam]] (valid per its scaladoc): the same
-    * corpus-side BM25 CTEs as [[graft.llm.Retrieval.bm25Sql]] restricted to
-    * the standing corpus, arrival term lists as the query side, and the
-    * SAME two-stage screen — rare-term candidates (row_number over (df,
-    * term) <= RareTerms), match-count cap (row_number over (nmatch DESC,
-    * doc_id) <= CandCap), full BM25 of the surviving pairs (the DECIMAL
-    * per-term sum is order-independent, so this plain unnest join equals
-    * Spark's forward-index fold bit-for-bit), top-1 by (score DESC,
-    * doc_id), left-joined to every arrival. */
-  val streamDecontamSql: String = {
-    import graft.llm.Retrieval._
+  /** Batch oracle of [[streamDecontam]] (valid per its scaladoc): ONE
+    * instance of the parameterized screen chain — the same rare-term
+    * candidates (row_number over (df, term) <= RareTerms), match-count cap
+    * (row_number over (nmatch DESC, doc_id) <= CandCap), full BM25 of the
+    * surviving pairs, top-1 by (score DESC, doc_id), left-joined to every
+    * arrival — with the standing corpus as the reference set. Sharing
+    * [[evolvingScreenBlock]] keeps the static and evolving oracles
+    * structurally incapable of drifting apart; the block's
+    * floor-micro-unit BIGINT sum equals the earlier round/DECIMAL
+    * formulation value-for-value on this always-positive score domain
+    * (floor(x*1e6+0.5) IS half-up 6-dp rounding for positive x, and both
+    * finishes produce the nearest double of the same 6-dp decimal). */
+  val streamDecontamSql: String =
     s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
         arr AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
-        toks AS (SELECT doc_id, u.t AS term
-                 FROM corpus, unnest(string_split(text, ' ')) u(t)),
-        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-        dl AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1),
-        stats AS (SELECT count(*) AS n,
-                    CAST(sum(len) AS DOUBLE) / count(*) AS avglen FROM dl),
-        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        qt AS (SELECT doc_id AS query_id, u.t AS term
-               FROM arr, unnest(string_split(text, ' ')) u(t) GROUP BY 1, 2),
-        qd AS (SELECT q.query_id, q.term, d.df
-               FROM qt q JOIN dft d USING (term), stats s
-               WHERE d.df * 100 <= s.n * $MaxDfPct),
-        rare AS (SELECT query_id, term FROM (
-                   SELECT query_id, term,
-                     row_number() OVER (PARTITION BY query_id
-                       ORDER BY df, term) AS rrk
-                   FROM qd) WHERE rrk <= $RareTerms),
-        hits AS (SELECT r.query_id, f.doc_id, count(*) AS nmatch
-                 FROM rare r JOIN tf f USING (term)
-                 WHERE f.doc_id <> r.query_id GROUP BY 1, 2),
-        cand AS (SELECT query_id, doc_id FROM (
-                   SELECT query_id, doc_id,
-                     row_number() OVER (PARTITION BY query_id
-                       ORDER BY nmatch DESC, doc_id) AS crk
-                   FROM hits) WHERE crk <= $CandCap),
-        sc AS (SELECT c.query_id, c.doc_id,
-                 round(CAST(sum(
-                   CAST(round(ln(1.0 + (CAST(s.n AS BIGINT) - q.df + 0.5) / (q.df + 0.5))
-                     * (f.tf * ${K1 + 1.0})
-                     / (f.tf + $K1 * (${1.0 - B} + $B * (CAST(l.len AS DOUBLE) / s.avglen))),
-                     6) AS DECIMAL(20, 6))) AS DOUBLE), 6) AS score
-               FROM cand c
-               JOIN qd q ON q.query_id = c.query_id
-               JOIN tf f ON f.doc_id = c.doc_id AND f.term = q.term
-               JOIN dl l ON l.doc_id = c.doc_id, stats s
-               GROUP BY 1, 2),
-        top AS (SELECT query_id AS doc_id, doc_id AS top_match, score AS top_score
-                FROM (SELECT query_id, doc_id, score,
-                        row_number() OVER (PARTITION BY query_id
-                          ORDER BY score DESC, doc_id) AS rk
-                      FROM sc) WHERE rk = 1)
-        SELECT a.doc_id,
-          coalesce(t.top_match, CAST(-1 AS BIGINT)) AS top_match,
-          coalesce(t.top_score, 0.0) AS top_score,
-          coalesce(t.top_score, 0.0) <= $Bm25AdmitMax AS admit
-        FROM arr a LEFT JOIN top t ON a.doc_id = t.doc_id
-        ORDER BY a.doc_id"""
-  }
+        ${evolvingScreenBlock("", "corpus", "arr")}
+        SELECT * FROM out ORDER BY doc_id"""
 }

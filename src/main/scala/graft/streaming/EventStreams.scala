@@ -59,8 +59,7 @@ object EventStreams {
     val marker = base.resolve("_staged")
     if (Files.exists(marker)) return base.toString
     if (Files.exists(base)) {
-      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+      graft.Fs.deleteRec(base)
     }
     Files.createDirectories(base)
     val ev = Tables.events(s, d)
@@ -83,16 +82,14 @@ object EventStreams {
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       // An event-time gap spanning a whole range leaves it empty (no part
       // file) — skip it rather than throw (same guard as DocStreams).
-      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
-        .findFirst()
-      if (part.isPresent) {
+      val part = graft.Fs.firstWithSuffix(tmp, ".parquet")
+      if (part.isDefined) {
         val dst = base.resolve(f"chunk_$i%02d.parquet")
-        Files.move(part.get(), dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(part.get, dst, StandardCopyOption.REPLACE_EXISTING)
         Files.setLastModifiedTime(dst,
           attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
       }
-      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+      graft.Fs.deleteRec(tmp)
     }
     ev.unpersist()
     Files.createFile(marker)
@@ -664,8 +661,7 @@ object EventStreams {
     val dir = stageEvents(s, d)
     val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_cdc")
     if (Files.exists(base)) {
-      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+      graft.Fs.deleteRec(base)
     }
     Files.createDirectories(base)
     @volatile var latest = -1L
@@ -766,8 +762,7 @@ object EventStreams {
     stats.count() // materialize the baseline once, before the stream starts
     val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_anomaly")
     if (Files.exists(base)) {
-      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+      graft.Fs.deleteRec(base)
     }
     Files.createDirectories(base)
     @volatile var latest = -1L

@@ -64,8 +64,7 @@ object VecStreams {
     val marker = base.resolve("_staged")
     if (Files.exists(marker)) return base.toString
     if (Files.exists(base)) {
-      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+      graft.Fs.deleteRec(base)
     }
     Files.createDirectories(base)
     val vecs = Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0)
@@ -86,16 +85,14 @@ object VecStreams {
       vecs.filter(col("vec_id") >= lo + i * span && col("vec_id") < lo + (i + 1) * span)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       // Sparse vec_id spaces can leave a range empty — skip, don't throw.
-      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
-        .findFirst()
-      if (part.isPresent) {
+      val part = graft.Fs.firstWithSuffix(tmp, ".parquet")
+      if (part.isDefined) {
         val dst = base.resolve(f"chunk_$i%02d.parquet")
-        Files.move(part.get(), dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(part.get, dst, StandardCopyOption.REPLACE_EXISTING)
         Files.setLastModifiedTime(dst,
           attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
       }
-      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+      graft.Fs.deleteRec(tmp)
     }
     vecs.unpersist()
     Files.createFile(marker)
@@ -351,8 +348,7 @@ object VecStreams {
 
     val outBase = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_vec_ingest")
     if (Files.exists(outBase)) {
-      Files.walk(outBase).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+      graft.Fs.deleteRec(outBase)
     }
     Files.createDirectories(outBase)
     @volatile var latest = -1L
@@ -375,8 +371,7 @@ object VecStreams {
       val qs = q.start()
       try qs.processAllAvailable() finally qs.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", saved)
-    val nChunks = Files.list(Paths.get(dir))
-      .filter(p => p.toString.endsWith(".parquet")).count()
+    val nChunks = graft.Fs.countWithSuffix(Paths.get(dir), ".parquet")
     require(latest >= 1 || nChunks <= 2,
       s"vec ingest ran ${latest + 1} micro-batches over $nChunks chunks — " +
         "need >= 2 batches for the screening to actually be incremental")
