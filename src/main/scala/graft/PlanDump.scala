@@ -195,7 +195,18 @@ object PlanDump {
       "the frontier against the once-bucketed cached edges, distincts, " +
       "and anti-joins the visited set — the frontier dedup the recursive " +
       "CTE cannot express, which is what lets this twin run uncapped to " +
-      "the fixpoint."))
+      "the fixpoint."),
+    "q_triangle_count" -> ("Degree-ordered triangle closure. The edge " +
+      "builder (fact scan -> cached (part, supplier) distinct projection " +
+      "-> capped pairing self-join) runs EAGERLY inside the " +
+      "localCheckpoint, so like the BFS twins this plan shows only the " +
+      "downstream stages: expect every edge reference as a Scan " +
+      "ExistingRDD (never a parquet re-scan), the degree aggregate and " +
+      "closure as broadcast joins over node-scale tables, and NO " +
+      "lineitem scan anywhere — the round-11 cache fix additionally " +
+      "makes the builder itself scan the fact ONCE (the projection is " +
+      "an InMemoryTableScan at its three references; A/B in " +
+      "SCALING.md), the term that grows with the fact at 100 TB."))
 
   /** Streaming queries return a sink read whose plan says nothing; what
     * scales (or doesn't) is the per-micro-batch KERNEL. These dump the same
