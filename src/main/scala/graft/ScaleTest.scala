@@ -88,7 +88,8 @@ object ScaleTest {
     if (args.headOption.contains("docs"))
       return docsMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
     if (args.headOption.contains("streams")) return streamsMain()
-    if (args.headOption.contains("vecs")) return vecsMain()
+    if (args.headOption.contains("vecs"))
+      return vecsMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
     if (args.headOption.contains("events"))
       return eventsMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
     val copies = if (args.nonEmpty) args(0).toInt else 10
@@ -390,7 +391,7 @@ object ScaleTest {
     * neighbors. Reported per scale: annIvf/annLsh/brute wall time AND the
     * (nprobe, scan fraction, recall@10) ladder including the shipped
     * probesFor point at each scale. */
-  private def vecsMain(): Unit = {
+  private def vecsMain(copies: Int): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -403,11 +404,14 @@ object ScaleTest {
     spark.sparkContext.setLogLevel("WARN")
     val src = "/root/testdata/sf0.1"
     // Parameter-stamped path (copies, id stride) — same rebuild discipline
-    // as the other modes.
+    // as the other modes; `runMain graft.ScaleTest vecs 30` runs the 30x
+    // ladder (300k vectors — where a super-linear candidate generator or a
+    // snapshot-layout term would visibly bend, per the round-10 lesson
+    // that 10x hid both decontam scale bugs).
     val dst =
-      stagedDir("graft_vecs10x_c10_v1000000_", src)
+      stagedDir(s"graft_vecs${copies}x_c${copies}_v1000000_", src)
     if (!new java.io.File(s"$dst/_built").exists()) {
-      buildVecs(spark, src, dst, 10)
+      buildVecs(spark, src, dst, copies)
       new java.io.File(s"$dst/_built").createNewFile()
     }
     val subset = Seq("q_ann_topk", "q_ann_lsh", "q_ann_ivf",
@@ -425,7 +429,7 @@ object ScaleTest {
     time(src) // warm code paths
     val small = time(src)
     val big = time(dst)
-    println("query,vecs1x_s,vecs10x_s,ratio")
+    println(s"query,vecs1x_s,vecs${copies}x_s,ratio")
     subset.foreach { q =>
       println(f"$q,${small(q)}%.2f,${big(q)}%.2f,${big(q) / small(q)}%.1f")
     }
@@ -455,11 +459,18 @@ object ScaleTest {
       }
     }
     // Each sweep includes the SHIPPED probesFor budget at that scale
-    // (14 of 45 cells at 1x, 42 of 141 at 10x) so the config in the
-    // library is the config the ladder measures.
+    // (14 of 45 cells at 1x; 42 of 141 at 10x, and proportionally at
+    // other copy counts) so the config in the library is the config the
+    // ladder measures. The Nx sweep is generated around the shipped
+    // budget (2/7 .. 12/7 of it — at 10x that reproduces the historical
+    // {12,24,36,42,48,72} sweep exactly).
     println("scale,k_cells,nprobe,scan_fraction,ivf_recall_at_10")
     ladder("vecs1x", src, Seq(6, 12, 14, 18, 24))
-    ladder("vecs10x", dst, Seq(12, 24, 36, 42, 48, 72))
+    val nBig = spark.read.parquet(s"$dst/embeddings.parquet").count()
+    val npBig = graft.llm.Similarity.probesFor(
+      graft.llm.Similarity.centroidsFor(nBig))
+    ladder(s"vecs${copies}x", dst,
+      Seq(2, 4, 6, 7, 8, 12).map(m => (npBig * m) / 7).distinct.filter(_ >= 1))
     // CLUSTERED ladder — the uniform corpus above is the adversarial case
     // that sized the shipped ~30% budget; real embeddings cluster. These
     // mixture-of-Gaussians corpora (unit-norm centers, per-dim noise sigma

@@ -220,8 +220,15 @@ object Similarity {
   // random data a FIXED nprobe (a falling fraction of a growing k) decays
   // recall (0.78 -> 0.44 at 10x), while a fixed fraction holds it. So the
   // shipped probe budget scales WITH k — [[probesFor]] keeps ~30% of cells
-  // probed (>= the 0.80-recall line at both measured scales, margin
-  // included), with [[NumProbes]] as the small-corpus floor. Real clustered
+  // probed (>= the 0.80-recall line at 1x and 10x, margin included), with
+  // [[NumProbes]] as the small-corpus floor. The round-11 30x run (N=60000,
+  // k=245) bounds that claim: uniform-corpus recall at the constant 30%
+  // fraction decays 0.80 -> 0.82 -> 0.68 by 30x — concentration of
+  // measure shrinks the true neighbors' cosine margins as N grows, so on
+  // genuinely structureless data the fraction itself must grow with N
+  // (toward brute force, which is what uniform data deserves); the 30%
+  // budget is an adversarial-case floor to ~20k vectors, not a scale-free
+  // guarantee (full table + reading in SCALING.md). Real clustered
   // embeddings concentrate neighbors in few cells — MEASURED, not assumed:
   // ScaleTest's clustered ladder (mixture-of-Gaussians via
   // buildClusteredVecs, 40x50 and 400x50, same integer-exact training)
