@@ -44,11 +44,19 @@ object Profile {
               // the first application caller below it would credit an idle
               // Netty/shuffle event loop with ~100 samples/s and let it
               // outrank the real CPU owner.
+              // contains-matching, NOT startsWith: StackTraceElement
+              // .toString prefixes frames with the classloader/module
+              // ("app//io.netty...", "java.base@17.0.20/java.net..."),
+              // which silently defeated the original prefix guards — the
+              // round-11 profile of a map-only query showed an idle epoll
+              // waiter as the "hottest frame" with 98% of samples.
               val frames = st.iterator.map(_.toString).toSeq
               val idle = frames.headOption.exists(f =>
-                f.startsWith("java.net") || f.startsWith("sun.nio") ||
-                  f.startsWith("java.io.FileDescriptor") ||
-                  f.startsWith("jdk.internal.misc.Unsafe.park"))
+                f.contains("java.net.") || f.contains("sun.nio") ||
+                  f.contains("java.io.FileDescriptor") ||
+                  f.contains("Unsafe.park") || f.contains("epollWait") ||
+                  f.contains("Reference.waitForReferencePendingList") ||
+                  f.contains("Object.wait"))
               val top = if (idle) None else frames.headOption
               top.foreach(f => counts.merge(f, 1, (a, b) => a + b))
               // Optional caller attribution: when the top frame matches

@@ -188,6 +188,59 @@ case class LongDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fixed-point quantization of an array<float> column — sarr[i] =
+  * floor((double) arr[i] * scale + 0.5) as bigint — the O(N) scaling pass
+  * that feeds every integer-exact vector kernel above (IVF train/probe,
+  * JL projection, int8 rescore norms). Replaces the interpreted
+  * `transform(embedding, x -> ...)` lambda, which the round-11 sampling
+  * profile showed paying an ArrayTransform.nullSafeEval interpretation
+  * per ELEMENT (~30% of a pure-map query's CPU at 30x vectors).
+  * Arithmetic is token-identical to the lambda it replaces: widen float
+  * to double, multiply by the LITERAL scale, floor, narrow — per-row
+  * scales (the int8 q8 path) stay on the lambda because x*c/m and
+  * x*(c/m) round differently and that path's oracle pins the former.
+  * NULL on NULL input; elements are non-null by the embeddings schema. */
+case class FloatQuantize(child: Expression, scale: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "float_quantize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(a.getFloat(i).toDouble * scale + 0.5).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+        final int $n = $a.numElements();
+        final long[] $out = new long[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          $out[$i] = (long) java.lang.Math.floor(
+            (double) $a.getFloat($i) * ${scale}D + 0.5D);
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FloatQuantize =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column-API entry point: cosine similarity of two array<float> columns. */
   def floatCosine(a: Column, b: Column): Column =
@@ -203,4 +256,9 @@ object VectorFunctions {
   def longDot(a: Column, b: Column): Column =
     GraftColumnBridge.toColumn(LongDot(
       GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
+
+  /** Fixed-point quantization of an array<float> column by a literal scale. */
+  def floatQuantize(a: Column, scale: Double): Column =
+    GraftColumnBridge.toColumn(FloatQuantize(
+      GraftColumnBridge.toExpression(a), scale))
 }

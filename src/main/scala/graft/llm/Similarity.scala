@@ -261,11 +261,15 @@ object Similarity {
 
   /** (vec_id, sarr): embedding scaled to exact integers. floor(x*S + 0.5)
     * instead of round(): round's tie-breaking differs across engines. */
+  // Codegen'd kernel (graft.functions.FloatQuantize) — value-identical to
+  // transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5D)
+  // AS BIGINT)) (FloatCosineSpec pins the equality), without the
+  // per-element ArrayTransform lambda interpretation the round-11 30x
+  // profile surfaced on this O(N) pass.
   private[graft] def scaledOf(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), expr(
-      s"""transform(embedding,
-            x -> CAST(floor(CAST(x AS DOUBLE) * ${ScaleQ}.0D + 0.5D) AS BIGINT))""")
-      .as("sarr"))
+    emb.select(col("vec_id"),
+      graft.functions.VectorFunctions
+        .floatQuantize(col("embedding"), ScaleQ.toDouble).as("sarr"))
 
   private[graft] def scaledEmb(s: SparkSession, d: String): DataFrame =
     scaledOf(Tables.embeddings(s, d))

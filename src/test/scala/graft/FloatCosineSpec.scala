@@ -90,4 +90,27 @@ class FloatCosineSpec extends SparkSpec {
     val nn = Seq((Some(Seq(1L, 2L)), Option.empty[Seq[Long]])).toDF("a", "b")
     assert(nn.select(longSqDist(col("a"), col("b"))).head().isNullAt(0))
   }
+
+  test("FloatQuantize equals the transform lambda exactly — live corpus + crafted") {
+    import graft.functions.VectorFunctions.floatQuantize
+    val lambda = expr(
+      "transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))")
+    // Live embeddings (the exact frame scaledOf feeds the ANN family)...
+    val live = Tables.embeddings(spark, Sf)
+      .select(col("embedding").as("v"))
+    // ...plus crafted rows: negatives (floor vs truncation differs),
+    // exact .5 boundaries in the scaled domain, zeros, and an empty array.
+    val crafted = Seq(
+      Seq(-1.5f, -0.0000005f, 0.0000005f, 0f, 1.0000004f),
+      Seq(0.9999995f, -0.9999995f, 123.456f, -123.456f),
+      Seq.empty[Float]).toDF("v")
+    Seq(live, crafted).foreach { df =>
+      val bad = df
+        .filter(!(floatQuantize(col("v"), 1000000.0) <=> lambda)).count()
+      assert(bad == 0, s"$bad rows diverged from the transform lambda")
+    }
+    // Null in -> null out.
+    val nn = Seq(Option.empty[Seq[Float]]).toDF("v")
+    assert(nn.select(floatQuantize(col("v"), 1000000.0)).head().isNullAt(0))
+  }
 }
