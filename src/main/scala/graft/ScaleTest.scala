@@ -127,11 +127,21 @@ object ScaleTest {
       "q_reach_bfs", "q_reach_bfs_dist", "q_variant_extract", "q_sql_udf",
       "q_collation")
 
+    // Drain builder caches between queries like every other family's
+    // ladder (and Bench) does: without it, cached projections from the
+    // earlier queries (equidepth's bucketed orders, pagerank's edge
+    // persists, triangle's co-supply projection — multi-million-row at
+    // 30x) pile up across the 28-query big pass and the later rows time
+    // GC/eviction churn instead of their plans. Measured at 30x:
+    // q_asof_native read 9.61 s in the polluted JVM vs 0.64 s isolated,
+    // q_table_stats 10.19 vs 1.16, q_window_running 19.63 vs 5.67.
     def time(dir: String): Map[String, Double] =
       subset.map { name =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
+        TrackedCaches.release()
+        spark.catalog.clearCache()
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
 
