@@ -36,6 +36,7 @@ object SparkEntry {
     "q_csv_roundtrip" -> (Relational.csvRoundtrip _),
     "q_log_parse" -> (Relational.logParse _),
     "q_orc_roundtrip" -> (Relational.orcRoundtrip _),
+    "q_xml_roundtrip" -> (Relational.xmlRoundtrip _),
     "q_zorder_layout" -> (graft.ops.Layout.zOrderLayout _),
     "q_dpp_join" -> (graft.ops.Layout.dppJoin _),
     "q_partitioned_parquet" -> (Relational.partitionedParquetRoundtrip _),
@@ -298,6 +299,13 @@ object SparkEntry {
     "q_orc_roundtrip" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+         max(o_orderdate) AS last_order
+         FROM orders GROUP BY o_orderstatus, o_orderpriority
+         ORDER BY o_orderstatus, o_orderpriority""",
+    "q_xml_roundtrip" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         count(DISTINCT o_custkey) AS n_cust,
          CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
          max(o_orderdate) AS last_order
          FROM orders GROUP BY o_orderstatus, o_orderpriority

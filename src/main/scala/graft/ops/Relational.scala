@@ -286,6 +286,39 @@ object Relational {
     * aggregate over the ORIGINAL parquet, so a hash match proves the
     * round-trip preserved every column feeding the aggregate — keys,
     * prices (as exact cents), and timestamps. */
+  /** XML sink + schema-on-read — the semi-structured leg of the format
+    * family (CSV/JSON/parquet/ORC/text already covered). Orders are
+    * written through Spark 4's native XML source with the status/priority
+    * pair NESTED under a `<meta>` element (the shape XML exists for),
+    * then read back with an explicit nested schema — exercising typed
+    * extraction of longs, doubles and timestamps from element text plus
+    * struct traversal. The oracle aggregates the ORIGINAL parquet, so a
+    * hash match proves the text round-trip lost nothing: keys, exact
+    * cents, distinct customers, and the max timestamp all survive. */
+  def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_xml_orders"
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"),
+        struct(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority")).as("meta"))
+      .write.mode("overwrite").option("rowTag", "order").format("xml").save(out)
+    val sch = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("meta", StructType(Seq(
+        StructField("status", StringType), StructField("priority", StringType))))))
+    s.read.option("rowTag", "order").schema(sch).format("xml").load(out)
+      .groupBy(col("meta.status").as("o_orderstatus"),
+        col("meta.priority").as("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        sum(round(col("o_totalprice") * 100, 0).cast(LongType)).as("cents"),
+        max("o_orderdate").as("last_order"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
   def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_orders"
     Tables.orders(s, d).write.mode("overwrite").orc(out)
