@@ -86,7 +86,12 @@ object ScaleTest {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("docs"))
-      return docsMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
+      // Optional third arg: comma-separated query names — a targeted
+      // subset for deep-scale probes (e.g. `docs 100 q_ngram_novelty,...`
+      // runs only the named rows; the evolving decontam gate is
+      // broadcast-regime-only and must be left out of >64 MB corpora).
+      return docsMain(args.drop(1).headOption.map(_.toInt).getOrElse(10),
+        args.drop(2).headOption.map(_.split(',').toSet))
     if (args.headOption.contains("streams")) return streamsMain()
     if (args.headOption.contains("vecs"))
       return vecsMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
@@ -159,7 +164,7 @@ object ScaleTest {
     * default; `runMain graft.ScaleTest docs 30` runs the 30x ladder —
     * 150k docs, still far under this host's memory, and the point where a
     * super-linear candidate generator would visibly bend). */
-  private def docsMain(copies: Int): Unit = {
+  private def docsMain(copies: Int, only: Option[Set[String]] = None): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -200,6 +205,8 @@ object ScaleTest {
       // index is driver-maintained and appended per batch — the Nx pair
       // prices the rebuild-vs-incremental difference directly.
       "q_stream_decontam", "q_stream_decontam_evolving")
+      .filter(q => only.forall(_.contains(q)))
+    require(subset.nonEmpty, "query filter matched nothing in the docs subset")
     def time(dir: String): Map[String, Double] =
       subset.map { name =>
         val t0 = System.nanoTime()

@@ -228,17 +228,191 @@ object Retrieval {
   private[graft] def screenCandidates(ix: Bm25Index, queryTerms: DataFrame): DataFrame =
     screenCandidatesQd(ix, subCeilingQueryDf(ix, queryTerms))
 
-  /** [[screenCandidates]] over a precomputed [[subCeilingQueryDf]]. */
+  /** Wave-1 candidate oversupply factor: the doc-id prefix probed first is
+    * sized to hold an ESTIMATED WaveCandFactor * [[CandCap]] all-rare-term
+    * docs, so estimation error (the independence assumption, the
+    * posting-weighted percentile, non-uniform doc-id layouts) rarely
+    * forces the exact fallback. Correctness never depends on it. */
+  val WaveCandFactor = 8.0
+  /** An arrival is wave-prunable only when its estimated prefix is under
+    * this fraction of the corpus — below that the two-wave bookkeeping
+    * cannot pay for itself and the plain scatter runs. */
+  val WaveMaxFrac = 0.25
+
+  /** A rare-list term above this df fraction is COMMON: its posting list
+    * is corpus-scale and must never be scattered per arrival. Commons are
+    * folded back into the match count through the per-doc bitmask join
+    * below. Zipf head terms are few by definition, so the <= 63 distinct
+    * commons a batch's bitmask can carry is generous; a batch that still
+    * overflows it falls back to the exact scatter. */
+  val SelDfFrac = 0.05
+  /** The per-doc common-term bitmask is hash-broadcast when its row bound
+    * (min(corpus, sum of common dfs)) fits this; above it the mask joins
+    * doc-keyed as an ordinary shuffle join — the 1000-executor shape. */
+  val DocMaskBroadcastMaxRows = 4000000L
+
+  /** [[screenCandidates]] over a precomputed [[subCeilingQueryDf]].
+    *
+    * The naive stage-1 scatter is arrivals x sum-of-rare-posting-lists.
+    * The 100x docs ladder killed it twice over: on the staged corpus an
+    * arrival's 4 lowest-df terms usually include 1-2 SUB-CEILING-BUT-
+    * COMMON terms (df ~60% of corpus), so the scatter was ~9 B rows and —
+    * worse — the (query, doc) match-count hash aggregate held ~15 B
+    * groups per micro-batch (OOM at 16 g, 65+ min at 48 g, spill-bound in
+    * the thread profile). This is the distributed analogue of the
+    * broadcast merge's early exit ([[screenOneLocal]]), split by TERM
+    * CLASS instead of walked by doc_id:
+    *
+    *   - SELECTIVE rare terms (df <= [[SelDfFrac]] n) scatter as before —
+    *     that stream is bounded by the data's own selectivity.
+    *   - COMMON rare terms never scatter. The batch's distinct commons
+    *     (<= 63, else exact fallback) get bit indexes; one pass over
+    *     their postings builds a per-doc bitmask, and each candidate
+    *     recovers its common matches as
+    *     `nmatch = nsel + bit_count(dmask & qmask)` — a codegen integer
+    *     op behind a (size-gated broadcast) doc-keyed join, never a
+    *     per-arrival walk of a corpus-scale posting list.
+    *   - An arrival with >= 1 selective term is PROVEN exact when its
+    *     top-[[CandCap]] is full with min nmatch >= ncom + 1: every doc
+    *     outside its candidate stream shares no selective term, so its
+    *     nmatch <= ncom loses strictly to every kept row. With ncom == 0
+    *     the stream IS the arrival's whole match universe and is exact
+    *     even when not full.
+    *   - An arrival whose rare terms are ALL common takes the doc-id
+    *     PREFIX wave: probe postings with doc_id <= cutoff, the prefix
+    *     sized (per-arrival density estimate p = prod(df_i/n), one
+    *     percentile_approx over the cached postings) to hold
+    *     [[WaveCandFactor]] x CandCap all-k docs; exact iff the in-prefix
+    *     top-CandCap is full with every row at nmatch == k — the merge's
+    *     early-exit argument verbatim (counts cap at k; ties break on the
+    *     ascending doc_id the prefix already bounds). Arrivals whose
+    *     estimated prefix exceeds [[WaveMaxFrac]] of the corpus skip
+    *     straight to the fallback.
+    *   - Anything unproven re-runs the original full scatter, so the
+    *     estimates only ever cost performance, never exactness
+    *     (RetrievalSpec A/Bs pruned-vs-flat row-for-row across all three
+    *     routes; `graft.retrieval.wavePrune=off` forces the flat plan).
+    *
+    * On a pure-Zipf batch (no common rare terms) the one extra driver
+    * aggregate short-circuits to the plain scatter — the cheap exact plan
+    * there, the MaxScore-router argument. */
   private[graft] def screenCandidatesQd(ix: Bm25Index, qd: DataFrame): DataFrame = {
+    import qd.sparkSession.implicits._
     val wr = Window.partitionBy("query_id").orderBy(col("df"), col("term"))
     val rare = qd.withColumn("rrk", row_number().over(wr))
-      .filter(col("rrk") <= RareTerms).select("query_id", "term")
-    val hits = ix.tf.select("doc_id", "term").join(broadcast(rare), "term")
+      .filter(col("rrk") <= RareTerms).select("query_id", "term", "df")
+    def scatter(rareSel: DataFrame): DataFrame = {
+      val hits = ix.tf.select("doc_id", "term")
+        .join(broadcast(rareSel.select("query_id", "term")), "term")
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("nmatch"))
+      graft.plans.TopKPerKey.topKPerKey(hits, CandCap, Seq("query_id"),
+        Seq("nmatch" -> false, "doc_id" -> true))
+    }
+    val sess = qd.sparkSession
+    // Routing breadcrumb (observability for RetrievalSpec's engagement
+    // assert — the MaxScore plan does the same through its returned stats).
+    def note(v: String): Unit = sess.conf.set("graft.retrieval.waveStats", v)
+    def flat(reason: String): DataFrame = {
+      note(reason)
+      scatter(rare).select("query_id", "doc_id")
+    }
+    val on = sess.conf
+      .getOption("graft.retrieval.wavePrune").forall(_ != "off")
+    if (!on) return flat("forced-off")
+    val comCeil = SelDfFrac * ix.n
+    val commons: Array[(String, Long)] = rare
+      .filter(col("df") > lit(comCeil))
+      .select("term", "df").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    if (commons.isEmpty) return flat("commons=0")
+    if (commons.length > 63) return flat(s"commons=${commons.length},overflow")
+    val comDF = broadcast(
+      commons.zipWithIndex.map { case ((t, _), i) => (t, i) }.toSeq
+        .toDF("term", "bit"))
+    val bitCol = expr("shiftleft(CAST(1 AS BIGINT), bit)")
+    val maskRows = math.min(ix.n, commons.map(_._2).sum)
+    val docMask0 = ix.tf.select("doc_id", "term").join(comDF, "term")
+      .groupBy("doc_id").agg(sum(bitCol).as("dmask"))
+    val docMask = if (maskRows <= DocMaskBroadcastMaxRows) broadcast(docMask0)
+      else docMask0
+    val rareB = rare.join(comDF, Seq("term"), "left")
+    val qstats = rareB.groupBy("query_id").agg(
+      count(lit(1)).as("k"),
+      sum(when(col("bit").isNotNull, 1L).otherwise(0L)).as("ncom"),
+      coalesce(sum(when(col("bit").isNotNull, bitCol)), lit(0L)).as("qmask"),
+      sum(log(col("df").cast("double"))).as("sld"))
+      .withColumn("nsel", col("k") - col("ncom"))
+    // ---- class A: >= 1 selective term — scatter selectives only, fold
+    // commons back through the bitmask.
+    val hitsA = ix.tf.select("doc_id", "term")
+      .join(broadcast(rareB.filter(col("bit").isNull)
+        .select("query_id", "term")), "term")
       .filter(col("doc_id") =!= col("query_id"))
-      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("nmatch"))
-    graft.plans.TopKPerKey.topKPerKey(hits, CandCap, Seq("query_id"),
-      Seq("nmatch" -> false, "doc_id" -> true))
-      .select("query_id", "doc_id")
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("nsel_m"))
+    val candA = hitsA.join(docMask, Seq("doc_id"), "left")
+      .join(broadcast(qstats.select("query_id", "qmask", "ncom")), "query_id")
+      .withColumn("nmatch", col("nsel_m") + expr(
+        "CAST(bit_count(coalesce(dmask, CAST(0 AS BIGINT)) & qmask) AS BIGINT)"))
+      .select("query_id", "doc_id", "nmatch")
+    val topA = graft.TrackedCaches.track(
+      graft.plans.TopKPerKey.topKPerKey(candA, CandCap, Seq("query_id"),
+        Seq("nmatch" -> false, "doc_id" -> true)).cache())
+    val satA = qstats.filter(col("nsel") >= 1L)
+      .join(topA.groupBy("query_id")
+        .agg(count(lit(1)).as("nc"), min("nmatch").as("mn")),
+        Seq("query_id"), "left")
+      .filter(col("ncom") === 0L ||
+        (col("nc") === lit(CandCap.toLong) && col("mn") >= col("ncom") + 1L))
+      .select("query_id")
+    // ---- class B: all rare terms common — the doc-id prefix wave.
+    // log R_q = log(WaveCandFactor * CandCap) - sum(log(df_i/n)); prunable
+    // iff R_q <= WaveMaxFrac * n. exp() only after the prunable filter, so
+    // a tiny p cannot overflow.
+    val qB = qstats.filter(col("nsel") === 0L)
+      .withColumn("logr", lit(math.log(WaveCandFactor * CandCap)) -
+        (col("sld") - col("k") * log(lit(ix.n.toDouble))))
+      .withColumn("prunable", col("logr") <= lit(math.log(WaveMaxFrac * ix.n)))
+    val rstat = qB.filter(col("prunable"))
+      .agg(max(exp(col("logr"))).as("rmax"), count(lit(1)).as("np")).head()
+    val waveB: Option[(DataFrame, DataFrame)] =
+      if (rstat.getLong(1) == 0L) None
+      else {
+        // Posting-weighted percentile — biased toward long docs, which
+        // only shifts the prefix a little; WaveCandFactor and the
+        // fallback absorb it.
+        val frac = math.min(1.0, rstat.getDouble(0) / ix.n)
+        val cutoff = ix.tf.agg(
+          expr(s"percentile_approx(doc_id, $frac, 1000)")).head().getLong(0)
+        note(s"commons=${commons.length},prunableB=${rstat.getLong(1)},cutoff=$cutoff")
+        val rareP = rare.join(broadcast(qB.filter(col("prunable"))
+          .select("query_id")), "query_id")
+        val hitsP = ix.tf.select("doc_id", "term")
+          .filter(col("doc_id") <= lit(cutoff))
+          .join(broadcast(rareP.select("query_id", "term")), "term")
+          .filter(col("doc_id") =!= col("query_id"))
+          .groupBy("query_id", "doc_id").agg(count(lit(1)).as("nmatch"))
+        val topB = graft.TrackedCaches.track(
+          graft.plans.TopKPerKey.topKPerKey(hitsP, CandCap, Seq("query_id"),
+            Seq("nmatch" -> false, "doc_id" -> true)).cache())
+        val satB = topB.groupBy("query_id")
+          .agg(count(lit(1)).as("nc"), min("nmatch").as("mn"))
+          .join(broadcast(qB.select("query_id", "k")), "query_id")
+          .filter(col("nc") === lit(CandCap.toLong) && col("mn") === col("k"))
+          .select("query_id")
+        Some((topB, satB))
+      }
+    if (waveB.isEmpty)
+      note(s"commons=${commons.length},prunableB=0")
+    val sat = waveB.map { case (_, satB) => satA.unionByName(satB) }
+      .getOrElse(satA)
+    val outA = topA.join(broadcast(satA), "query_id")
+    val out = waveB match {
+      case Some((topB, satB)) => outA.unionByName(topB.join(broadcast(satB), "query_id"))
+      case None => outA
+    }
+    val rareF = rare.join(broadcast(sat), Seq("query_id"), "left_anti")
+    out.unionByName(scatter(rareF)).select("query_id", "doc_id")
   }
 
   /** Stage 2: full BM25 of explicit (query, doc) pairs — identical VALUES

@@ -336,6 +336,60 @@ class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     graft.TrackedCaches.release()
   }
 
+  test("class-split screening candidates equal the full scatter exactly") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // One corpus, all three pruned routes plus the fallback, checked
+    // row-for-row against the flat scatter. 16384 docs over a 30-token
+    // pool, each token in ~80% of docs — far above SelDfFrac, so pool
+    // terms are COMMON. Three query populations:
+    //   - docs 1000..1063: plain pool docs — every rare term common →
+    //     class B, and the all-k density p ~ (0.8)^4 sizes the doc-id
+    //     prefix at ~2k docs, well under WaveMaxFrac*n = 4k → the prefix
+    //     wave engages and satisfies (CandCap all-k docs in prefix).
+    //   - docs 2..63: members of a 300-doc cluster sharing the SELECTIVE
+    //     token "sel0" (df=300 < 5% of n) → class A: only sel0's posting
+    //     list scatters; the 3 common rare terms fold back through the
+    //     bitmask; ~0.8^3 * 299 ~ 150 >= CandCap cluster docs match all 4
+    //     → proven exact (min kept nmatch = 4 >= ncom+1 = 4).
+    //   - docs 0,1: share the df=2 token "rarepair" → class A with 1
+    //     candidate — cannot fill CandCap → MUST take the exact fallback.
+    // "base" is in every doc (df = n, above the 85% ceiling): guarantees
+    // non-empty text without entering the screen.
+    val vocab = (0 until 30).map(i => s"w$i")
+    val docs = (0L until 16384L).map { d =>
+      val toks = vocab.filter(t => ((d * 31 + t.drop(1).toInt * 17) % 5) != 0L)
+      val extra = if (d < 2) " rarepair"
+        else if (d >= 2 && d < 302) " sel0" else ""
+      (d, ("base " + toks.mkString(" ") + extra).trim)
+    }.toDF("doc_id", "text")
+    val ix = Retrieval.buildIndex(docs, cache = true)
+    val qt = ix.tf
+      .filter(col("doc_id") < 64 ||
+        (col("doc_id") >= 1000 && col("doc_id") < 1064))
+      .select(col("doc_id").as("query_id"), col("term"))
+    def cands(): Set[(Long, Long)] =
+      Retrieval.screenCandidates(ix, qt).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val waved = cands()
+    val stats = spark.conf.get("graft.retrieval.waveStats")
+    spark.conf.set("graft.retrieval.wavePrune", "off")
+    val flat =
+      try cands()
+      finally spark.conf.unset("graft.retrieval.wavePrune")
+    assert(waved == flat, "class-split candidates diverged from the scatter")
+    // Engagement evidence: the commons bitmask was built (the pool dfs
+    // tie at two values, so lexicographic tie-breaks concentrate every
+    // arrival's rare-4 onto a handful of distinct pool terms) and the
+    // class-B prefix wave pruned the 64 pure-pool arrivals.
+    val nc = "commons=(\\d+)".r.findFirstMatchIn(stats).map(_.group(1).toInt)
+    assert(nc.exists(c => c >= 4 && c <= 30), s"expected pool commons, got $stats")
+    val np = "prunableB=(\\d+)".r.findFirstMatchIn(stats).map(_.group(1).toInt)
+    assert(np.exists(n => n >= 32 && n <= 64),
+      s"expected the 64 pure-pool arrivals to wave-prune, got $stats")
+    graft.TrackedCaches.release()
+  }
+
   test("postings join broadcasts the query side and never goes quadratic") {
     val df = Retrieval.bm25TopK(spark, Sf)
     df.collect()
