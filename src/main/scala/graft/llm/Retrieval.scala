@@ -251,6 +251,29 @@ object Retrieval {
     * doc-keyed as an ordinary shuffle join — the 1000-executor shape. */
   val DocMaskBroadcastMaxRows = 4000000L
 
+  /** Broadcast slice for the class-A candidate kernel: the BATCH's
+    * selective rare terms' posting lists (each bounded by [[SelDfFrac]] n
+    * rows — that is what selective MEANS) plus the per-doc common-term
+    * bitmask, laid out as flat sorted primitive arrays (the snapshot
+    * layout rule: derived lookup structures are @transient and rebuild
+    * lazily after deserialization). */
+  private[graft] class SelSlice(
+      val terms: Array[String],
+      val postings: Array[Array[Long]], // ascending doc_id per term
+      val maskDocs: Array[Long],        // ascending doc_id
+      val masks: Array[Long]) extends Serializable {
+    @transient lazy val termIdx: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](terms.length * 2)
+      var i = 0
+      while (i < terms.length) { m.put(terms(i), i); i += 1 }
+      m
+    }
+    def maskOf(doc: Long): Long = {
+      val i = java.util.Arrays.binarySearch(maskDocs, doc)
+      if (i >= 0) masks(i) else 0L
+    }
+  }
+
   /** [[screenCandidates]] over a precomputed [[subCeilingQueryDf]].
     *
     * The naive stage-1 scatter is arrivals x sum-of-rare-posting-lists.
@@ -264,7 +287,14 @@ object Retrieval {
     * CLASS instead of walked by doc_id:
     *
     *   - SELECTIVE rare terms (df <= [[SelDfFrac]] n) scatter as before —
-    *     that stream is bounded by the data's own selectivity.
+    *     that stream is bounded by the data's own selectivity. When the
+    *     batch's whole selective posting slice fits the broadcast budget
+    *     (a [[SelSlice]] of flat sorted arrays), the scatter+aggregate is
+    *     replaced outright by the per-arrival merge kernel of
+    *     [[screenOneLocal]] run under `flatMapGroups` — same walk, flat
+    *     arrays instead of a shuffle aggregate (the 100x probe measured
+    *     the distributed aggregate at 264 s for work the kernel does in
+    *     seconds); beyond the budget the distributed aggregate remains.
     *   - COMMON rare terms never scatter. The batch's distinct commons
     *     (<= 63, else exact fallback) get bit indexes; one pass over
     *     their postings builds a per-doc bitmask, and each candidate
@@ -343,28 +373,141 @@ object Retrieval {
       coalesce(sum(when(col("bit").isNotNull, bitCol)), lit(0L)).as("qmask"),
       sum(log(col("df").cast("double"))).as("sld"))
       .withColumn("nsel", col("k") - col("ncom"))
-    // ---- class A: >= 1 selective term — scatter selectives only, fold
-    // commons back through the bitmask.
-    val hitsA = ix.tf.select("doc_id", "term")
-      .join(broadcast(rareB.filter(col("bit").isNull)
-        .select("query_id", "term")), "term")
-      .filter(col("doc_id") =!= col("query_id"))
-      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("nsel_m"))
-    val candA = hitsA.join(docMask, Seq("doc_id"), "left")
-      .join(broadcast(qstats.select("query_id", "qmask", "ncom")), "query_id")
-      .withColumn("nmatch", col("nsel_m") + expr(
-        "CAST(bit_count(coalesce(dmask, CAST(0 AS BIGINT)) & qmask) AS BIGINT)"))
-      .select("query_id", "doc_id", "nmatch")
-    val topA = graft.TrackedCaches.track(
-      graft.plans.TopKPerKey.topKPerKey(candA, CandCap, Seq("query_id"),
-        Seq("nmatch" -> false, "doc_id" -> true)).cache())
-    val satA = qstats.filter(col("nsel") >= 1L)
-      .join(topA.groupBy("query_id")
-        .agg(count(lit(1)).as("nc"), min("nmatch").as("mn")),
-        Seq("query_id"), "left")
-      .filter(col("ncom") === 0L ||
-        (col("nc") === lit(CandCap.toLong) && col("mn") >= col("ncom") + 1L))
-      .select("query_id")
+    // ---- class A: >= 1 selective term — scatter (or locally merge)
+    // selectives only, fold commons back through the bitmask.
+    // Route choice: when the batch's whole selective posting slice fits
+    // the broadcast budget, the per-arrival merge kernel (the broadcast
+    // screen's own algorithm, [[screenOneLocal]]) replaces the
+    // distributed (query, doc) count aggregate — the 100x probe measured
+    // that aggregate at 264 s (~600 M groups, spill-bound) vs seconds for
+    // the same walk in flat arrays. Selective lists are <= SelDfFrac n
+    // rows EACH by definition, so the per-arrival walk is bounded; the
+    // slice-size gate bounds the whole broadcast.
+    val selTerms: Array[(String, Long)] = rare
+      .filter(col("df") <= lit(comCeil))
+      .select("term", "df").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val selRows = selTerms.map(_._2).sum
+    val useSlice = selTerms.nonEmpty &&
+      selRows * 16L + maskRows * 16L <= BroadcastScreenMaxBytes
+    val sliceTag = if (useSlice) s",sliceRows=$selRows" else ",slice=off"
+    val (outA, satA) = if (useSlice) {
+      val termsArr = selTerms.map(_._1)
+      val byTerm = ix.tf
+        .join(broadcast(termsArr.toSeq.toDF("term")), "term")
+        .select("term", "doc_id").collect()
+        .groupBy(_.getString(0))
+      val postArr = termsArr.map(t => byTerm.get(t)
+        .map(_.map(_.getLong(1)).sorted).getOrElse(Array.empty[Long]))
+      val maskPairs = docMask0.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val slice = new SelSlice(termsArr, postArr,
+        maskPairs.map(_._1), maskPairs.map(_._2))
+      val bSlice = graft.TrackedCaches.trackBroadcast(
+        sess.sparkContext.broadcast(slice))
+      val selQ = rareB.filter(col("bit").isNull).select("query_id").distinct()
+      val kin = rareB.join(broadcast(selQ), "query_id")
+        .select(col("query_id"), col("term"),
+          coalesce(col("bit"), lit(-1)).as("bit"))
+        .as[(Long, String, Int)]
+      val kout = graft.TrackedCaches.track(
+        kin.groupByKey(_._1).flatMapGroups { (q, it) =>
+          val s = bSlice.value
+          val rows = it.toArray
+          var qmask = 0L
+          var ncom = 0
+          val listsB = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+          rows.foreach { r =>
+            if (r._3 >= 0) { qmask |= (1L << r._3); ncom += 1 }
+            else {
+              val ti = s.termIdx.get(r._2)
+              require(ti != null, s"selective term ${r._2} missing from slice")
+              listsB += s.postings(ti.intValue())
+            }
+          }
+          val k = rows.length
+          val lists = listsB.toArray
+          val kk = lists.length
+          val pos = new Array[Int](kk)
+          // Exact-nmatch buckets, each filling in ascending doc order —
+          // the screenOneLocal merge with the common-term count coming
+          // from the bitmask instead of walked posting lists. Early exit
+          // the moment CandCap all-k docs are out: nothing later can
+          // outrank them, and k = ncom + nsel >= ncom + 1 makes the
+          // strictness bound hold automatically.
+          val buckets = Array.fill(k + 1)(
+            scala.collection.mutable.ArrayBuffer.empty[Long])
+          var filled = false
+          var exhausted = false
+          while (!filled && !exhausted) {
+            var m = Long.MaxValue
+            var i = 0
+            while (i < kk) {
+              if (pos(i) < lists(i).length && lists(i)(pos(i)) < m)
+                m = lists(i)(pos(i))
+              i += 1
+            }
+            if (m == Long.MaxValue) exhausted = true
+            else {
+              var c = 0
+              i = 0
+              while (i < kk) {
+                if (pos(i) < lists(i).length && lists(i)(pos(i)) == m) {
+                  c += 1; pos(i) += 1
+                }
+                i += 1
+              }
+              if (m != q) {
+                val nm = c + java.lang.Long.bitCount(s.maskOf(m) & qmask)
+                buckets(nm) += m
+                if (nm == k && buckets(k).length >= CandCap) filled = true
+              }
+            }
+          }
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Boolean)]
+          var minKept = Int.MaxValue
+          var ci = k
+          while (ci >= 1 && out.length < CandCap) {
+            val b = buckets(ci)
+            var i = 0
+            while (i < b.length && out.length < CandCap) {
+              out += ((q, b(i), ci.toLong, true)); minKept = ci; i += 1
+            }
+            ci -= 1
+          }
+          val ok = filled || ncom == 0 ||
+            (out.length == CandCap && minKept >= ncom + 1)
+          if (!ok) Iterator((q, -1L, -1L, false))
+          else if (out.isEmpty) Iterator((q, -1L, -1L, true))
+          else out.iterator
+        }.toDF("query_id", "doc_id", "nmatch", "ok").cache())
+      (kout.filter(col("ok") && col("doc_id") >= 0L)
+        .select("query_id", "doc_id", "nmatch"),
+        kout.filter(col("ok")).select("query_id").distinct())
+    } else {
+      val hitsA = ix.tf.select("doc_id", "term")
+        .join(broadcast(rareB.filter(col("bit").isNull)
+          .select("query_id", "term")), "term")
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("nsel_m"))
+      val candA = hitsA.join(docMask, Seq("doc_id"), "left")
+        .join(broadcast(qstats.select("query_id", "qmask", "ncom")), "query_id")
+        .withColumn("nmatch", col("nsel_m") + expr(
+          "CAST(bit_count(coalesce(dmask, CAST(0 AS BIGINT)) & qmask) AS BIGINT)"))
+        .select("query_id", "doc_id", "nmatch")
+      val topA = graft.TrackedCaches.track(
+        graft.plans.TopKPerKey.topKPerKey(candA, CandCap, Seq("query_id"),
+          Seq("nmatch" -> false, "doc_id" -> true)).cache())
+      val satDf = qstats.filter(col("nsel") >= 1L)
+        .join(topA.groupBy("query_id")
+          .agg(count(lit(1)).as("nc"), min("nmatch").as("mn")),
+          Seq("query_id"), "left")
+        .filter(col("ncom") === 0L ||
+          (col("nc") === lit(CandCap.toLong) && col("mn") >= col("ncom") + 1L))
+        .select("query_id")
+      (topA.join(broadcast(satDf), "query_id"), satDf)
+    }
     // ---- class B: all rare terms common — the doc-id prefix wave.
     // log R_q = log(WaveCandFactor * CandCap) - sum(log(df_i/n)); prunable
     // iff R_q <= WaveMaxFrac * n. exp() only after the prunable filter, so
@@ -384,7 +527,7 @@ object Retrieval {
         val frac = math.min(1.0, rstat.getDouble(0) / ix.n)
         val cutoff = ix.tf.agg(
           expr(s"percentile_approx(doc_id, $frac, 1000)")).head().getLong(0)
-        note(s"commons=${commons.length},prunableB=${rstat.getLong(1)},cutoff=$cutoff")
+        note(s"commons=${commons.length},prunableB=${rstat.getLong(1)},cutoff=$cutoff$sliceTag")
         val rareP = rare.join(broadcast(qB.filter(col("prunable"))
           .select("query_id")), "query_id")
         val hitsP = ix.tf.select("doc_id", "term")
@@ -403,10 +546,9 @@ object Retrieval {
         Some((topB, satB))
       }
     if (waveB.isEmpty)
-      note(s"commons=${commons.length},prunableB=0")
+      note(s"commons=${commons.length},prunableB=0$sliceTag")
     val sat = waveB.map { case (_, satB) => satA.unionByName(satB) }
       .getOrElse(satA)
-    val outA = topA.join(broadcast(satA), "query_id")
     val out = waveB match {
       case Some((topB, satB)) => outA.unionByName(topB.join(broadcast(satB), "query_id"))
       case None => outA
@@ -444,7 +586,16 @@ object Retrieval {
       qd: DataFrame, cand: DataFrame): DataFrame = {
     val qmaps = qd.groupBy("query_id")
       .agg(map_from_entries(collect_list(struct(col("term"), col("df")))).as("qmap"))
-    fwd.join(broadcast(cand.join(qmaps, "query_id")), "doc_id")
+    // TWO batch-bounded broadcasts, not one of their product: embedding
+    // each candidate's query map before broadcasting multiplied the
+    // payload ~25x (CandCap rows per query x a ~24-entry map each) and
+    // hit Spark's 8 GB broadcast hard cap at a 100k-arrival batch. Bare
+    // (query, doc) candidates + the |batch|-arity map table broadcast
+    // separately; the forward index is still probed in place — no
+    // corpus-side shuffle (PlanShapeSpec pins both broadcasts and the
+    // absence of a sort-merge join).
+    fwd.join(broadcast(cand), "doc_id")
+      .join(broadcast(qmaps), "query_id")
       .withColumn("smicro", expr(s"""
         aggregate(
           filter(terms, e -> qmap[e.term] IS NOT NULL),
