@@ -214,7 +214,20 @@ object ScaleTest {
           .write.format("noop").mode("overwrite").save()
         TrackedCaches.release()
         spark.catalog.clearCache()
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Post-query hygiene OUTSIDE the timed window: a deep-scale
+        // neighbor's spill/broadcast debris (shuffle files on tmpfs,
+        // unreaped broadcast blocks, an expanded fragmented heap) is
+        // reaped by the ContextCleaner only after the owning refs are
+        // GC'd, and at 100x that residue inflated the NEXT query 3-6x
+        // (q_dedup_incremental: 82 s after q_containment's spills vs
+        // 12.6-27 s isolated in a fresh JVM). An explicit GC lets the
+        // cleaner run now, so each row times its own plan — the
+        // per-executor-fresh-state a real cluster's dynamic allocation
+        // gives between stages.
+        System.gc()
+        Thread.sleep(500)
+        name -> dt
       }.toMap
     time(src) // warm code paths
     val small = time(src)
