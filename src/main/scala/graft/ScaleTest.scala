@@ -145,9 +145,10 @@ object ScaleTest {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
         TrackedCaches.release()
         spark.catalog.clearCache()
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> dt
       }.toMap
 
     time(src) // warm both code paths
@@ -210,11 +211,25 @@ object ScaleTest {
     def time(dir: String): Map[String, Double] =
       subset.map { name =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
+        val dt =
+          try {
+            SparkEntry.queries(name)(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            // The evolving decontam gate hard-requires the broadcast regime
+            // (streamDecontamEvolving throws past BroadcastScreenMaxBytes by
+            // design rather than silently diverge); at docs 30/100 the
+            // staged corpus exceeds the gate, and one operator declining its
+            // regime must not abort the other 34 rows mid-ladder. Record a
+            // skipped (NaN) row and keep going.
+            case e: IllegalArgumentException if e.getMessage != null &&
+                e.getMessage.contains("broadcast-screen only") =>
+              println(s"[ladder] $name skipped: corpus exceeds the broadcast gate")
+              Double.NaN
+          }
         TrackedCaches.release()
         spark.catalog.clearCache()
-        val dt = (System.nanoTime() - t0) / 1e9
         // Post-query hygiene OUTSIDE the timed window: a deep-scale
         // neighbor's spill/broadcast debris (shuffle files on tmpfs,
         // unreaped broadcast blocks, an expanded fragmented heap) is
@@ -234,7 +249,8 @@ object ScaleTest {
     val big = time(dst)
     println(s"query,docs1x_s,docs${copies}x_s,ratio")
     subset.foreach { q =>
-      println(f"$q,${small(q)}%.2f,${big(q)}%.2f,${big(q) / small(q)}%.1f")
+      if (small(q).isNaN || big(q).isNaN) println(s"$q,skipped,skipped,-")
+      else println(f"$q,${small(q)}%.2f,${big(q)}%.2f,${big(q) / small(q)}%.1f")
     }
     spark.stop()
   }
@@ -275,9 +291,10 @@ object ScaleTest {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
         TrackedCaches.release()
         spark.catalog.clearCache()
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> dt
       }.toMap
     graft.streaming.EventStreams.stageEvents(spark, src)
     time(src) // warm
@@ -322,9 +339,10 @@ object ScaleTest {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
         TrackedCaches.release()
         spark.catalog.clearCache()
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> dt
       }.toMap
     // Landing zones are per-source-dir (each dataset keeps its own base
     // directory), so pre-stage each scale's zone before its timing loop;
@@ -354,9 +372,10 @@ object ScaleTest {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
       TrackedCaches.release()
       spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      dt
     }
     println("query,docs1x_s,docs10x_s,ratio")
     docSubset.foreach { name =>
@@ -452,9 +471,10 @@ object ScaleTest {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
         graft.TrackedCaches.release()
         spark.catalog.clearCache()
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> dt
       }.toMap
     time(src) // warm code paths
     val small = time(src)

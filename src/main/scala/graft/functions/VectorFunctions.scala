@@ -203,6 +203,21 @@ case class LongDot(left: Expression, right: Expression)
 case class FloatQuantize(child: Expression, scale: Double)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
+  // Analysis-time contract: applied to anything but array<float> (say an
+  // array<double> embedding), getFloat would silently misread 4 of the 8
+  // bytes — fail in the analyzer, not with garbage at runtime.
+  // (ExpectsInputTypes needs AbstractDataType, which is private[sql], so
+  // the check is spelled directly.)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"float_quantize requires array<float> input, got ${other.catalogString}")
+    }
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true

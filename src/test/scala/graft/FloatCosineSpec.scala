@@ -113,4 +113,20 @@ class FloatCosineSpec extends SparkSpec {
     val nn = Seq(Option.empty[Seq[Float]]).toDF("v")
     assert(nn.select(floatQuantize(col("v"), 1000000.0)).head().isNullAt(0))
   }
+
+  test("FloatQuantize rejects non-array<float> input at analysis time") {
+    import graft.functions.VectorFunctions.floatQuantize
+    // array<double>: getFloat would silently misread half of each element —
+    // must fail in the analyzer, not return garbage.
+    val dbl = Seq(Seq(1.0, 2.0)).toDF("v")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      dbl.select(floatQuantize(col("v"), 10.0)).head()
+    }
+    assert(e1.getMessage.contains("float_quantize"))
+    // Scalar input rejected the same way.
+    val str = Seq("x").toDF("v")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      str.select(floatQuantize(col("v"), 10.0)).head()
+    }
+  }
 }
