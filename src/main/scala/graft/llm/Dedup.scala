@@ -334,9 +334,50 @@ object Dedup {
     sh.join(broadcast(hot), Seq("sh"), "left_anti")
   }
 
+  /** Parquet-bytes gate under which the doc-arity set-size frame (16 B of
+    * data per doc) broadcasts into the pair-verification joins instead of
+    * shuffle-joining the candidate-pair frame. The pair frame is
+    * OCCURRENCE-PAIR-scale (8 M rows at the 100× ladder) and each
+    * verification join sort-merges it; the sizes frame is DOC-arity.
+    * 256 MB of documents parquet ≈ 2 M docs (the 100× staged corpus is
+    * 57 MB ≈ 500 k docs) ≈ ~100 MB hashed relation — comfortably inside an
+    * executor. Past the gate (a true 100 TB corpus), the broadcast would
+    * not fit and the doc-arity joins fall back to shuffle joins, which at
+    * that scale are the right plan anyway. Measured at 100×: the
+    * containment verify term (two sort-merge joins + filter + sort of the
+    * pair frame) fell from +15.6 s to under the noise floor (Decompose). */
+  val SizesBroadcastMaxDocBytes: Long = 256L << 20
+
+  /** The documents table's on-disk parquet bytes — a zero-job gate input
+    * (file metadata only, any Hadoop filesystem). */
+  private def docBytes(s: SparkSession, d: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+  }
+
+  /** A/B override for the sizes broadcast (`graft.dedup.sizesBroadcast=off`
+    * conf, or GRAFT_SIZES_BROADCAST=off env for harness mains that build
+    * their own sessions, forces the pre-round-12 shuffle-join plan) —
+    * measurement-only, the same pattern as `graft.retrieval.wavePrune`. */
+  private def sizesBroadcastOn(s: SparkSession): Boolean =
+    s.conf.getOption("graft.dedup.sizesBroadcast")
+      .orElse(sys.env.get("GRAFT_SIZES_BROADCAST"))
+      .forall(_ != "off")
+
+  /** Doc-arity frame `df`, broadcast when the corpus is under the
+    * [[SizesBroadcastMaxDocBytes]] gate, untouched (shuffle-join plan)
+    * otherwise. */
+  private def maybeBroadcastSizes(s: SparkSession, d: String,
+      df: DataFrame): DataFrame =
+    if (sizesBroadcastOn(s) && docBytes(s, d) <= SizesBroadcastMaxDocBytes)
+      broadcast(df)
+    else df
+
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = graft.TrackedCaches.track(cappedShingles(s, d).cache())
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = maybeBroadcastSizes(s, d,
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n")))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b,
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"), "inner")
@@ -360,9 +401,19 @@ object Dedup {
     * batch-side × corpus-side join, so cost is |batch| × overlap, not
     * |corpus|². Every batch doc is reported: is_dup + its smallest matching
     * corpus doc (−1 when none), jaccard >= [[JaccardThreshold]]. */
-  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+  def incrementalDedup(s: SparkSession, d: String): DataFrame =
+    incrementalDedupStages(s, d).last._2
+
+  /** [[incrementalDedup]] with its pipeline prefixes exposed by name, so
+    * [[graft.Decompose]] can attribute deep-scale wall time to a specific
+    * term (index build vs candidate-pair aggregate vs verification) instead
+    * of guessing — the 100×-ladder rule is decomposition before fix. The
+    * LAST stage is the query; earlier stages are its own intermediates. */
+  private[graft] def incrementalDedupStages(
+      s: SparkSession, d: String): Seq[(String, DataFrame)] = {
     val sh = graft.TrackedCaches.track(cappedShingles(s, d).cache())
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = maybeBroadcastSizes(s, d,
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n")))
     val batch = sh.filter(col("doc_id") % 5 === 0).as("a")
     val corpus = sh.filter(col("doc_id") % 5 =!= 0).as("b")
     val inter = batch.join(corpus, col("a.sh") === col("b.sh"), "inner")
@@ -374,12 +425,14 @@ object Dedup {
       .filter(col("i").cast(DoubleType) /
         (col("na.n") + col("nb.n") - col("i")) >= JaccardThreshold)
       .groupBy(col("da")).agg(min(col("db")).as("dup_src"))
-    Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+    val full = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"))
       .join(matches, col("doc_id") === col("da"), "left")
       .select(col("doc_id"), col("dup_src").isNotNull.as("is_dup"),
         coalesce(col("dup_src"), lit(-1L)).as("dup_of"))
       .orderBy("doc_id")
+    Seq("capped_index" -> sh, "pair_agg" -> inter,
+      "verify_matches" -> matches, "full" -> full)
   }
 
   val incrementalDedupSql: String =
@@ -439,15 +492,31 @@ object Dedup {
     * window with df = f costs f joined rows — LINEAR in occurrences (it is
     * an aggregation join, not a pair join), so no df cap is needed, unlike
     * the f² candidate joins. */
-  def dupNgramFraction(s: SparkSession, d: String): DataFrame = {
+  def dupNgramFraction(s: SparkSession, d: String): DataFrame =
+    dupNgramFractionStages(s, d).last._2
+
+  /** [[dupNgramFraction]] pipeline prefixes for [[graft.Decompose]] (same
+    * convention as [[incrementalDedupStages]]: last stage is the query). */
+  private[graft] def dupNgramFractionStages(
+      s: SparkSession, d: String): Seq[(String, DataFrame)] = {
     val w = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
     val g = w.select(col("doc_id"), explode(expr(dupWindowsExpr)).as("g"))
       .select(col("doc_id"), md5(col("g")).as("h"))
-    val df_ = g.groupBy("h").agg(countDistinct("doc_id").as("df"))
-    val dup = g.join(df_.filter(col("df") > 1), "h")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
-    w.select(col("doc_id"),
+    // (h, doc_id, c): per-doc occurrence count of each window — the ONE
+    // corpus-scale aggregate, computed once and cached. Both downstream
+    // consumers (the df aggregate and the per-doc dup rollup) previously
+    // re-derived the raw window stream independently, so the corpus paid
+    // split + 13-way concat_ws + md5 + explode TWICE, and the df side's
+    // countDistinct(doc_id) planned the same (h, doc_id) expand+agg this
+    // frame IS. df == count(*) here because rows are distinct (h, doc_id);
+    // n_dup == sum(c) because the rollup counts window OCCURRENCES.
+    val d1 = graft.TrackedCaches.track(
+      g.groupBy("h", "doc_id").agg(count(lit(1)).as("c")).cache())
+    val df_ = d1.groupBy("h").agg(count(lit(1)).as("df"))
+    val dup = d1.join(df_.filter(col("df") > 1), "h")
+      .groupBy("doc_id").agg(sum("c").as("n_dup"))
+    val full = w.select(col("doc_id"),
         greatest(size(col("ws")) - (DupN - 1), lit(0))
           .cast(LongType).as("n_grams"))
       .join(dup, Seq("doc_id"), "left")
@@ -457,6 +526,8 @@ object Dedup {
           round(coalesce(col("n_dup"), lit(0L)).cast(DoubleType) / col("n_grams"), 4))
           .otherwise(lit(0.0)).as("dup_frac"))
       .orderBy("doc_id")
+    Seq("window_stream" -> g, "window_counts" -> d1, "window_df" -> df_,
+      "per_doc_dup" -> dup, "full" -> full)
   }
 
   val dupNgramFractionSql: String =
@@ -810,13 +881,31 @@ object Dedup {
     * is equi-joins + map-side-combined counts. */
   def containmentPairs(s: SparkSession, d: String): DataFrame =
     containmentPairsOf(
-      graft.TrackedCaches.track(cappedShingles(s, d).cache()))
+      graft.TrackedCaches.track(cappedShingles(s, d).cache()),
+      broadcastSizes = sizesBroadcastOn(s) &&
+        docBytes(s, d) <= SizesBroadcastMaxDocBytes)
+
+  /** [[containmentPairs]] pipeline prefixes for [[graft.Decompose]] (same
+    * convention as [[incrementalDedupStages]]: last stage is the query). */
+  private[graft] def containmentPairsStages(
+      s: SparkSession, d: String): Seq[(String, DataFrame)] = {
+    val sh = graft.TrackedCaches.track(cappedShingles(s, d).cache())
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"), "inner")
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    Seq("capped_index" -> sh, "pair_agg" -> inter,
+      "full" -> containmentPairsOf(sh))
+  }
 
   /** [[containmentPairs]] over an explicit df-capped shingle frame
     * (doc_id, sh) — exposed so DedupSpec can prove the asymmetric case on a
     * crafted superset pair that Jaccard misses. */
-  private[graft] def containmentPairsOf(sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+  private[graft] def containmentPairsOf(sh: DataFrame,
+      broadcastSizes: Boolean = true): DataFrame = {
+    val sizes0 = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = if (broadcastSizes) broadcast(sizes0) else sizes0
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b,
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"), "inner")

@@ -910,6 +910,156 @@ object Retrieval {
     ix
   }
 
+  /** DISTRIBUTED evolving screen index — the bucketed-posting-append
+    * analogue of [[IncrementalScreenIndex]], for standing corpora past the
+    * broadcast budget (the true-100 TB regime the broadcast-only evolving
+    * gate `require`s away). Three append-only parquet directories hold the
+    * standing state, so ingesting a batch NEVER rebuilds or re-scans the
+    * corpus:
+    *
+    *  - `postings/` (doc_id, term, tf), hash-PARTITIONED into
+    *    [[EvolvingDistIndex.NumBuckets]] term buckets — a screen only ever
+    *    probes the posting lists of the arrival batch's own terms, so the
+    *    batch's bucket set prunes the scan at the FILE level (Spark
+    *    partition pruning), reading ~|batch buckets|/NumBuckets of the
+    *    standing postings instead of all of them;
+    *  - `dfd/` (term, df-delta), same bucketing — term df is the SUM of a
+    *    term's deltas across appends, aggregated lazily per screen over the
+    *    pruned bucket slice (delta rows are |append's distinct terms|, so
+    *    the dir stays far smaller than postings);
+    *  - `fwd/` (doc_id, len, sorted (term, tf) array) — the stage-2 forward
+    *    table, probed in place by a broadcast of the (batch x CandCap)-
+    *    bounded candidate list, exactly like the static distributed gate's
+    *    cached forward index. It deliberately OMITS the static build's
+    *    sub-ceiling df filter: ceilings move as the corpus grows, and the
+    *    filter is a fold-cost optimization, not semantics — the score fold
+    *    drops non-query terms via the qmap probe, so scores are identical
+    *    (the forwardIndex scaladoc's own argument, proven by RetrievalSpec
+    *    pair-for-pair on the static twins).
+    *
+    * Corpus stats (n, Σlen) are exact driver scalars updated from each
+    * append's own batch-scale aggregate — `avgLen = Σlen.toDouble / n`,
+    * the same longs and the same one double division [[buildIndex]] and
+    * [[IncrementalScreenIndex.snapshot]] compute, so all three regimes
+    * screen with bit-identical BM25 constants. Screening reuses the
+    * class-split stage-1 kernel ([[screenCandidatesQd]]) and the stage-2
+    * fold ([[scoreCandidatesQd]]) unchanged over views of the directories:
+    * exactness there is route-invariant and proven per arrival, so the
+    * verdicts equal the broadcast evolving gate's row-for-row
+    * (StreamingSpec replays both gates end-to-end and asserts it). */
+  private[graft] final class EvolvingDistIndex(s: SparkSession, base: String) {
+    import EvolvingDistIndex.NumBuckets
+    private val postingsDir = s"$base/postings"
+    private val dfdDir = s"$base/dfd"
+    private val fwdDir = s"$base/fwd"
+    @volatile private var nDocs = 0L
+    @volatile private var lenSum = 0L
+    def n: Long = nDocs
+    def avgLen: Double = lenSum.toDouble / nDocs
+
+    private def bucketed(df: DataFrame): DataFrame =
+      df.withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(NumBuckets.toLong)))
+
+    /** Ingest a (doc_id, text) frame: batch-scale tokenize, three appends,
+      * one 1-row stats aggregate — cost is |batch|, never |corpus|. */
+    def append(docs: DataFrame): Unit = {
+      def mark(tag: String, t0: Long): Long = {
+        if (sys.env.contains("GRAFT_EVODIST_TIMING"))
+          println(f"[evodist] append/$tag ${(System.nanoTime() - t0) / 1e9}%.2f")
+        System.nanoTime()
+      }
+      var t = System.nanoTime()
+      val tf = postings(docs).cache()
+      // repartition ON the partition column before partitionBy: every
+      // bucket lands in exactly one task, so an append adds <= NumBuckets
+      // files — without it each of the write's input tasks opens a file
+      // per bucket it sees (tasks x buckets tiny files per append, and
+      // every later screen pays the file-open storm back with interest).
+      def byBucket(df: DataFrame): DataFrame = {
+        val b = bucketed(df)
+        b.repartition(NumBuckets, col("bucket"))
+      }
+      try {
+        byBucket(tf).write.partitionBy("bucket").mode("append")
+          .parquet(postingsDir)
+        t = mark("postings", t)
+        byBucket(tf.groupBy("term").agg(count(lit(1)).as("df")))
+          .write.partitionBy("bucket").mode("append").parquet(dfdDir)
+        t = mark("dfd", t)
+        tf.groupBy("doc_id").agg(sum("tf").as("len"),
+            sort_array(collect_list(struct(col("term"), col("tf"))))
+              .as("terms"))
+          .write.mode("append").parquet(fwdDir)
+        t = mark("fwd", t)
+        val st = tf.groupBy("doc_id").agg(sum("tf").as("len"))
+          .agg(count(lit(1)).as("nd"), sum("len").as("sl")).head()
+        nDocs += st.getLong(0)
+        if (!st.isNullAt(1)) lenSum += st.getLong(1)
+        mark("stats", t); ()
+      } finally { tf.unpersist(); () }
+    }
+
+    /** (doc_id, top_match, top_score) of each arrival against the standing
+      * index AS CURRENTLY APPENDED — callers order screen-before-append to
+      * get the screen-then-ingest evolving semantics. */
+    def screen(arrivals: DataFrame): DataFrame = {
+      def mark(tag: String, t0: Long): Long = {
+        if (sys.env.contains("GRAFT_EVODIST_TIMING"))
+          println(f"[evodist] screen/$tag ${(System.nanoTime() - t0) / 1e9}%.2f")
+        System.nanoTime()
+      }
+      var t = System.nanoTime()
+      val qt = postings(arrivals)
+        .select(col("doc_id").as("query_id"), col("term"))
+      // The batch's term-bucket set: |batch|-bounded driver data (the same
+      // bound the broadcast twin's append collect takes), and the handle
+      // that turns both standing-side scans into partition-pruned reads.
+      val qb = qt.select(pmod(xxhash64(col("term")), lit(NumBuckets.toLong))
+          .as("bucket")).distinct().collect().map(_.getLong(0))
+      t = mark("qb", t)
+      // CACHE the pruned views for the batch: stage 1 drives several
+      // driver actions (term-class collects, the doc-mask, the wave
+      // percentile, the kernel slice) and each would otherwise re-read
+      // the bucket slice and re-aggregate the df deltas from parquet —
+      // the exact role ix.tf/ix.dft's caches play in the static gate.
+      // Batch-scoped: the gate releases TrackedCaches after each write.
+      val tfV = graft.TrackedCaches.track(
+        s.read.parquet(postingsDir)
+          .filter(col("bucket").isin(qb: _*)).drop("bucket").cache())
+      val dftV = graft.TrackedCaches.track(
+        s.read.parquet(dfdDir)
+          .filter(col("bucket").isin(qb: _*))
+          .groupBy("term").agg(sum("df").as("df")).cache())
+      val bix = Bm25Index(tfV, dftV, nDocs, avgLen)
+      val qd = graft.TrackedCaches.track(subCeilingQueryDf(bix, qt).cache())
+      qd.count()
+      t = mark("qd", t)
+      val cand = graft.TrackedCaches.track(screenCandidatesQd(bix, qd).cache())
+      cand.count()
+      t = mark("stage1", t)
+      val scores = scoreCandidatesQd(bix, s.read.parquet(fwdDir), qd, cand)
+      val top = graft.plans.TopKPerKey.topKPerKey(scores, 1, Seq("query_id"),
+          Seq("score" -> false, "doc_id" -> true))
+        .select(col("query_id").as("doc_id"), col("doc_id").as("top_match"),
+          col("score").as("top_score"))
+      val out = arrivals.select(col("doc_id"))
+        .join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("top_match"), lit(-1L)).as("top_match"),
+          coalesce(col("top_score"), lit(0.0)).as("top_score"))
+      mark("stage2-lazy", t)
+      out
+    }
+  }
+
+  private[graft] object EvolvingDistIndex {
+    /** Term-hash partition count for the append dirs: coarse enough that a
+      * batch touching V terms reads ~min(V, 64)/64 of the standing
+      * postings, fine enough that per-append file counts stay sane. */
+    val NumBuckets = 64
+  }
+
   /** Unsigned-UTF-8 term comparison — the binary ordering Spark's
     * UTF8String sort and DuckDB's collation both use, so the rare-term
     * tiebreak matches the distributed window's `ORDER BY df, term` even on

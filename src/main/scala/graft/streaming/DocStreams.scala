@@ -818,6 +818,73 @@ object DocStreams {
     }
   }
 
+  /** EVOLVING streaming decontamination gate, DISTRIBUTED regime — the
+    * bucketed-posting-append twin of [[streamDecontamEvolving]] for
+    * standing corpora past [[graft.llm.Retrieval.BroadcastScreenMaxBytes]]
+    * (the budget the broadcast gate `require`s): identical screen-then-
+    * ingest semantics (batch b screened against corpus ∪ batches < b),
+    * but the standing index lives as append-only term-bucketed parquet
+    * ([[graft.llm.Retrieval.EvolvingDistIndex]]) — per batch the gate pays
+    * one partition-pruned distributed screen plus a |batch|-scale append,
+    * never a corpus-linear index rebuild and never a driver-resident
+    * snapshot. Verdicts are row-identical to the broadcast twin
+    * (StreamingSpec replays both) and the DuckDB oracle is the SAME
+    * [[streamDecontamEvolvingSql]] — the regime moves, the semantics
+    * don't. Zone discipline (dense 4-chunk / 2-batch staged slice,
+    * maxFilesPerTrigger = 2) is copied from the broadcast twin so the
+    * oracle's batch arithmetic holds here too. */
+  def streamDecontamEvolvingDist(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file._
+    import graft.llm.Retrieval
+    val dir = stageDocs(s, d)
+    val corpus = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+      .select("doc_id", "text")
+    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stream_decontam_evolving_dist")
+    if (Files.exists(base)) {
+      graft.Fs.deleteRec(base)
+    }
+    Files.createDirectories(base)
+    val inc = new Retrieval.EvolvingDistIndex(s, base.toString)
+    inc.append(corpus) // the one-time seed build — corpus-scale, like buildIndex
+    graft.plans.TopKPerKey.ensureRegistered(s)
+    def verdicts(batch: DataFrame): DataFrame =
+      inc.screen(batch.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("top_match"), col("top_score"),
+          (col("top_score") <= lit(Bm25AdmitMax)).as("admit"))
+    @volatile var latest = -1L
+    val stream = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 2).parquet(dir)
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        val b = batch.toDF()
+        verdicts(b).write.mode("overwrite")
+          .parquet(base.resolve(s"v$batchId").toString)
+        // Ingest AFTER the screen: the NEXT batch sees this one.
+        inc.append(b.select(col("doc_id"), col("text")))
+        graft.TrackedCaches.release()
+        latest = batchId
+        ()
+    }
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val qs = q.start()
+    try { try qs.processAllAvailable() finally qs.stop() }
+    finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    val nChunks = graft.Fs.countWithSuffix(Paths.get(dir), ".parquet")
+    if (latest < 0)
+      verdicts(corpus.limit(0)).orderBy("doc_id")
+    else {
+      require(nChunks == 4 && latest == 1,
+        s"evolving-dist decontam ran ${latest + 1} batches over $nChunks " +
+          "chunks — the oracle's batch arithmetic needs the dense " +
+          "4-chunk / 2-batch zone")
+      s.read.parquet((0L to latest).map(b => base.resolve(s"v$b").toString): _*)
+        .orderBy("doc_id")
+    }
+  }
+
   /** One parameterized copy of the two-stage screen's CTE chain (the
     * [[streamDecontamSql]] shape) over an explicit (reference set,
     * arrival set) pair — emitted twice by [[streamDecontamEvolvingSql]],

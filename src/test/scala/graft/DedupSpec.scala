@@ -250,4 +250,15 @@ class DedupSpec extends SparkSpec {
     assert(jaccard < Dedup.JaccardThreshold,
       "the pair is invisible to the symmetric Jaccard finder")
   }
+
+  test("containment broadcast-sizes route equals the shuffle-join fallback") {
+    // Past SizesBroadcastMaxDocBytes the doc-arity sizes frame stops
+    // broadcasting into the verification joins; the two routes must be
+    // row-identical — only the physical join strategy may differ.
+    val sh = Dedup.shinglesOf(Tables.documents(spark, Sf))
+    val b = Dedup.containmentPairsOf(sh, broadcastSizes = true).collect()
+    val f = Dedup.containmentPairsOf(sh, broadcastSizes = false).collect()
+    assert(b.nonEmpty, "gate corpus must produce containment pairs")
+    assert(b.toSeq == f.toSeq, "broadcast and shuffle verify routes diverge")
+  }
 }

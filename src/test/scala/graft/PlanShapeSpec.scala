@@ -374,6 +374,13 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         t.contains("LeftAnti") && t.contains("BroadcastHashJoin")),
       "df cap must be a broadcast anti-join (in the cached index build):\n" +
         rendered.mkString("\n---\n").take(8000))
+    // Under the SizesBroadcastMaxDocBytes gate the doc-arity set-size frame
+    // must BROADCAST into the verification joins: at the 100× ladder the
+    // two sort-merge joins of the candidate-pair frame were the query's
+    // dominant term (+15.6 s, Decompose) and the broadcast removed it.
+    val smj = collectWithSubqueries(plan) { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty,
+      s"sizes verification joins must not sort-merge the pair frame:\n$plan")
     graft.TrackedCaches.release()
   }
 

@@ -608,6 +608,27 @@ class StreamingSpec extends SparkSpec {
       "no batch-1 score moved — the index did not grow")
   }
 
+  test("evolving decontam: distributed (bucketed-append) twin == broadcast twin") {
+    // The distributed-regime evolving gate keeps the standing index as
+    // append-only term-bucketed parquet instead of a driver snapshot; the
+    // verdicts must be ROW-IDENTICAL to the broadcast twin — same
+    // top_match, same 6-dp score, same admit, both batches — or the
+    // regime switch would change answers, not just physical strategy.
+    val dist = graft.streaming.DocStreams
+      .streamDecontamEvolvingDist(spark, Sf).collect()
+    graft.TrackedCaches.release()
+    spark.catalog.clearCache()
+    val bc = graft.streaming.DocStreams
+      .streamDecontamEvolving(spark, Sf).collect()
+    graft.TrackedCaches.release()
+    spark.catalog.clearCache()
+    assert(bc.nonEmpty, "evolving verdicts must be non-empty at the test SF")
+    assert(bc.length == dist.length, "arrival coverage differs")
+    bc.zip(dist).foreach { case (a, b) =>
+      assert(a == b, s"evolving-regime divergence: broadcast=$a dist=$b")
+    }
+  }
+
   test("gate broadcast snapshots are destroyed once verdicts are parquet-backed") {
     // Lifecycle contract (the TrackedCaches.release discipline extended to
     // explicit broadcasts): a gate whose verdict frame is parquet-backed
