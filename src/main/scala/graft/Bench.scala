@@ -255,7 +255,15 @@ object Bench {
             TrackedCaches.release(); spark.catalog.clearCache()
             val (dg, dc) = (gcNowMs() - g0, (procBean.getProcessCpuTime - c0) / 1000000)
             if (ok && dt < w) (name, dt, dg, dc, rs :+ dt)
-            else (name, w, row._3, c, rs :+ dt)
+            else if (ok) (name, w, row._3, c, rs :+ dt)
+            else {
+              // A crashed deferred pass fails fast — appending its
+              // near-zero wall would read as a legitimate fast extra run.
+              // Record a -1 sentinel instead and say so on stderr.
+              System.err.println(s"[bench] deferred retry for $name FAILED " +
+                f"after ${dt}%.2fs — keeping the first-pass row")
+              (name, w, row._3, c, rs :+ -1.0)
+            }
           case row => row
         }
       }

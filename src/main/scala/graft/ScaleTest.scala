@@ -204,8 +204,13 @@ object ScaleTest {
       // which side of the broadcast crossover the corpus lands on. The
       // evolving variant (round 11) rides alongside: same screen, but the
       // index is driver-maintained and appended per batch — the Nx pair
-      // prices the rebuild-vs-incremental difference directly.
-      "q_stream_decontam", "q_stream_decontam_evolving")
+      // prices the rebuild-vs-incremental difference directly. The
+      // DISTRIBUTED evolving twin (round 13) is the one gate MEANT for
+      // the >64 MB corpora the broadcast twin requires away: its Nx row
+      // proves per-batch screen+append cost stays |batch|-bounded while
+      // the standing corpus grows — the property that is its thesis.
+      "q_stream_decontam", "q_stream_decontam_evolving",
+      "q_stream_decontam_evolving_dist")
       .filter(q => only.forall(_.contains(q)))
     require(subset.nonEmpty, "query filter matched nothing in the docs subset")
     def time(dir: String): Map[String, Double] =
@@ -221,10 +226,11 @@ object ScaleTest {
             // (streamDecontamEvolving throws past BroadcastScreenMaxBytes by
             // design rather than silently diverge); at docs 30/100 the
             // staged corpus exceeds the gate, and one operator declining its
-            // regime must not abort the other 34 rows mid-ladder. Record a
-            // skipped (NaN) row and keep going.
-            case e: IllegalArgumentException if e.getMessage != null &&
-                e.getMessage.contains("broadcast-screen only") =>
+            // regime must not abort the other rows mid-ladder. Record a
+            // skipped (NaN) row and keep going. Matched by TYPE — a reword
+            // of the gate's message must not silently revert this to an
+            // abort (its distributed twin runs those corpora instead).
+            case _: graft.streaming.BroadcastRegimeExceeded =>
               println(s"[ladder] $name skipped: corpus exceeds the broadcast gate")
               Double.NaN
           }

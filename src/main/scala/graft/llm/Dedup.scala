@@ -487,11 +487,19 @@ object Dedup {
     * (within-doc redundancy) and the Jaccard/MinHash pair finders (pairwise
     * verdicts): this is the per-doc aggregate used to score and filter.
     *
-    * Scale shape: window stream -> md5 key -> map-side-combined
-    * count-distinct df -> one equi-join back on the key. A corpus-hot
-    * window with df = f costs f joined rows — LINEAR in occurrences (it is
-    * an aggregation join, not a pair join), so no df cap is needed, unlike
-    * the f² candidate joins. */
+    * Scale shape: JOIN-FREE — the complement identity. A doc's total
+    * window occurrences equal its n_grams (every position generates one
+    * window), so n_dup = n_grams − n_uniq, where n_uniq counts the
+    * occurrences of windows NO other document contains. And a df = 1
+    * window's occurrences all belong to its single owner, so n_uniq needs
+    * no occurrence join at all: one hash-arity aggregate over the window
+    * stream (df via partial-distinct, owner via min(doc_id), occurrences
+    * via count) is filtered to df = 1 and re-aggregated on the owner —
+    * hash-arity in, doc-arity out. The previous formulation joined the
+    * hash-arity df table back onto the (h, doc)-arity occurrence frame;
+    * at the 100× ladder that occurrence-scale join was the query's
+    * dominant term (+9.3 s of 20.8 — SCALING.md). This is [[ngramNovelty]]'s
+    * owner-re-aggregation move applied to the occurrence-counted stream. */
   def dupNgramFraction(s: SparkSession, d: String): DataFrame =
     dupNgramFractionStages(s, d).last._2
 
@@ -503,31 +511,34 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
     val g = w.select(col("doc_id"), explode(expr(dupWindowsExpr)).as("g"))
       .select(col("doc_id"), md5(col("g")).as("h"))
-    // (h, doc_id, c): per-doc occurrence count of each window — the ONE
-    // corpus-scale aggregate, computed once and cached. Both downstream
-    // consumers (the df aggregate and the per-doc dup rollup) previously
-    // re-derived the raw window stream independently, so the corpus paid
-    // split + 13-way concat_ws + md5 + explode TWICE, and the df side's
-    // countDistinct(doc_id) planned the same (h, doc_id) expand+agg this
-    // frame IS. df == count(*) here because rows are distinct (h, doc_id);
-    // n_dup == sum(c) because the rollup counts window OCCURRENCES.
-    val d1 = graft.TrackedCaches.track(
-      g.groupBy("h", "doc_id").agg(count(lit(1)).as("c")).cache())
-    val df_ = d1.groupBy("h").agg(count(lit(1)).as("df"))
-    val dup = d1.join(df_.filter(col("df") > 1), "h")
-      .groupBy("doc_id").agg(sum("c").as("n_dup"))
+    // Hash-arity rollup of the occurrence stream, ONE pass: df plans as a
+    // partial distinct on (h, doc_id) before the single shuffle on h, and
+    // when df = 1 min(doc_id) IS the unique owner and occ IS that owner's
+    // occurrence count (every occurrence of the window is theirs).
+    val hagg = g.groupBy("h").agg(
+      countDistinct(col("doc_id")).as("df"),
+      min(col("doc_id")).as("d0"),
+      count(lit(1)).as("occ"))
+    // Doc-arity unique-window mass, no join: each df = 1 hash contributes
+    // its occurrences to exactly one document.
+    val uniq = hagg.filter(col("df") === 1)
+      .groupBy(col("d0").as("doc_id")).agg(sum("occ").as("n_uniq"))
     val full = w.select(col("doc_id"),
         greatest(size(col("ws")) - (DupN - 1), lit(0))
           .cast(LongType).as("n_grams"))
-      .join(dup, Seq("doc_id"), "left")
+      .join(uniq, Seq("doc_id"), "left")
+      // n_dup = n_grams − n_uniq: dupWindowsExpr emits one window per
+      // position (no cap, no distinct), so per-doc occurrences sum to
+      // n_grams exactly and the complement is exact integer arithmetic.
       .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (col("n_grams") - coalesce(col("n_uniq"), lit(0L))).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
         when(col("n_grams") > 0,
-          round(coalesce(col("n_dup"), lit(0L)).cast(DoubleType) / col("n_grams"), 4))
+          round(col("n_dup").cast(DoubleType) / col("n_grams"), 4))
           .otherwise(lit(0.0)).as("dup_frac"))
       .orderBy("doc_id")
-    Seq("window_stream" -> g, "window_counts" -> d1, "window_df" -> df_,
-      "per_doc_dup" -> dup, "full" -> full)
+    Seq("window_stream" -> g, "hash_rollup" -> hagg,
+      "uniq_owner" -> uniq, "full" -> full)
   }
 
   val dupNgramFractionSql: String =
@@ -886,7 +897,11 @@ object Dedup {
         docBytes(s, d) <= SizesBroadcastMaxDocBytes)
 
   /** [[containmentPairs]] pipeline prefixes for [[graft.Decompose]] (same
-    * convention as [[incrementalDedupStages]]: last stage is the query). */
+    * convention as [[incrementalDedupStages]]: last stage is the query).
+    * The full stage passes the SAME sizes-broadcast gate decision
+    * production [[containmentPairs]] makes — a decomposition that timed a
+    * different verification-join plan than the ladder runs would attribute
+    * the wrong term. */
   private[graft] def containmentPairsStages(
       s: SparkSession, d: String): Seq[(String, DataFrame)] = {
     val sh = graft.TrackedCaches.track(cappedShingles(s, d).cache())
@@ -896,7 +911,9 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("i"))
     Seq("capped_index" -> sh, "pair_agg" -> inter,
-      "full" -> containmentPairsOf(sh))
+      "full" -> containmentPairsOf(sh,
+        broadcastSizes = sizesBroadcastOn(s) &&
+          docBytes(s, d) <= SizesBroadcastMaxDocBytes))
   }
 
   /** [[containmentPairs]] over an explicit df-capped shingle frame

@@ -351,10 +351,14 @@ object Retrieval {
       .getOption("graft.retrieval.wavePrune").forall(_ != "off")
     if (!on) return flat("forced-off")
     val comCeil = SelDfFrac * ix.n
-    val commons: Array[(String, Long)] = rare
-      .filter(col("df") > lit(comCeil))
+    // ONE collect for BOTH term classes (they partition the same distinct
+    // (term, df) set on the comCeil boundary) — the two class-filtered
+    // collects this replaces each ran their own job over the batch's
+    // terms, a per-screen fixed cost the evolving-dist pricing flagged.
+    val termDf: Array[(String, Long)] = rare
       .select("term", "df").distinct().collect()
       .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val commons: Array[(String, Long)] = termDf.filter(_._2 > comCeil)
     if (commons.isEmpty) return flat("commons=0")
     if (commons.length > 63) return flat(s"commons=${commons.length},overflow")
     val comDF = broadcast(
@@ -383,10 +387,7 @@ object Retrieval {
     // the same walk in flat arrays. Selective lists are <= SelDfFrac n
     // rows EACH by definition, so the per-arrival walk is bounded; the
     // slice-size gate bounds the whole broadcast.
-    val selTerms: Array[(String, Long)] = rare
-      .filter(col("df") <= lit(comCeil))
-      .select("term", "df").distinct().collect()
-      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val selTerms: Array[(String, Long)] = termDf.filter(_._2 <= comCeil)
     val selRows = selTerms.map(_._2).sum
     val useSlice = selTerms.nonEmpty &&
       selRows * 16L + maskRows * 16L <= BroadcastScreenMaxBytes
@@ -952,8 +953,27 @@ object Retrieval {
     private val postingsDir = s"$base/postings"
     private val dfdDir = s"$base/dfd"
     private val fwdDir = s"$base/fwd"
+    private val statsDir = java.nio.file.Paths.get(base, "stats")
+    // Corpus stats are DURABLE alongside the three data dirs: each append
+    // drops a tiny driver-written delta file (nd, sl) and construction
+    // sums whatever deltas exist, so reopening an existing base dir
+    // yields BM25 constants consistent with the on-disk index instead of
+    // a silent avgLen = NaN. The delta file is written LAST in an append,
+    // so a failure mid-append can leave data rows without their stats
+    // delta — appends are not atomic (production would wrap the four
+    // writes in a transactional table format); rerun the append or
+    // delete-and-reseed after a crash.
     @volatile private var nDocs = 0L
     @volatile private var lenSum = 0L
+    if (java.nio.file.Files.isDirectory(statsDir)) {
+      val ds = java.nio.file.Files.list(statsDir)
+      try ds.forEach { p =>
+        val Array(nd, sl) =
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+            .trim.split(" ")
+        nDocs += nd.toLong; lenSum += sl.toLong
+      } finally ds.close()
+    }
     def n: Long = nDocs
     def avgLen: Double = lenSum.toDouble / nDocs
 
@@ -961,8 +981,10 @@ object Retrieval {
       df.withColumn("bucket",
         pmod(xxhash64(col("term")), lit(NumBuckets.toLong)))
 
-    /** Ingest a (doc_id, text) frame: batch-scale tokenize, three appends,
-      * one 1-row stats aggregate — cost is |batch|, never |corpus|. */
+    /** Ingest a (doc_id, text) frame: batch-scale tokenize, three appends
+      * — cost is |batch|, never |corpus|. Corpus stats ride the fwd write
+      * as [[org.apache.spark.sql.Observation]] metrics (the fwd aggregate
+      * already computes per-doc len), so stats cost no job of their own. */
     def append(docs: DataFrame): Unit = {
       def mark(tag: String, t0: Long): Long = {
         if (sys.env.contains("GRAFT_EVODIST_TIMING"))
@@ -972,13 +994,18 @@ object Retrieval {
       var t = System.nanoTime()
       val tf = postings(docs).cache()
       // repartition ON the partition column before partitionBy: every
-      // bucket lands in exactly one task, so an append adds <= NumBuckets
+      // bucket lands entirely in one task, so an append adds <= NumBuckets
       // files — without it each of the write's input tasks opens a file
       // per bucket it sees (tasks x buckets tiny files per append, and
       // every later screen pays the file-open storm back with interest).
+      // Task count is the SESSION's shuffle parallelism capped at
+      // NumBuckets (the by-bucket file bound holds at any task count):
+      // a small batch append under the stream's 8 shuffle partitions
+      // launches 8 tasks, not 64 near-empty ones.
       def byBucket(df: DataFrame): DataFrame = {
-        val b = bucketed(df)
-        b.repartition(NumBuckets, col("bucket"))
+        val tasks = math.max(1, math.min(NumBuckets,
+          s.conf.get("spark.sql.shuffle.partitions").toInt))
+        bucketed(df).repartition(tasks, col("bucket"))
       }
       try {
         byBucket(tf).write.partitionBy("bucket").mode("append")
@@ -987,16 +1014,21 @@ object Retrieval {
         byBucket(tf.groupBy("term").agg(count(lit(1)).as("df")))
           .write.partitionBy("bucket").mode("append").parquet(dfdDir)
         t = mark("dfd", t)
+        val obs = org.apache.spark.sql.Observation()
         tf.groupBy("doc_id").agg(sum("tf").as("len"),
             sort_array(collect_list(struct(col("term"), col("tf"))))
               .as("terms"))
+          .observe(obs, count(lit(1)).as("nd"), sum(col("len")).as("sl"))
           .write.mode("append").parquet(fwdDir)
-        t = mark("fwd", t)
-        val st = tf.groupBy("doc_id").agg(sum("tf").as("len"))
-          .agg(count(lit(1)).as("nd"), sum("len").as("sl")).head()
-        nDocs += st.getLong(0)
-        if (!st.isNullAt(1)) lenSum += st.getLong(1)
-        mark("stats", t); ()
+        val m = obs.get
+        val nd = m("nd").asInstanceOf[Long]
+        val sl = m("sl") match { case l: Long => l; case _ => 0L }
+        nDocs += nd; lenSum += sl
+        java.nio.file.Files.createDirectories(statsDir)
+        java.nio.file.Files.write(
+          statsDir.resolve(s"delta_${java.util.UUID.randomUUID()}.txt"),
+          s"$nd $sl".getBytes("UTF-8"))
+        mark("fwd+stats", t); ()
       } finally { tf.unpersist(); () }
     }
 
@@ -1032,12 +1064,23 @@ object Retrieval {
           .filter(col("bucket").isin(qb: _*))
           .groupBy("term").agg(sum("df").as("df")).cache())
       val bix = Bm25Index(tfV, dftV, nDocs, avgLen)
+      // qd is multi-consumer (stage 1's collects + stage 2's qmaps) so it
+      // caches, but NOT eagerly — stage 1's first driver action fills it.
+      // cand feeds exactly one consumer (the stage-2 candidate broadcast),
+      // so it neither caches nor counts: the expensive stage-1 internals
+      // (kout / topA / topB) carry their own caches.
       val qd = graft.TrackedCaches.track(subCeilingQueryDf(bix, qt).cache())
-      qd.count()
-      t = mark("qd", t)
-      val cand = graft.TrackedCaches.track(screenCandidatesQd(bix, qd).cache())
-      cand.count()
+      var cand = screenCandidatesQd(bix, qd)
       t = mark("stage1", t)
+      if (sys.env.contains("GRAFT_EVODIST_TIMING2")) {
+        // Diagnostic-only eager attribution (changes the plan: extra cache
+        // + count) — never on in a measured bench run.
+        cand = graft.TrackedCaches.track(cand.cache())
+        cand.count()
+        t = mark("stage1-eval", t)
+        println("[evodist] waveStats=" +
+          s.conf.getOption("graft.retrieval.waveStats").getOrElse("?"))
+      }
       val scores = scoreCandidatesQd(bix, s.read.parquet(fwdDir), qd, cand)
       val top = graft.plans.TopKPerKey.topKPerKey(scores, 1, Seq("query_id"),
           Seq("score" -> false, "doc_id" -> true))

@@ -35,6 +35,16 @@ import org.apache.spark.sql.types._
   * computation per batch is the same map-side-combining groupBy(doc) the
   * batch dedup family uses.
   */
+
+/** Thrown by broadcast-regime-only gates when the standing corpus exceeds
+  * [[graft.llm.Retrieval.BroadcastScreenMaxBytes]] — a dedicated type (not
+  * a bare require) so the scale ladder can record a skipped row by MATCHING
+  * THE TYPE instead of the message text, which a reword would silently
+  * break (ScaleTest.docsMain). Subclasses IllegalArgumentException so
+  * callers treating the gate as a precondition failure keep working. */
+final class BroadcastRegimeExceeded(msg: String)
+    extends IllegalArgumentException(msg)
+
 object DocStreams {
 
   private val stageLock = new Object
@@ -749,9 +759,10 @@ object DocStreams {
       .select("doc_id", "text")
     val st = corpus.agg(count(lit(1)).as("n"),
       sum(length(col("text"))).as("bytes")).head()
-    require(st.getLong(0) == 0L ||
-      st.getLong(1) <= Retrieval.BroadcastScreenMaxBytes,
-      "evolving decontam is broadcast-screen only — corpus exceeds the gate")
+    if (!(st.getLong(0) == 0L ||
+        st.getLong(1) <= Retrieval.BroadcastScreenMaxBytes))
+      throw new BroadcastRegimeExceeded(
+        "evolving decontam is broadcast-screen only — corpus exceeds the gate")
     val inc = Retrieval.incrementalIndexOf(corpus)
     @volatile var snap = graft.TrackedCaches.trackBroadcast(
       s.sparkContext.broadcast(inc.snapshot()))
@@ -845,8 +856,15 @@ object DocStreams {
       graft.Fs.deleteRec(base)
     }
     Files.createDirectories(base)
+    def mark(tag: String, t0: Long): Long = {
+      if (sys.env.contains("GRAFT_EVODIST_TIMING"))
+        println(f"[evodist] gate/$tag ${(System.nanoTime() - t0) / 1e9}%.2f")
+      System.nanoTime()
+    }
+    var tg = System.nanoTime()
     val inc = new Retrieval.EvolvingDistIndex(s, base.toString)
     inc.append(corpus) // the one-time seed build — corpus-scale, like buildIndex
+    tg = mark("seed", tg)
     graft.plans.TopKPerKey.ensureRegistered(s)
     def verdicts(batch: DataFrame): DataFrame =
       inc.screen(batch.select(col("doc_id"), col("text")))
@@ -858,20 +876,35 @@ object DocStreams {
     val q = stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
        batchId: Long) =>
+        var tb = System.nanoTime()
         val b = batch.toDF()
         verdicts(b).write.mode("overwrite")
           .parquet(base.resolve(s"v$batchId").toString)
+        tb = mark(s"verdict$batchId", tb)
         // Ingest AFTER the screen: the NEXT batch sees this one.
         inc.append(b.select(col("doc_id"), col("text")))
         graft.TrackedCaches.release()
         latest = batchId
         ()
     }
-    val saved = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // UNLIKE the broadcast-regime gates, no shuffle.partitions=8 override:
+    // this gate exists for heavy batches against big standing state, and
+    // its kernel + stage-2 fold want the session's full parallelism (the
+    // 8 was zone discipline for tiny-batch machinery; here it cost ~2×).
+    // One scan task PER FILE for the standing dirs: the fwd/postings
+    // files are small enough that Spark's default openCost packs them
+    // into 1-2 scan partitions, and the stage-2 fold — which executes
+    // INSIDE the fwd scan stage via the broadcast joins — then runs
+    // near-serial (measured 8 s/verdict at sf0.1, ~2.5 s after). File
+    // count is bounded by construction (appends repartition by bucket),
+    // so task count stays sane at any corpus scale; files larger than
+    // maxPartitionBytes still split.
+    val openCost = "spark.sql.files.openCostInBytes"
+    val saved = s.conf.get(openCost)
+    s.conf.set(openCost, (128L << 20).toString)
     val qs = q.start()
     try { try qs.processAllAvailable() finally qs.stop() }
-    finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    finally s.conf.set(openCost, saved)
     val nChunks = graft.Fs.countWithSuffix(Paths.get(dir), ".parquet")
     if (latest < 0)
       verdicts(corpus.limit(0)).orderBy("doc_id")

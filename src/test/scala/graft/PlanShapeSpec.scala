@@ -378,8 +378,19 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // must BROADCAST into the verification joins: at the 100× ladder the
     // two sort-merge joins of the candidate-pair frame were the query's
     // dominant term (+15.6 s, Decompose) and the broadcast removed it.
-    val smj = collectWithSubqueries(plan) { case j: SortMergeJoinExec => j }
-    assert(smj.isEmpty,
+    // Scoped to the joins the claim is about (keys on doc_a/doc_b) — a
+    // future legitimate SMJ elsewhere in the query must not trip this.
+    def onPairKeys(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      keys.exists(k => Seq("doc_a", "doc_b").exists(k.toString.contains))
+    val pairBhj = collectWithSubqueries(plan) {
+      case j: BroadcastHashJoinExec if onPairKeys(j.leftKeys ++ j.rightKeys) => j
+    }
+    assert(pairBhj.size >= 2,
+      s"both sizes verification joins must be broadcast-hash:\n$plan")
+    val pairSmj = collectWithSubqueries(plan) {
+      case j: SortMergeJoinExec if onPairKeys(j.leftKeys ++ j.rightKeys) => j
+    }
+    assert(pairSmj.isEmpty,
       s"sizes verification joins must not sort-merge the pair frame:\n$plan")
     graft.TrackedCaches.release()
   }
