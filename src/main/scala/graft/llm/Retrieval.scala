@@ -342,7 +342,13 @@ object Retrieval {
     val sess = qd.sparkSession
     // Routing breadcrumb (observability for RetrievalSpec's engagement
     // assert — the MaxScore plan does the same through its returned stats).
-    def note(v: String): Unit = sess.conf.set("graft.retrieval.waveStats", v)
+    def note(v: String): Unit = {
+      // Streaming foreachBatch runs under a CLONED session whose conf is
+      // invisible to the caller — under the diagnostic flag, also print.
+      if (sys.env.contains("GRAFT_EVODIST_TIMING2"))
+        println(s"[evodist] waveStats=$v")
+      sess.conf.set("graft.retrieval.waveStats", v)
+    }
     def flat(reason: String): DataFrame = {
       note(reason)
       scatter(rare).select("query_id", "doc_id")
@@ -361,6 +367,20 @@ object Retrieval {
     val commons: Array[(String, Long)] = termDf.filter(_._2 > comCeil)
     if (commons.isEmpty) return flat("commons=0")
     if (commons.length > 63) return flat(s"commons=${commons.length},overflow")
+    // Degenerate-selectivity route gate: an arrival with >= 1 common term
+    // is provable only by filling CandCap candidates from its selective
+    // posting lists, and every arrival's candidate count is bounded by
+    // the batch's WHOLE selective posting mass — so when that mass cannot
+    // fill even one cap, the kernel/bitmask/wave machinery is guaranteed
+    // dead weight (ncom = 0 arrivals it would prove cheaply are re-proven
+    // by the scatter at selRows-bounded cost) and the batch routes
+    // straight to the exact flat scatter. This is the bench-scale (1x)
+    // profile of the synthetic corpus — a flat near-ceiling vocabulary
+    // where proof coverage measured 0-5% while the machinery cost
+    // ~2-3 s/screen; at 30x/100x the copy-local token forms are selective,
+    // selRows is large, and this gate never trips.
+    val selMass = termDf.collect { case (_, df) if df <= comCeil => df }.sum
+    if (selMass < CandCap) return flat(s"selRows=$selMass,underCap")
     val comDF = broadcast(
       commons.zipWithIndex.map { case ((t, _), i) => (t, i) }.toSeq
         .toDF("term", "bit"))
@@ -555,6 +575,12 @@ object Retrieval {
       case None => outA
     }
     val rareF = rare.join(broadcast(sat), Seq("query_id"), "left_anti")
+    if (sys.env.contains("GRAFT_EVODIST_TIMING2")) {
+      // Diagnostic-only proof-coverage census (extra eager jobs).
+      val nq = qd.select("query_id").distinct().count()
+      val nsat = sat.select("query_id").distinct().count()
+      println(s"[evodist] proven=$nsat/$nq arrivals (rest take the exact scatter)")
+    }
     out.unionByName(scatter(rareF)).select("query_id", "doc_id")
   }
 
@@ -1078,8 +1104,6 @@ object Retrieval {
         cand = graft.TrackedCaches.track(cand.cache())
         cand.count()
         t = mark("stage1-eval", t)
-        println("[evodist] waveStats=" +
-          s.conf.getOption("graft.retrieval.waveStats").getOrElse("?"))
       }
       val scores = scoreCandidatesQd(bix, s.read.parquet(fwdDir), qd, cand)
       val top = graft.plans.TopKPerKey.topKPerKey(scores, 1, Seq("query_id"),

@@ -147,6 +147,28 @@ class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(viaInc.n == all.count(), "snapshot lost documents")
   }
 
+  test("evolving-dist index reopened on an existing base dir rebuilds exact stats") {
+    // The distributed evolving index's standing state is durable parquet;
+    // its corpus scalars (n, avgLen) must be durable WITH it — a second
+    // instance constructed over the same base dir screens with
+    // bit-identical BM25 constants (they are rebuilt from the per-append
+    // stats delta files, not recomputed from the data dirs).
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_evodist_reopen_").toString
+    try {
+      val all = Tables.documents(spark, Sf).select("doc_id", "text")
+      val ix = new Retrieval.EvolvingDistIndex(spark, base)
+      ix.append(all.filter(col("doc_id") % 5 =!= 0))
+      ix.append(all.filter(col("doc_id") % 5 === 0))
+      val reopened = new Retrieval.EvolvingDistIndex(spark, base)
+      assert(reopened.n == ix.n, "reopened index lost documents")
+      assert(reopened.avgLen == ix.avgLen,
+        "reopened index's avgLen is not bit-identical")
+      assert(ix.n == all.count(), "stats deltas disagree with the corpus")
+    } finally graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
+
   test("screening candidates stay capped per query") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, Sf).select("doc_id", "text")
@@ -387,6 +409,39 @@ class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val np = "prunableB=(\\d+)".r.findFirstMatchIn(stats).map(_.group(1).toInt)
     assert(np.exists(n => n >= 32 && n <= 64),
       s"expected the 64 pure-pool arrivals to wave-prune, got $stats")
+    graft.TrackedCaches.release()
+  }
+
+  test("degenerate selective mass routes the whole batch to the exact scatter") {
+    // A batch whose entire selective posting mass cannot fill one CandCap
+    // has no provable ncom>0 arrival — the class-split kernel is dead
+    // weight by construction and the screen must route flat (same rows,
+    // five fewer driver jobs). Corpus: 4096 docs over an all-common pool
+    // (every pool term in ~80% of docs, far above SelDfFrac) plus one
+    // df=2 selective token — selMass = 2 < CandCap.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val vocab = (0 until 30).map(i => s"w$i")
+    val docs = (0L until 4096L).map { d =>
+      val toks = vocab.filter(t => ((d * 31 + t.drop(1).toInt * 17) % 5) != 0L)
+      val extra = if (d < 2) " rarepair" else ""
+      (d, ("base " + toks.mkString(" ") + extra).trim)
+    }.toDF("doc_id", "text")
+    val ix = Retrieval.buildIndex(docs, cache = true)
+    val qt = ix.tf.filter(col("doc_id") < 64)
+      .select(col("doc_id").as("query_id"), col("term"))
+    def cands(): Set[(Long, Long)] =
+      Retrieval.screenCandidates(ix, qt).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val routed = cands()
+    val stats = spark.conf.get("graft.retrieval.waveStats")
+    assert(stats.contains("underCap"),
+      s"expected the degenerate-selectivity flat route, got $stats")
+    spark.conf.set("graft.retrieval.wavePrune", "off")
+    val flat =
+      try cands()
+      finally spark.conf.unset("graft.retrieval.wavePrune")
+    assert(routed == flat, "underCap route diverged from the scatter")
     graft.TrackedCaches.release()
   }
 
