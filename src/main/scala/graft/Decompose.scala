@@ -28,6 +28,8 @@ object Decompose {
       llm.Dedup.dupNgramFractionStages(s, d).map { case (n, df) => n -> write(df) }
     case "q_containment" =>
       llm.Dedup.containmentPairsStages(s, d).map { case (n, df) => n -> write(df) }
+    case "q_rand_projection" =>
+      llm.Similarity.randProjectionStages(s, d).map { case (n, df) => n -> write(df) }
     case "q_bm25_topk" =>
       // buildIndex is eager (stats collect + cache counts), so its stage is
       // the call itself; the scatter stage is the flat postings-join scorer

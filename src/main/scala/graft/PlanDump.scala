@@ -281,9 +281,10 @@ object PlanDump {
         val emb = Tables.embeddings(s, sf)
         val vcorpus = emb.filter(col("vec_id") % 5 =!= 0)
         val sx = Similarity.scaledOf(vcorpus).cache()
-        val k = Similarity.centroidsFor(sx.count())
+        val n = sx.count()
+        val k = Similarity.centroidsFor(n)
         val cents = Similarity.trainCentroids(sx,
-          Similarity.seedCentroidsOf(vcorpus, sx, k))
+          Similarity.seedCentroidsOf(vcorpus, sx, k), n, k)
         val cells = Similarity.assignCells(sx, cents).join(vcorpus, "vec_id")
           .select(col("vec_id"), col("embedding"), col("cell")).cache()
         cells.count()

@@ -480,6 +480,13 @@ object ScaleTest {
         val dt = (System.nanoTime() - t0) / 1e9
         graft.TrackedCaches.release()
         spark.catalog.clearCache()
+        // Post-query hygiene OUTSIDE the timed window — docsMain's 100x
+        // lesson applies here identically: a deep-scale neighbor's
+        // spill/broadcast debris inflated q_rand_projection 2.6x and
+        // q_vec_quantize 5.6x in the first 100x vecs run until the
+        // explicit GC let the ContextCleaner reap between rows.
+        System.gc()
+        Thread.sleep(500)
         name -> dt
       }.toMap
     time(src) // warm code paths

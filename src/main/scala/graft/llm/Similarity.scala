@@ -2,7 +2,7 @@ package graft.llm
 
 import graft.Tables
 import graft.functions.VectorFunctions.floatCosine
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -344,15 +344,46 @@ object Similarity {
         (row_number().over(Window.orderBy("hk", "vec_id")) - 1).cast(IntegerType))
       .join(sx, "vec_id").select(col("cent_id"), col("sarr").as("carr"))
 
+  /** Vectors per centroid the trainer actually looks at — the bounded
+    * training-sample rule every production IVF library applies (FAISS's
+    * max_points_per_centroid defaults to 256): k-means centroid QUALITY
+    * saturates at a few hundred points per cell, so training on more is
+    * pure waste, and with k = √N the full-corpus trainer's per-iteration
+    * assign is N×k = N^1.5 — the one super-linear term in the vector
+    * family (the 100× ladder measured it dominating q_cluster_profile at
+    * 34 s). The slice is a deterministic md5-prefix threshold (below), so
+    * both engines draw the SAME sample with no global sort; at
+    * N <= SamplePerCell×k the threshold admits every row and training is
+    * bit-identical to the unsampled trainer — nothing changes at bench
+    * scale or in any ≤30× ladder. The final corpus→cell assignment always
+    * scans the full corpus (every vector must find its cell); only the
+    * iterated training loop is sliced. */
+  private[graft] val SamplePerCell = 256L
+
+  /** 32-bit integer prefix of md5(vec_id) — the engine-portable uniform
+    * hash behind the training-sample threshold ('0x'||substr(md5,1,8) in
+    * the DuckDB oracle; conv(...,16,10) here — identical values). */
+  private def md5Prefix32(id: Column): Column =
+    conv(substring(md5(id.cast(StringType)), 1, 8), 16, 10).cast(LongType)
+
   /** Each iteration materializes its k×dim centroid table to the driver
     * (k rows — a scalar-sized collect, the k-means analog of collecting an
     * agg result) and restarts the plan from a local relation: without this
     * the foldLeft nests iteration t-1's whole plan inside iteration t and
-    * training recomputes every prior round. */
-  private[graft] def trainCentroids(sx: DataFrame, seed: DataFrame): DataFrame = {
+    * training recomputes every prior round. Iterates over the
+    * [[SamplePerCell]]-bounded deterministic slice of `sx` (n = |sx|,
+    * k = |seed|): threshold = floor(2^32 · min(1, 256k/n)) admits a row
+    * iff its md5 32-bit prefix is under it — exact integer arithmetic the
+    * oracle reproduces with BIGINT `//` division. */
+  private[graft] def trainCentroids(sx: DataFrame, seed: DataFrame,
+      n: Long, k: Int): DataFrame = {
     val s = sx.sparkSession
+    val full = 1L << 32
+    val thr = if (n == 0) full
+      else math.min(full, (full * (SamplePerCell * k)) / n)
+    val trn = sx.filter(md5Prefix32(col("vec_id")) < lit(thr))
     (1 to KmIters).foldLeft(seed) { (c, _) =>
-      val next = recomputeCentroids(sx, assignCells(sx, c))
+      val next = recomputeCentroids(trn, assignCells(trn, c))
       s.createDataFrame(java.util.Arrays.asList(next.collect(): _*), next.schema)
     }
   }
@@ -368,9 +399,10 @@ object Similarity {
   private def annIvfBy(s: SparkSession, d: String, np: Int => Int): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val sx = graft.TrackedCaches.track(scaledEmb(s, d).cache())
-    val k = centroidsFor(sx.count())
+    val n = sx.count()
+    val k = centroidsFor(n)
     val nprobe = np(k)
-    val cents = trainCentroids(sx, seedCentroids(s, d, sx, k))
+    val cents = trainCentroids(sx, seedCentroids(s, d, sx, k), n, k)
     val cells = graft.TrackedCaches.track(assignCells(sx, cents)
       .join(emb, "vec_id")
       .select(col("vec_id"), col("embedding"), col("cell"))
@@ -417,18 +449,19 @@ object Similarity {
   }
 
   // One block per k-means iteration: exact integer distances -> argmin
-  // (ties on cent_id) -> re-quantized means. Mirrors the Spark side 1:1.
+  // (ties on cent_id) -> re-quantized means, over the bounded TRAINING
+  // slice sxt (the [[SamplePerCell]] rule). Mirrors the Spark side 1:1.
   private def kmIterSql(t: Int): String = {
     val prev = s"cent${t - 1}"
     s"""d$t AS (SELECT x.vec_id, c.cent_id, sum((x.v - c.c) * (x.v - c.c)) AS d
-                FROM sx x JOIN $prev c ON x.i = c.i GROUP BY 1, 2),
+                FROM sxt x JOIN $prev c ON x.i = c.i GROUP BY 1, 2),
         a$t AS (SELECT vec_id, cent_id FROM (
                   SELECT vec_id, cent_id,
                     row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rk
                   FROM d$t) WHERE rk = 1),
         cent$t AS (SELECT a.cent_id, x.i,
                      CAST(floor(CAST(sum(x.v) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
-                   FROM a$t a JOIN sx x ON a.vec_id = x.vec_id GROUP BY 1, 2)"""
+                   FROM a$t a JOIN sxt x ON a.vec_id = x.vec_id GROUP BY 1, 2)"""
   }
 
   /** Shared CTE chain: scaled integer embeddings -> seeded + trained
@@ -447,6 +480,13 @@ object Similarity {
                     FROM $src) WHERE rk <= (SELECT k FROM kk)),
         cent0 AS (SELECT s.cent_id, x.i, x.v AS c
                   FROM seeds s JOIN sx x ON x.vec_id = s.vec_id),
+        thr AS (SELECT CASE WHEN count(*) = 0 THEN 4294967296
+                  ELSE least(4294967296, (4294967296 *
+                    (CAST((SELECT k FROM kk) AS BIGINT) * $SamplePerCell))
+                    // count(*)) END AS t FROM $src),
+        sxt AS (SELECT x.vec_id, x.i, x.v FROM sx x
+                WHERE CAST('0x' || substr(md5(CAST(x.vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+                      < (SELECT t FROM thr)),
         ${(1 to KmIters).map(kmIterSql).mkString(",\n        ")},
         dfin AS (SELECT x.vec_id, c.cent_id, sum((x.v - c.c) * (x.v - c.c)) AS d
                  FROM sx x JOIN cent$KmIters c ON x.i = c.i GROUP BY 1, 2),
@@ -500,7 +540,9 @@ object Similarity {
     * pass it profiles. */
   def clusterProfile(s: SparkSession, d: String): DataFrame = {
     val sx = graft.TrackedCaches.track(scaledEmb(s, d).cache())
-    val cents = trainCentroids(sx, seedCentroids(s, d, sx, centroidsFor(sx.count())))
+    val n = sx.count()
+    val k = centroidsFor(n)
+    val cents = trainCentroids(sx, seedCentroids(s, d, sx, k), n, k)
     assignCells(sx, cents)
       .groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"),
@@ -534,7 +576,9 @@ object Similarity {
     * never a full per-cell materialization. */
   def diverseSample(s: SparkSession, d: String): DataFrame = {
     val sx = graft.TrackedCaches.track(scaledEmb(s, d).cache())
-    val cents = trainCentroids(sx, seedCentroids(s, d, sx, centroidsFor(sx.count())))
+    val n = sx.count()
+    val k = centroidsFor(n)
+    val cents = trainCentroids(sx, seedCentroids(s, d, sx, k), n, k)
     val pri = assignCells(sx, cents)
       .withColumn("hk", md5(col("vec_id").cast(StringType)))
     graft.plans.TopKPerKey.topKPerKey(pri, DiverseK, Seq("cell"),
@@ -631,15 +675,25 @@ object Similarity {
     * (vec_id, embedding). At 100 TB this runs at read bandwidth and is the
     * standard pre-step that cuts IVF/LSH index memory 4× (RecallSpec
     * measures the cosine distortion the 4× buys). */
-  def randProjection(s: SparkSession, d: String): DataFrame = {
+  def randProjection(s: SparkSession, d: String): DataFrame =
+    randProjectionStages(s, d).last._2
+
+  /** [[randProjection]] pipeline prefixes for [[graft.Decompose]] (same
+    * convention as the dedup `*Stages`: last stage is the query). */
+  private[graft] def randProjectionStages(
+      s: SparkSession, d: String): Seq[(String, DataFrame)] = {
     val comps = (0 until RpDims).map { j =>
       graft.functions.VectorFunctions.longDot(
         col("sarr"), typedLit((1 to 64).map(i => rpSign(j, i))))
-        .cast(StringType)
     }
-    scaledEmb(s, d)
-      .select(col("vec_id"), array_join(array(comps: _*), ",").as("rp_csv"))
+    val sx = scaledEmb(s, d)
+    val dots = sx.select(col("vec_id") +: comps.zipWithIndex.map {
+      case (c, j) => c.as(s"r$j") }: _*)
+    val full = sx
+      .select(col("vec_id"),
+        array_join(array(comps.map(_.cast(StringType)): _*), ",").as("rp_csv"))
       .orderBy("vec_id")
+    Seq("scaled" -> sx, "dots" -> dots, "full" -> full)
   }
 
   val randProjectionSql: String =
@@ -695,8 +749,9 @@ object Similarity {
   def annIvfRescore(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val sx = graft.TrackedCaches.track(scaledEmb(s, d).cache())
-    val k = centroidsFor(sx.count())
-    val cents = trainCentroids(sx, seedCentroids(s, d, sx, k))
+    val n = sx.count()
+    val k = centroidsFor(n)
+    val cents = trainCentroids(sx, seedCentroids(s, d, sx, k), n, k)
     val qv = graft.TrackedCaches.track(q8Vectors(s, d).cache())
     val cells = assignCells(sx, cents)
       .join(qv, "vec_id")

@@ -295,7 +295,7 @@ object VecStreams {
     val k = Similarity.centroidsFor(nVec)
     val nprobe = Similarity.probesFor(k)
     val cents = Similarity.trainCentroids(sx,
-      Similarity.seedCentroidsOf(corpus, sx, k))
+      Similarity.seedCentroidsOf(corpus, sx, k), nVec, k)
 
     val mode = s.conf.getOption("graft.similarity.screenMode").getOrElse("auto")
     val dims = if (nVec == 0) 0L

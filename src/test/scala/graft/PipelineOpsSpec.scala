@@ -41,9 +41,10 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("k-means training reduces the IVF quantization objective") {
     val sx = Similarity.scaledEmb(spark, Sf).cache()
-    val k = Similarity.centroidsFor(sx.count())
+    val n = sx.count()
+    val k = Similarity.centroidsFor(n)
     val seed = Similarity.seedCentroids(spark, Sf, sx, k)
-    val trained = Similarity.trainCentroids(sx, seed)
+    val trained = Similarity.trainCentroids(sx, seed, n, k)
     def objective(cents: org.apache.spark.sql.DataFrame): Long =
       sx.crossJoin(broadcast(cents))
         .withColumn("dist", expr(

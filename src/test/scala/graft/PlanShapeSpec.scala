@@ -128,8 +128,10 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val emb = Tables.embeddings(spark, Sf)
     val corpus = emb.filter(col("vec_id") % 5 =!= 0)
     val sx = Similarity.scaledOf(corpus).cache()
-    val k = Similarity.centroidsFor(sx.count())
-    val cents = Similarity.trainCentroids(sx, Similarity.seedCentroidsOf(corpus, sx, k))
+    val n = sx.count()
+    val k = Similarity.centroidsFor(n)
+    val cents = Similarity.trainCentroids(sx,
+      Similarity.seedCentroidsOf(corpus, sx, k), n, k)
     // cache = the shape that runs per micro-batch: standing index probed
     // in place, not the one-time index build.
     val cells = Similarity.assignCells(sx, cents).join(corpus, "vec_id")

@@ -335,9 +335,11 @@ class StreamingSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, Sf)
     val corpus = emb.filter(col("vec_id") % 5 =!= 0)
     val sx = Similarity.scaledOf(corpus).cache()
-    val k = Similarity.centroidsFor(sx.count())
+    val n = sx.count()
+    val k = Similarity.centroidsFor(n)
     val nprobe = Similarity.probesFor(k)
-    val cents = Similarity.trainCentroids(sx, Similarity.seedCentroidsOf(corpus, sx, k))
+    val cents = Similarity.trainCentroids(sx,
+      Similarity.seedCentroidsOf(corpus, sx, k), n, k)
     val cells = Similarity.assignCells(sx, cents).join(corpus, "vec_id")
       .select(col("vec_id"), col("embedding"), col("cell"))
     val arr = emb.filter(col("vec_id") % 5 === 0)
