@@ -148,6 +148,13 @@ object ScaleTest {
         val dt = (System.nanoTime() - t0) / 1e9
         TrackedCaches.release()
         spark.catalog.clearCache()
+        // Post-query GC hygiene outside the timed window (docsMain's 100x
+        // lesson, third family it bit): releasing the caches only queues
+        // them for the ContextCleaner, and at 100x the un-reaped debris of
+        // a 60M-row neighbor inflated q_groupby_count to 23.4 s vs 3.45
+        // hygienic (1.1 isolated-warm) and q_join_left 10.6 vs 3.15.
+        System.gc()
+        Thread.sleep(500)
         name -> dt
       }.toMap
 
