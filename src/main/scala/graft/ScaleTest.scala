@@ -95,6 +95,8 @@ object ScaleTest {
     if (args.headOption.contains("streams")) return streamsMain()
     if (args.headOption.contains("vecs"))
       return vecsMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
+    if (args.headOption.contains("vecstanding"))
+      return vecStandingMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
     if (args.headOption.contains("events"))
       return eventsMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
     val copies = if (args.nonEmpty) args(0).toInt else 10
@@ -453,6 +455,65 @@ object ScaleTest {
     * neighbors. Reported per scale: annIvf/annLsh/brute wall time AND the
     * (nprobe, scan fraction, recall@10) ladder including the shipped
     * probesFor point at each scale. */
+  /** Standing-IVF-index cost-regime ladder: at 1x and `copies`x, measure
+    * (a) the one-time index BUILD (train + full-corpus assignment + the
+    * cell-partitioned layout write), (b) a PROBE-ONLY query against the
+    * standing index, and (c) the rebuild-every-time q_ann_ivf — the
+    * index's thesis is (b) ≪ (c) with the gap WIDENING as the corpus
+    * grows, because probe cost is ~|probed cells| (the partition-pruned
+    * scan) while rebuild pays training's N·√N kernel plus the corpus
+    * assignment pass every call. Reuses the vecs mode's staged corpus. */
+  private def vecStandingMain(copies: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", ShuffleDir.path)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val dst = stagedDir(s"graft_vecs${copies}x_c${copies}_v1000000_", src)
+    if (!new java.io.File(s"$dst/_built").exists()) {
+      buildVecs(spark, src, dst, copies)
+      new java.io.File(s"$dst/_built").createNewFile()
+    }
+    def hygiene(): Unit = {
+      graft.TrackedCaches.release()
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(500)
+    }
+    def run(tag: String, dir: String): Unit = {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_ladder"
+      deleteRec(new java.io.File(base))
+      val q = graft.Tables.embeddings(spark, dir)
+        .filter(col("vec_id") < graft.llm.Similarity.NumQueries)
+      val t0 = System.nanoTime()
+      graft.llm.AnnIndex.buildIfStale(spark, dir, base)
+      val tb = (System.nanoTime() - t0) / 1e9
+      hygiene()
+      val t1 = System.nanoTime()
+      graft.llm.AnnIndex.probe(spark, base, q)
+        .write.format("noop").mode("overwrite").save()
+      val tp = (System.nanoTime() - t1) / 1e9
+      hygiene()
+      val t2 = System.nanoTime()
+      SparkEntry.queries("q_ann_ivf")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val tr = (System.nanoTime() - t2) / 1e9
+      hygiene()
+      println(f"standing,$tag,build=$tb%.2f,probe=$tp%.2f,rebuild=$tr%.2f")
+    }
+    run("warm", src) // warm code paths; discard
+    println("standing,scale,build_s,probe_s,rebuild_annivf_s")
+    run("vecs1x", src)
+    run(s"vecs${copies}x", dst)
+    spark.stop()
+  }
+
   private def vecsMain(copies: Int): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -103,6 +103,7 @@ object SparkEntry {
     "q_ann_topk" -> (Similarity.annTopK _),
     "q_ann_lsh" -> (Similarity.annLsh _),
     "q_ann_ivf" -> (Similarity.annIvf _),
+    "q_ann_ivf_standing" -> (graft.llm.AnnIndex.annIvfStanding _),
     "q_ann_ivf_rescore" -> (Similarity.annIvfRescore _),
     "q_mmr_rerank" -> (Similarity.mmrRerank _),
     "q_bm25_topk" -> (Retrieval.bm25TopK _),
@@ -493,6 +494,9 @@ object SparkEntry {
     "q_ann_topk" -> Similarity.annTopKSql,
     "q_ann_lsh" -> Similarity.annLshSql,
     "q_ann_ivf" -> Similarity.annIvfSql,
+    // The standing index moves the cost regime (build-once bucketed
+    // parquet, probe-only queries), never the semantics — same oracle.
+    "q_ann_ivf_standing" -> Similarity.annIvfSql,
     "q_ann_ivf_rescore" -> Similarity.annIvfRescoreSql,
     "q_mmr_rerank" -> Similarity.mmrRerankSql,
     "q_bm25_topk" -> Retrieval.bm25Sql,

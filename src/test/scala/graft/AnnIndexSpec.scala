@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{AnnIndex, Similarity}
+
+/** The standing-index contract: persistence moves the cost regime, never
+  * the semantics.
+  *
+  * The oracle gate already proves `q_ann_ivf_standing` matches DuckDB
+  * running the same k-means + probe — but it would also pass if the
+  * "standing" path quietly retrained per call. This spec pins the parts
+  * the oracle can't see: the probe answer is ROW-IDENTICAL to the
+  * rebuild-every-time [[Similarity.annIvf]], a second build call against
+  * the same corpus is a no-op (the serving regime), and a changed corpus
+  * is detected as stale instead of served from the old index.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  private def freshBase(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_ivf_spec_$tag").toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("standing probe is row-identical to the rebuild-every-time annIvf") {
+    val base = freshBase("ident")
+    assert(AnnIndex.buildIfStale(spark, Sf, base), "first call must build")
+    val queries = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id") < Similarity.NumQueries)
+    val standing = rows(AnnIndex.probe(spark, base, queries))
+    val rebuild = rows(Similarity.annIvf(spark, Sf))
+    assert(standing.nonEmpty)
+    assert(standing == rebuild,
+      s"standing probe diverged from annIvf: ${standing.size} vs ${rebuild.size} rows")
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
+
+  test("second build against the same corpus is a no-op; probe still exact") {
+    val base = freshBase("noop")
+    assert(AnnIndex.buildIfStale(spark, Sf, base))
+    val queries = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id") < Similarity.NumQueries)
+    val first = rows(AnnIndex.probe(spark, base, queries))
+    assert(!AnnIndex.buildIfStale(spark, Sf, base),
+      "unchanged corpus must not rebuild")
+    assert(rows(AnnIndex.probe(spark, base, queries)) == first)
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
+
+  test("a changed corpus is stale — the marker guards against serving old cells") {
+    val base = freshBase("stale")
+    assert(AnnIndex.buildIfStale(spark, Sf, base))
+    // Same dir string, different row count ⇒ meta mismatch ⇒ rebuild.
+    val meta = java.nio.file.Paths.get(s"$base/_meta")
+    val stamped = new String(java.nio.file.Files.readAllBytes(meta), "UTF-8")
+    java.nio.file.Files.write(meta, (stamped + "0").getBytes("UTF-8"))
+    assert(AnnIndex.buildIfStale(spark, Sf, base),
+      "meta mismatch must trigger a rebuild")
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
+
+  test("probe reads only probed cell partitions (pruned scan, no training)") {
+    val base = freshBase("prune")
+    AnnIndex.buildIfStale(spark, Sf, base)
+    val queries = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id") < Similarity.NumQueries)
+    val plan = AnnIndex.probe(spark, base, queries)
+      .queryExecution.executedPlan.toString
+    // The cells scan must carry a partition-column IN filter — the static
+    // pruning that makes a probe O(probed cells), not O(corpus).
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"cells scan lost its partition filter:\n$plan")
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
+}
