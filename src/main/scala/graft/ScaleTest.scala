@@ -97,6 +97,8 @@ object ScaleTest {
       return vecsMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
     if (args.headOption.contains("vecstanding"))
       return vecStandingMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
+    if (args.headOption.contains("bm25standing"))
+      return bm25StandingMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
     if (args.headOption.contains("events"))
       return eventsMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
     val copies = if (args.nonEmpty) args(0).toInt else 10
@@ -511,6 +513,89 @@ object ScaleTest {
     println("standing,scale,build_s,probe_s,rebuild_annivf_s")
     run("vecs1x", src)
     run(s"vecs${copies}x", dst)
+    spark.stop()
+  }
+
+  /** Standing-BM25-index cost-regime ladder — the retrieval sibling of
+    * [[vecStandingMain]], on the docs ladder's staged corpus: build-once
+    * (tokenize + impact postings + bucketed layout) vs probe-only ranked
+    * top-k vs the rebuild-every-time q_bm25_topk. The probe's standing
+    * scans partition-prune to the query's term buckets, so probe cost
+    * tracks the QUERY's posting lists while rebuild pays the corpus
+    * tokenize + index build every call. */
+  private def bm25StandingMain(copies: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", ShuffleDir.path)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val dst = stagedDir(s"graft_docs${copies}x_c${copies}_m5_d1000000_", src)
+    if (!new java.io.File(s"$dst/_built").exists()) {
+      buildDocs(spark, src, dst, copies)
+      new java.io.File(s"$dst/_built").createNewFile()
+    }
+    def hygiene(): Unit = {
+      graft.TrackedCaches.release()
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(500)
+    }
+    // The serving probe the index exists for: ONE short query (the first
+    // 8 distinct terms of doc 0 — deterministic), whose bucket set is a
+    // strict subset of the layout, vs the shipped q_bm25_standing query
+    // set (5 FULL docs, ~500 distinct terms — a vocabulary that covers
+    // every bucket, so pruning cannot help it; same lesson as the
+    // evolving gate's route census at bench shape).
+    def shortQuery(dir: String): DataFrame = {
+      val text = graft.Tables.documents(spark, dir)
+        .filter(col("doc_id") === 0L).select("text")
+        .collect()(0).getString(0)
+      val terms = text.split(" ").distinct.take(8)
+      import spark.implicits._
+      Seq((0L, terms.mkString(" "))).toDF("doc_id", "text")
+    }
+    def run(tag: String, dir: String, nBuckets: Int): Unit = {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_ladder"
+      deleteRec(new java.io.File(base))
+      val q = graft.Tables.documents(spark, dir).select("doc_id", "text")
+        .filter(col("doc_id") < graft.llm.Retrieval.NumQueries)
+      val t0 = System.nanoTime()
+      graft.llm.Retrieval.bm25BuildIfStale(spark, dir, base, nBuckets)
+      val tb = (System.nanoTime() - t0) / 1e9
+      hygiene()
+      val t1 = System.nanoTime()
+      graft.llm.Retrieval.bm25Probe(spark, base, q)
+        .write.format("noop").mode("overwrite").save()
+      val tp = (System.nanoTime() - t1) / 1e9
+      hygiene()
+      val t1s = System.nanoTime()
+      graft.llm.Retrieval.bm25Probe(spark, base, shortQuery(dir))
+        .write.format("noop").mode("overwrite").save()
+      val tps = (System.nanoTime() - t1s) / 1e9
+      hygiene()
+      val t2 = System.nanoTime()
+      SparkEntry.queries("q_bm25_topk")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val tr = (System.nanoTime() - t2) / 1e9
+      hygiene()
+      println(f"standing,$tag,b$nBuckets,build=$tb%.2f,probe5full=$tp%.2f," +
+        f"probeshort=$tps%.2f,rebuild=$tr%.2f")
+    }
+    run("warm", src, 64) // warm code paths; discard
+    println("standing,scale,buckets,build_s,probe_5full_s,probe_short_s,rebuild_bm25topk_s")
+    run("docs1x", src, 64)
+    run(s"docs${copies}x", dst, 64)
+    // The layout knob: same corpus, 1024 buckets — the short query's
+    // pruned fraction drops ~16x; the 5-full-doc set still covers the
+    // vocabulary and stays un-prunable by design.
+    run(s"docs${copies}x", dst, 1024)
     spark.stop()
   }
 

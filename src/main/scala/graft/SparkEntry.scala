@@ -107,6 +107,7 @@ object SparkEntry {
     "q_ann_ivf_rescore" -> (Similarity.annIvfRescore _),
     "q_mmr_rerank" -> (Similarity.mmrRerank _),
     "q_bm25_topk" -> (Retrieval.bm25TopK _),
+    "q_bm25_standing" -> (Retrieval.bm25TopKStanding _),
     "q_hybrid_rrf" -> (Retrieval.hybridRrf _),
     "q_tfidf_top" -> (TextAnalysis.tfidfTop _),
     "q_pii_scrub" -> (TextAnalysis.piiScrub _),
@@ -500,6 +501,9 @@ object SparkEntry {
     "q_ann_ivf_rescore" -> Similarity.annIvfRescoreSql,
     "q_mmr_rerank" -> Similarity.mmrRerankSql,
     "q_bm25_topk" -> Retrieval.bm25Sql,
+    // Standing index: persistence moves the cost regime (build-once
+    // bucketed postings, partition-pruned probes), never the semantics.
+    "q_bm25_standing" -> Retrieval.bm25Sql,
     "q_hybrid_rrf" -> Retrieval.hybridRrfSql,
     "q_tfidf_top" -> TextAnalysis.tfidfTopSql,
     "q_pii_scrub" -> TextAnalysis.piiScrubSql,

@@ -1564,6 +1564,121 @@ object Retrieval {
           FROM agg) WHERE rk <= $TopK
         ORDER BY query_id, rk"""
 
+  // ── Standing BM25 impact index: the serving regime ──────────────────
+  //
+  // [[bm25TopK]] rebuilds the impact index on every call — right for a
+  // one-shot curation query, wrong for serving (index once, query
+  // repeatedly). The standing form persists buildIndex's IMPACT postings
+  // (tf, len, df, imp — the per-posting BM25 contribution frozen at
+  // build time, which is exactly the static index's semantics) term-
+  // bucketed on disk, so a probe partition-prunes both standing scans to
+  // the query's own buckets and scores by a pure long-sum aggregate over
+  // precomputed impacts: per-probe cost is ~|query-term posting lists|,
+  // never |corpus|. This is the static sibling of [[EvolvingDistIndex]]
+  // (same xxhash64 % 64 bucketing, same pruned-read idiom): that class
+  // re-scores raw postings against EVOLVING stats because its corpus
+  // grows; here the corpus is fixed at build, so impacts freeze and a
+  // probe's answer is row-identical to [[bm25TopK]] — `q_bm25_standing`
+  // reuses [[bm25Sql]] unchanged (persistence moves the cost regime,
+  // never the semantics; RetrievalSpec proves probe ≡ rebuild).
+
+  private def bm25TermBucket(nBuckets: Int): Column =
+    pmod(xxhash64(col("term")), lit(nBuckets.toLong))
+
+  /** Build the standing index at `base` unless its marker shows it was
+    * built from this corpus (same dir, same doc count, same bucket
+    * count). One write task per bucket dir (repartition on the partition
+    * column), so the layout is ≤ nBuckets files per table at any corpus
+    * scale. `nBuckets` is the serving-layout knob: a probe reads the
+    * buckets its query terms hash into, so pruning wins when the query's
+    * distinct-term count is small against nBuckets — size it ~(corpus
+    * partition budget), not to the query (64 mirrors the evolving gate's
+    * bench-scale default; a 100 TB deployment sizes buckets to ~128 MB
+    * partitions exactly like any hive layout). The count is persisted in
+    * `_stats`, so probes always hash with the layout that built the
+    * index. */
+  def bm25BuildIfStale(s: SparkSession, d: String, base: String,
+      nBuckets: Int = EvolvingDistIndex.NumBuckets): Boolean = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val nd = docs.count()
+    val want = s"dir=$d ndocs=$nd buckets=$nBuckets"
+    val mp = java.nio.file.Paths.get(s"$base/_meta")
+    if (java.nio.file.Files.exists(mp) &&
+        new String(java.nio.file.Files.readAllBytes(mp), "UTF-8") == want)
+      return false
+    val bp = java.nio.file.Paths.get(base)
+    if (java.nio.file.Files.exists(bp)) graft.Fs.deleteRec(bp)
+    java.nio.file.Files.createDirectories(bp)
+    val ix = buildIndex(docs, cache = true)
+    def byBucket(df: DataFrame): DataFrame =
+      df.withColumn("bucket", bm25TermBucket(nBuckets))
+        .repartition(col("bucket"))
+    byBucket(ix.tf).write.partitionBy("bucket")
+      .mode("overwrite").parquet(s"$base/postings")
+    byBucket(ix.dft).write.partitionBy("bucket")
+      .mode("overwrite").parquet(s"$base/dft")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/_stats"),
+      s"${ix.n} ${java.lang.Double.toString(ix.avgLen)} $nBuckets"
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(mp, want.getBytes("UTF-8"))
+    true
+  }
+
+  /** Probe-only ranked top-k against a standing index: tokenize the query
+    * docs, prune BOTH standing scans to the query's term buckets (the
+    * bucket-set collect is |query terms|-bounded — the same bound as the
+    * broadcast the candidates join takes), and rank by the frozen
+    * impacts. No index build, no corpus pass. */
+  def bm25Probe(s: SparkSession, base: String, queryDocs: DataFrame,
+      k: Int = TopK): DataFrame = {
+    val Array(nS, alS, nbS) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/_stats")), "UTF-8").split(" ")
+    val qt = postings(queryDocs)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val qb = qt.select(bm25TermBucket(nbS.toInt).as("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // Path-level pruning, not just partition-filter pruning: hand the
+    // reader ONLY the probed bucket directories (basePath keeps the
+    // partition column), so the driver never lists or footer-reads the
+    // unprobed ones — with a wide layout (1024+ buckets) the full-table
+    // listing itself costs more than the probe's data. A query term
+    // whose bucket no corpus term hashed into has no directory; drop it
+    // (it matches nothing). The isin filter stays as the in-plan
+    // partition predicate (and the plan-shape witness).
+    def pruned(dir: String): DataFrame = {
+      val all = s"$base/$dir"
+      val paths = qb.map(b => s"$all/bucket=$b")
+        .filter(p => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
+      val raw = if (paths.isEmpty) s.read.parquet(all)
+        else s.read.option("basePath", all).parquet(paths: _*)
+      raw.filter(col("bucket").isin(qb: _*)).drop("bucket")
+    }
+    val ix = Bm25Index(pruned("postings"), pruned("dft"),
+      nS.toLong, java.lang.Double.parseDouble(alS))
+    graft.plans.TopKPerKey.ensureRegistered(s)
+    val scores = candidates(ix, qt)
+      .groupBy("query_id", "doc_id").agg(sum("imp").as("smicro"))
+    val top = graft.plans.TopKPerKey.topKPerKey(scores, k, Seq("query_id"),
+      Seq("smicro" -> false, "doc_id" -> true))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("smicro").desc, col("doc_id"))
+    top.withColumn("rk", row_number().over(w).cast(IntegerType))
+      .select(col("query_id"), col("rk"), col("doc_id"),
+        round(col("smicro").cast(DoubleType) / lit(1000000.0), 6).as("score"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** The shipped query: same query set and semantics as `q_bm25_topk`,
+    * served from the standing index (built on first call, probe-only
+    * after). Oracle: [[bm25Sql]] unchanged. */
+  def bm25TopKStanding(s: SparkSession, d: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_standing"
+    bm25BuildIfStale(s, d, base)
+    bm25Probe(s, base,
+      Tables.documents(s, d).select("doc_id", "text")
+        .filter(col("doc_id") < NumQueries))
+  }
+
   /** Hybrid retrieval by reciprocal-rank fusion: each query's BM25 ranking
     * and its token-set Jaccard ranking (two genuinely different signals —
     * weighted term overlap vs set overlap) are cut at [[ListK]], and every

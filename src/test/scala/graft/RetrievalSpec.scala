@@ -1,6 +1,7 @@
 package graft
 
 import graft.llm.Retrieval
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
 
@@ -453,5 +454,46 @@ class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bhj.nonEmpty, s"query-term side must broadcast:\n$plan")
     val cart = collectWithSubqueries(plan) { case j: CartesianProductExec => j }
     assert(cart.isEmpty, s"no cartesian product in a retrieval plan:\n$plan")
+  }
+
+  // ── Standing BM25 index: the serving-regime contract ──
+  // The oracle gate proves q_bm25_standing matches DuckDB — but it would
+  // also pass if the "standing" path quietly rebuilt per call. Pin the
+  // parts the oracle can't see: probe ≡ rebuild row-identical, the
+  // second build is a no-op, and the probe's standing scans carry the
+  // term-bucket partition filter (reads ~|query buckets|, not corpus).
+
+  test("standing BM25 probe is row-identical to the rebuild-every-time bm25TopK") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bm25_spec").toString
+    assert(Retrieval.bm25BuildIfStale(spark, Sf, base), "first call builds")
+    val queries = Tables.documents(spark, Sf)
+      .select("doc_id", "text").filter(col("doc_id") < Retrieval.NumQueries)
+    val standing = Retrieval.bm25Probe(spark, base, queries)
+      .collect().map(_.toString).toSeq
+    val rebuild = Retrieval.bm25TopK(spark, Sf)
+      .collect().map(_.toString).toSeq
+    assert(standing.nonEmpty)
+    assert(standing == rebuild, "standing probe diverged from bm25TopK")
+    assert(!Retrieval.bm25BuildIfStale(spark, Sf, base),
+      "unchanged corpus must not rebuild")
+    graft.TrackedCaches.release()
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
+
+  test("standing BM25 probe partition-prunes both scans to the query buckets") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bm25_prune").toString
+    Retrieval.bm25BuildIfStale(spark, Sf, base)
+    // One query doc with few terms: its bucket set is a strict subset of
+    // the 64, so an unpruned scan is distinguishable from a pruned one.
+    val one = Tables.documents(spark, Sf)
+      .select("doc_id", "text").filter(col("doc_id") === 0L)
+    val plan = Retrieval.bm25Probe(spark, base, one)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket"),
+      s"standing scans lost their bucket partition filter:\n$plan")
+    graft.TrackedCaches.release()
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
   }
 }
