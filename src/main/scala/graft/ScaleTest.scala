@@ -99,6 +99,8 @@ object ScaleTest {
       return vecStandingMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
     if (args.headOption.contains("bm25standing"))
       return bm25StandingMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
+    if (args.headOption.contains("dedupstanding"))
+      return dedupStandingMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
     if (args.headOption.contains("events"))
       return eventsMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
     val copies = if (args.nonEmpty) args(0).toInt else 10
@@ -596,6 +598,73 @@ object ScaleTest {
     // pruned fraction drops ~16x; the 5-full-doc set still covers the
     // vocabulary and stays un-prunable by design.
     run(s"docs${copies}x", dst, 1024)
+    spark.stop()
+  }
+
+  /** Standing-shingle-index cost-regime ladder — the dedup sibling of
+    * [[bm25StandingMain]], on the docs ladder's staged corpus: build-once
+    * (corpus shingle postings + df + standing sizes) vs the probe-only
+    * batch screen vs the rebuild-every-time q_dedup_incremental, whose
+    * judge-decomposed 100× profile is DOMINATED by the corpus-linear
+    * capped-index build the standing form amortizes away. */
+  private def dedupStandingMain(copies: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", ShuffleDir.path)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val dst = stagedDir(s"graft_docs${copies}x_c${copies}_m5_d1000000_", src)
+    if (!new java.io.File(s"$dst/_built").exists()) {
+      buildDocs(spark, src, dst, copies)
+      new java.io.File(s"$dst/_built").createNewFile()
+    }
+    def hygiene(): Unit = {
+      graft.TrackedCaches.release()
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(500)
+    }
+    def run(tag: String, dir: String): Unit = {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_shingle_ladder"
+      deleteRec(new java.io.File(base))
+      val fullBatch = graft.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+      // The serving-shape batch: a SMALL arrival slice (1% of the batch
+      // ids) — per-batch cost must track the BATCH, not the corpus.
+      val smallBatch = fullBatch.filter(col("doc_id") % 500 === 0)
+      val t0 = System.nanoTime()
+      graft.llm.Dedup.shingleBuildIfStale(spark, dir, base)
+      val tb = (System.nanoTime() - t0) / 1e9
+      hygiene()
+      val t1 = System.nanoTime()
+      graft.llm.Dedup.shingleProbe(spark, base, fullBatch)
+        .write.format("noop").mode("overwrite").save()
+      val tp = (System.nanoTime() - t1) / 1e9
+      hygiene()
+      val t1s = System.nanoTime()
+      graft.llm.Dedup.shingleProbe(spark, base, smallBatch)
+        .write.format("noop").mode("overwrite").save()
+      val tps = (System.nanoTime() - t1s) / 1e9
+      hygiene()
+      val t2 = System.nanoTime()
+      SparkEntry.queries("q_dedup_incremental")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val tr = (System.nanoTime() - t2) / 1e9
+      hygiene()
+      println(f"standing,$tag,build=$tb%.2f,probefull=$tp%.2f," +
+        f"probesmall=$tps%.2f,rebuild=$tr%.2f")
+    }
+    run("warm", src) // warm code paths; discard
+    println("standing,scale,build_s,probe_fullbatch_s,probe_1pct_s,rebuild_incremental_s")
+    run("docs1x", src)
+    run(s"docs${copies}x", dst)
     spark.stop()
   }
 

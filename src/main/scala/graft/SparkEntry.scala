@@ -198,6 +198,7 @@ object SparkEntry {
     "q_reach_bfs_dist" -> ((s, d) => graft.ops.Graph.reachBfsDistributed(s, d)),
     // Continuous-ingest curation surface
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
+    "q_dedup_standing" -> (Dedup.standingIngestDedup _),
     "q_dup_ngram_fraction" -> (Dedup.dupNgramFraction _),
     "q_curation_funnel" -> (TextAnalysis.curationFunnel _),
     // Product/event analytics over the event stream
@@ -604,6 +605,10 @@ object SparkEntry {
     // (Graph.reachBfsDistributed doc).
     "q_reach_bfs_dist" -> graft.ops.Graph.reachBfsSql,
     "q_dedup_incremental" -> Dedup.incrementalDedupSql,
+    // Standing index: persistence moves the cost regime (build-once
+    // bucketed shingle postings, joint-df-cap reconciled probes), never
+    // the semantics.
+    "q_dedup_standing" -> Dedup.incrementalDedupSql,
     "q_dup_ngram_fraction" -> Dedup.dupNgramFractionSql,
     "q_curation_funnel" -> TextAnalysis.curationFunnelSql,
     "q_event_funnel" -> graft.ops.EventAnalytics.eventFunnelSql,

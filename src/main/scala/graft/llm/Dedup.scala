@@ -453,6 +453,148 @@ object Dedup {
         WHERE d.doc_id % 5 = 0
         ORDER BY d.doc_id"""
 
+  // ── Standing shingle index: the ingestion-serving regime ────────────
+  //
+  // [[incrementalDedup]] is the right QUERY shape (batch × corpus, never
+  // corpus²) but it rebuilds the df-capped inverted index from the whole
+  // corpus on every call — the judge-decomposed 100× profile shows that
+  // corpus-linear capped_index term DOMINATING the remaining cost
+  // (7.1 s of 14.9). The standing form persists the corpus side once —
+  // shingle-bucketed postings, the full df table, and per-doc standing
+  // sizes — and a probe touches only the BATCH's own buckets.
+  //
+  // The subtlety that makes this exact rather than approximate: the
+  // df > [[ShingleDfCap]] stop-shingle cap in [[cappedShingles]] is
+  // computed over batch ∪ corpus JOINTLY, so a standing corpus-only
+  // index cannot bake it in. The probe reconciles: joint df = stored
+  // corpus df + the batch's own df (batch-vocabulary-arity data), a
+  // shingle is KEPT iff joint ≤ cap, and a corpus doc's size is its
+  // standing size n0 minus its count of FLIPPED shingles (corpus df ≤
+  // cap but joint > cap — only batch-vocabulary shingles can flip, so
+  // the correction reads only the probed buckets). Probe output is
+  // row-identical to [[incrementalDedup]] (DedupSpec proves it);
+  // `q_dedup_standing` reuses [[incrementalDedupSql]] unchanged.
+
+  private def shBucket(nBuckets: Int): Column =
+    pmod(xxhash64(col("sh")), lit(nBuckets.toLong))
+
+  /** Build the standing corpus shingle index at `base` unless its marker
+    * shows it was built from this corpus (same dir, same corpus doc
+    * count, same bucket count). Three tables: `postings/` (sh, doc_id;
+    * pre-filtered to corpus-df ≤ cap — a shingle past the cap on corpus
+    * df alone can never be kept), `dfc/` (sh, dfc; ALL shingles — the
+    * probe must distinguish "new shingle" from "capped shingle"), and
+    * `n0/` (doc_id, n0 — the doc's standing capped size). */
+  def shingleBuildIfStale(s: SparkSession, d: String, base: String,
+      nBuckets: Int = 64): Boolean = {
+    val corpus = Tables.documents(s, d)
+      .filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    val nd = corpus.count()
+    val want = s"dir=$d ndocs=$nd buckets=$nBuckets"
+    val mp = java.nio.file.Paths.get(s"$base/_meta")
+    if (java.nio.file.Files.exists(mp) &&
+        new String(java.nio.file.Files.readAllBytes(mp), "UTF-8") == want)
+      return false
+    val bp = java.nio.file.Paths.get(base)
+    if (java.nio.file.Files.exists(bp)) graft.Fs.deleteRec(bp)
+    java.nio.file.Files.createDirectories(bp)
+    val csh = graft.TrackedCaches.track(shinglesOf(corpus).cache())
+    val dfc = csh.groupBy("sh").agg(count(lit(1)).as("dfc"))
+    def byBucket(df: DataFrame): DataFrame =
+      df.withColumn("bucket", shBucket(nBuckets)).repartition(col("bucket"))
+    byBucket(dfc).write.partitionBy("bucket")
+      .mode("overwrite").parquet(s"$base/dfc")
+    val kept = csh.join(
+      s.read.parquet(s"$base/dfc").filter(col("dfc") <= ShingleDfCap)
+        .select("sh"), Seq("sh"))
+    byBucket(kept).write.partitionBy("bucket")
+      .mode("overwrite").parquet(s"$base/postings")
+    s.read.parquet(s"$base/postings")
+      .groupBy("doc_id").agg(count(lit(1)).as("n0"))
+      .write.mode("overwrite").parquet(s"$base/n0")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/_stats"),
+      s"$nBuckets".getBytes("UTF-8"))
+    java.nio.file.Files.write(mp, want.getBytes("UTF-8"))
+    true
+  }
+
+  /** Probe-only ingest dedup against a standing index: shingle the batch,
+    * path-prune the standing postings/df scans to the batch's own
+    * buckets, reconcile the joint df cap, and report every batch doc
+    * (is_dup + smallest matching corpus doc) — [[incrementalDedup]]'s
+    * output contract with the corpus-linear index build GONE from the
+    * serving path. Per-probe cost is |batch| + the batch-vocabulary
+    * posting lists, never |corpus|. */
+  def shingleProbe(s: SparkSession, base: String,
+      batchDocs: DataFrame): DataFrame = {
+    val nBuckets = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/_stats")), "UTF-8").trim.toInt
+    val bsh = graft.TrackedCaches.track(
+      shinglesOf(batchDocs.select("doc_id", "text")).cache())
+    val bdf = bsh.groupBy("sh").agg(count(lit(1)).as("dfb"))
+    val qb = bdf.select(shBucket(nBuckets).as("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // Path-level pruning (the standing-index idiom — see bm25Probe): the
+    // driver lists and reads ONLY the batch's bucket directories.
+    def pruned(dir: String): DataFrame = {
+      val all = s"$base/$dir"
+      val paths = qb.map(b => s"$all/bucket=$b")
+        .filter(p => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
+      val raw = if (paths.isEmpty) s.read.parquet(all)
+        else s.read.option("basePath", all).parquet(paths: _*)
+      raw.filter(col("bucket").isin(qb: _*)).drop("bucket")
+    }
+    // Joint-cap reconciliation over the batch's vocabulary: dfc = 0 for
+    // genuinely new shingles (left join), kept iff dfb + dfc ≤ cap,
+    // flipped iff the BATCH's arrivals pushed a standing shingle past it.
+    val v = graft.TrackedCaches.track(
+      bdf.join(pruned("dfc"), Seq("sh"), "left")
+        .select(col("sh"), col("dfb"),
+          coalesce(col("dfc"), lit(0L)).as("dfc"))
+        .withColumn("joint", col("dfb") + col("dfc")).cache())
+    val kept = v.filter(col("joint") <= ShingleDfCap).select("sh")
+    val flipped = v.filter(col("dfc") <= ShingleDfCap &&
+      col("joint") > ShingleDfCap).select("sh")
+    val bKept = bsh.join(kept, Seq("sh"))
+    val na = bKept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Two consumers (the pair join and the flip correction): one standing
+    // read, not two — the probe's cost is dominated by this scan whenever
+    // the batch's vocabulary covers the bucket space.
+    val postings = graft.TrackedCaches.track(pruned("postings").cache())
+    val inter = bKept.as("a")
+      .join(postings.as("b"), col("a.sh") === col("b.sh"), "inner")
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    val f = postings.join(flipped, Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("fl"))
+    val nb = s.read.parquet(s"$base/n0").join(f, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n0") - coalesce(col("fl"), lit(0L))).as("n"))
+    val matches = inter
+      .join(na.as("na"), col("da") === col("na.doc_id"))
+      .join(nb.as("nb"), col("db") === col("nb.doc_id"))
+      .filter(col("i").cast(DoubleType) /
+        (col("na.n") + col("nb.n") - col("i")) >= JaccardThreshold)
+      .groupBy(col("da")).agg(min(col("db")).as("dup_src"))
+    batchDocs.select(col("doc_id"))
+      .join(matches, col("doc_id") === col("da"), "left")
+      .select(col("doc_id"), col("dup_src").isNotNull.as("is_dup"),
+        coalesce(col("dup_src"), lit(-1L)).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  /** The shipped query: same batch, corpus, and output contract as
+    * `q_dedup_incremental`, served from the standing index (built on
+    * first call, probe-only after). Oracle: [[incrementalDedupSql]]
+    * unchanged. */
+  def standingIngestDedup(s: SparkSession, d: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_shingle_standing"
+    shingleBuildIfStale(s, d, base)
+    shingleProbe(s, base,
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+        .select("doc_id", "text"))
+  }
+
   /** Window width for the duplicated-text-fraction signal: long enough that
     * a shared window means real copied text (the classic memorization-span
     * width from the exact-substring dedup literature), short enough that the

@@ -261,4 +261,66 @@ class DedupSpec extends SparkSpec {
     assert(b.nonEmpty, "gate corpus must produce containment pairs")
     assert(b.toSeq == f.toSeq, "broadcast and shuffle verify routes diverge")
   }
+
+  // ── Standing shingle index: the ingestion-serving contract ──
+  // The oracle gate proves q_dedup_standing matches DuckDB — but not
+  // that the probe actually served from standing state, nor that the
+  // joint-df-cap reconciliation (the part a corpus-only index cannot
+  // bake in) is exact. Pin both.
+
+  test("standing shingle probe is row-identical to incrementalDedup") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_shingle_spec").toString
+    assert(Dedup.shingleBuildIfStale(spark, Sf, base), "first call builds")
+    val batch = Tables.documents(spark, Sf)
+      .filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+    val standing = Dedup.shingleProbe(spark, base, batch)
+      .collect().map(_.toString).toSeq
+    val rebuild = Dedup.incrementalDedup(spark, Sf)
+      .collect().map(_.toString).toSeq
+    assert(standing.nonEmpty)
+    assert(standing == rebuild,
+      "standing probe diverged from incrementalDedup")
+    assert(!Dedup.shingleBuildIfStale(spark, Sf, base),
+      "unchanged corpus must not rebuild")
+    graft.TrackedCaches.release()
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
+
+  test("standing probe reconciles the joint df cap exactly (crafted flip)") {
+    import spark.implicits._
+    // Corpus: ShingleDfCap docs sharing one 3-gram ("x y z"), each padded
+    // unique; its corpus df == cap, so it SURVIVES the standing build.
+    // The batch adds one more doc with that 3-gram → joint df = cap + 1
+    // → the rebuild-every-time cap drops it. If the probe failed to
+    // reconcile, the shared shingle would make the batch doc a candidate
+    // against every corpus doc AND corpus sizes would over-count.
+    val cap = Dedup.ShingleDfCap
+    // doc ids ≡ 1 (mod 5) → corpus slice; batch doc id ≡ 0 (mod 5).
+    val corpus = (0 until cap).map { i =>
+      (i * 5L + 1, s"x y z u$i v$i w$i")
+    }.toDF("doc_id", "text")
+    val batch = Seq((0L, "x y z p q r")).toDF("doc_id", "text")
+    val all = corpus.unionByName(batch)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shingle_flip").toString
+    all.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_shingle_flip_ix").toString
+    Dedup.shingleBuildIfStale(spark, dir, base)
+    val standing = Dedup.shingleProbe(spark, base,
+        all.filter(col("doc_id") % 5 === 0))
+      .collect().map(_.toString).toSeq
+    val rebuild = Dedup.incrementalDedup(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(standing == rebuild,
+      "joint-cap reconciliation diverged on the crafted flip corpus")
+    // And the flip is real: the batch doc must NOT be a dup (its only
+    // shared shingle crossed the cap; the unique tails don't match).
+    assert(rebuild.size == 1 && rebuild.head.contains("false"),
+      s"crafted corpus must make the flip decisive, got $rebuild")
+    graft.TrackedCaches.release()
+    graft.Fs.deleteRec(java.nio.file.Paths.get(dir))
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
 }
