@@ -323,4 +323,40 @@ class DedupSpec extends SparkSpec {
     graft.Fs.deleteRec(java.nio.file.Paths.get(dir))
     graft.Fs.deleteRec(java.nio.file.Paths.get(base))
   }
+
+  test("standing probe equals incrementalDedup on random corpora (property)") {
+    // Fuzz the joint-cap reconciliation across regimes the crafted cases
+    // can't enumerate: a TINY vocabulary over many docs puts shingle dfs
+    // on BOTH sides of ShingleDfCap (=50), with batch arrivals flipping
+    // an arbitrary subset — and heavy cross-doc duplication makes real
+    // jaccard matches, so the sizes arithmetic (na, n0 − flipped) is
+    // exercised on rows that actually decide is_dup. 3 seeds × ~160 docs.
+    val tinyVocab = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val tinyDoc = Gen.chooseNum(3, 9).flatMap(n => Gen.listOfN(n, tinyVocab))
+    (1 to 3).foreach { seed =>
+      val docs = (0 until 160).flatMap { i =>
+        tinyDoc.apply(Gen.Parameters.default, Seed(seed * 1000L + i))
+          .map(ws => (i.toLong, ws.mkString(" ")))
+      }.toDF("doc_id", "text")
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_shingle_prop_$seed").toString
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_shingle_prop_ix_$seed").toString
+      Dedup.shingleBuildIfStale(spark, dir, base)
+      val standing = Dedup.shingleProbe(spark, base,
+          docs.filter(col("doc_id") % 5 === 0))
+        .collect().map(_.toString).toSeq
+      val rebuild = Dedup.incrementalDedup(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(standing == rebuild,
+        s"seed $seed: standing probe diverged from incrementalDedup")
+      // The fuzz must actually exercise the interesting rows.
+      assert(rebuild.exists(_.contains("true")),
+        s"seed $seed: corpus produced no dup matches — fuzz too weak")
+      graft.TrackedCaches.release()
+      graft.Fs.deleteRec(java.nio.file.Paths.get(dir))
+      graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+    }
+  }
 }
