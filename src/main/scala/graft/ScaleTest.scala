@@ -459,6 +459,34 @@ object ScaleTest {
     * neighbors. Reported per scale: annIvf/annLsh/brute wall time AND the
     * (nprobe, scan fraction, recall@10) ladder including the shipped
     * probesFor point at each scale. */
+  /** The standing-index ladders' shared session (the same config block
+    * every ladder main uses; `ext` adds GraftExtensions for mains whose
+    * queries need the registered plans/functions). */
+  private def ladderSession(ext: Boolean): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", ShuffleDir.path)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      .config("spark.ui.enabled", "false")
+    val spark =
+      (if (ext) b.withExtensions(new graft.functions.GraftExtensions) else b)
+        .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Post-measurement hygiene OUTSIDE the timed window (the ladder rule:
+    * released caches must actually be reaped before the next row). */
+  private def settle(spark: SparkSession): Unit = {
+    graft.TrackedCaches.release()
+    spark.catalog.clearCache()
+    System.gc()
+    Thread.sleep(500)
+  }
+
   /** Standing-IVF-index cost-regime ladder: at 1x and `copies`x, measure
     * (a) the one-time index BUILD (train + full-corpus assignment + the
     * cell-partitioned layout write), (b) a PROBE-ONLY query against the
@@ -468,27 +496,12 @@ object ScaleTest {
     * scan) while rebuild pays training's N·√N kernel plus the corpus
     * assignment pass every call. Reuses the vecs mode's staged corpus. */
   private def vecStandingMain(copies: Int): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.local.dir", ShuffleDir.path)
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ladderSession(ext = false)
     val src = "/root/testdata/sf0.1"
     val dst = stagedDir(s"graft_vecs${copies}x_c${copies}_v1000000_", src)
     if (!new java.io.File(s"$dst/_built").exists()) {
       buildVecs(spark, src, dst, copies)
       new java.io.File(s"$dst/_built").createNewFile()
-    }
-    def hygiene(): Unit = {
-      graft.TrackedCaches.release()
-      spark.catalog.clearCache()
-      System.gc()
-      Thread.sleep(500)
     }
     def run(tag: String, dir: String): Unit = {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_ladder"
@@ -498,17 +511,17 @@ object ScaleTest {
       val t0 = System.nanoTime()
       graft.llm.AnnIndex.buildIfStale(spark, dir, base)
       val tb = (System.nanoTime() - t0) / 1e9
-      hygiene()
+      settle(spark)
       val t1 = System.nanoTime()
       graft.llm.AnnIndex.probe(spark, base, q)
         .write.format("noop").mode("overwrite").save()
       val tp = (System.nanoTime() - t1) / 1e9
-      hygiene()
+      settle(spark)
       val t2 = System.nanoTime()
       SparkEntry.queries("q_ann_ivf")(spark, dir)
         .write.format("noop").mode("overwrite").save()
       val tr = (System.nanoTime() - t2) / 1e9
-      hygiene()
+      settle(spark)
       println(f"standing,$tag,build=$tb%.2f,probe=$tp%.2f,rebuild=$tr%.2f")
     }
     run("warm", src) // warm code paths; discard
@@ -526,28 +539,12 @@ object ScaleTest {
     * tracks the QUERY's posting lists while rebuild pays the corpus
     * tokenize + index build every call. */
   private def bm25StandingMain(copies: Int): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.local.dir", ShuffleDir.path)
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.functions.GraftExtensions)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ladderSession(ext = true)
     val src = "/root/testdata/sf0.1"
     val dst = stagedDir(s"graft_docs${copies}x_c${copies}_m5_d1000000_", src)
     if (!new java.io.File(s"$dst/_built").exists()) {
       buildDocs(spark, src, dst, copies)
       new java.io.File(s"$dst/_built").createNewFile()
-    }
-    def hygiene(): Unit = {
-      graft.TrackedCaches.release()
-      spark.catalog.clearCache()
-      System.gc()
-      Thread.sleep(500)
     }
     // The serving probe the index exists for: ONE short query (the first
     // 8 distinct terms of doc 0 — deterministic), whose bucket set is a
@@ -571,22 +568,22 @@ object ScaleTest {
       val t0 = System.nanoTime()
       graft.llm.Retrieval.bm25BuildIfStale(spark, dir, base, nBuckets)
       val tb = (System.nanoTime() - t0) / 1e9
-      hygiene()
+      settle(spark)
       val t1 = System.nanoTime()
       graft.llm.Retrieval.bm25Probe(spark, base, q)
         .write.format("noop").mode("overwrite").save()
       val tp = (System.nanoTime() - t1) / 1e9
-      hygiene()
+      settle(spark)
       val t1s = System.nanoTime()
       graft.llm.Retrieval.bm25Probe(spark, base, shortQuery(dir))
         .write.format("noop").mode("overwrite").save()
       val tps = (System.nanoTime() - t1s) / 1e9
-      hygiene()
+      settle(spark)
       val t2 = System.nanoTime()
       SparkEntry.queries("q_bm25_topk")(spark, dir)
         .write.format("noop").mode("overwrite").save()
       val tr = (System.nanoTime() - t2) / 1e9
-      hygiene()
+      settle(spark)
       println(f"standing,$tag,b$nBuckets,build=$tb%.2f,probe5full=$tp%.2f," +
         f"probeshort=$tps%.2f,rebuild=$tr%.2f")
     }
@@ -608,28 +605,12 @@ object ScaleTest {
     * judge-decomposed 100× profile is DOMINATED by the corpus-linear
     * capped-index build the standing form amortizes away. */
   private def dedupStandingMain(copies: Int): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.local.dir", ShuffleDir.path)
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.functions.GraftExtensions)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ladderSession(ext = true)
     val src = "/root/testdata/sf0.1"
     val dst = stagedDir(s"graft_docs${copies}x_c${copies}_m5_d1000000_", src)
     if (!new java.io.File(s"$dst/_built").exists()) {
       buildDocs(spark, src, dst, copies)
       new java.io.File(s"$dst/_built").createNewFile()
-    }
-    def hygiene(): Unit = {
-      graft.TrackedCaches.release()
-      spark.catalog.clearCache()
-      System.gc()
-      Thread.sleep(500)
     }
     def run(tag: String, dir: String): Unit = {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_shingle_ladder"
@@ -642,22 +623,22 @@ object ScaleTest {
       val t0 = System.nanoTime()
       graft.llm.Dedup.shingleBuildIfStale(spark, dir, base)
       val tb = (System.nanoTime() - t0) / 1e9
-      hygiene()
+      settle(spark)
       val t1 = System.nanoTime()
       graft.llm.Dedup.shingleProbe(spark, base, fullBatch)
         .write.format("noop").mode("overwrite").save()
       val tp = (System.nanoTime() - t1) / 1e9
-      hygiene()
+      settle(spark)
       val t1s = System.nanoTime()
       graft.llm.Dedup.shingleProbe(spark, base, smallBatch)
         .write.format("noop").mode("overwrite").save()
       val tps = (System.nanoTime() - t1s) / 1e9
-      hygiene()
+      settle(spark)
       val t2 = System.nanoTime()
       SparkEntry.queries("q_dedup_incremental")(spark, dir)
         .write.format("noop").mode("overwrite").save()
       val tr = (System.nanoTime() - t2) / 1e9
-      hygiene()
+      settle(spark)
       println(f"standing,$tag,build=$tb%.2f,probefull=$tp%.2f," +
         f"probesmall=$tps%.2f,rebuild=$tr%.2f")
     }

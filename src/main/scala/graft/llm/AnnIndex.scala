@@ -58,23 +58,29 @@ object AnnIndex {
   private def metaPath(base: String)     = s"$base/_meta"
 
   /** Build the index at `base` unless `_meta` shows it was already built
-    * from this corpus (same dir, same row count). Returns true iff a
-    * build ran. The build is the amortized one-time cost: train (on the
+    * from this corpus (same dir, same corpus-file content signature —
+    * name/length/mtime of every file, so an in-place rewrite with the
+    * same row count still rebuilds). Returns true iff a build ran. The
+    * build is the amortized one-time cost: train (on the
     * [[Similarity.SamplePerCell]]-bounded slice), assign every vector to
     * its cell (the unavoidable full-corpus pass), and lay the corpus out
-    * cell-partitioned so probes can skip. */
+    * cell-partitioned so probes can skip. The marker also records the
+    * corpus row count n: [[probe]] derives its budget as
+    * probesFor(centroidsFor(n)) — NOT from the stored centroid row
+    * count, which can be smaller when training empties a cell (ties
+    * break to one seed; the other's cell drops out of the groupBy) and
+    * would silently diverge from [[Similarity.annIvf]]'s budget. */
   def buildIfStale(s: SparkSession, d: String, base: String): Boolean = {
+    val sig = StandingIndex.sourceSig(s"$d/embeddings.parquet")
+    val mp = java.nio.file.Paths.get(metaPath(base))
+    val prior: Option[String] =
+      if (java.nio.file.Files.exists(mp))
+        Some(new String(java.nio.file.Files.readAllBytes(mp), "UTF-8"))
+      else None
+    if (prior.exists(_.startsWith(s"dir=$d sig=$sig n="))) return false
+    StandingIndex.reset(base)
     val emb = Tables.embeddings(s, d)
     val n = emb.count()
-    val want = s"dir=$d n=$n"
-    val mp = java.nio.file.Paths.get(metaPath(base))
-    if (java.nio.file.Files.exists(mp) &&
-        new String(java.nio.file.Files.readAllBytes(mp), "UTF-8") == want)
-      return false
-    val bp = java.nio.file.Paths.get(base)
-    if (java.nio.file.Files.exists(bp)) graft.Fs.deleteRec(bp)
-    java.nio.file.Files.createDirectories(bp)
-
     val sx = graft.TrackedCaches.track(scaledOf(emb).cache())
     val k = centroidsFor(n)
     val cents = trainCentroids(sx, seedCentroidsOf(emb, sx, k), n, k)
@@ -87,7 +93,7 @@ object AnnIndex {
       // `cell=<id>/` directory at any corpus scale (k = √N directories).
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(cellsDir(base))
-    java.nio.file.Files.write(mp, want.getBytes("UTF-8"))
+    StandingIndex.commit(base, s"dir=$d sig=$sig n=$n")
     true
   }
 
@@ -98,22 +104,30 @@ object AnnIndex {
     * (vec_id, embedding) frame; output matches [[Similarity.annIvf]]'s
     * (query_id, neighbor_id, cos) contract. */
   def probe(s: SparkSession, base: String, queries: DataFrame): DataFrame = {
+    val n = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(metaPath(base))), "UTF-8")
+      .split(" n=")(1).trim.toLong
     val cents = s.read.parquet(centroidsDir(base))
-    val k = cents.count().toInt // k = √N rows — metadata-cheap
-    val q = probeCells(scaledOf(queries), cents, probesFor(k))
-      .withColumnRenamed("vec_id", "query_id")
-      .join(queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("qe")), "query_id")
-    // Static partition pruning: the probed-cell set is a projection of
-    // the frame broadcast into the join below, so this collect is
-    // bounded by the same budget as that broadcast (≤ |queries|·nprobe
-    // ints). An IN list on the partition column prunes unprobed cell
-    // directories at planning time — deterministic, plan-visible
-    // (PartitionFilters), independent of the DPP heuristics.
+    // The annIvf-identical budget: from the corpus count the index was
+    // built over, never from surviving centroid rows (scaladoc above).
+    val nprobe = probesFor(centroidsFor(n))
+    // Two consumers (the probed-cells collect and the broadcast join):
+    // cache the query-routing frame so the centroid cross-join + window
+    // run once per probe.
+    val q = graft.TrackedCaches.track(
+      probeCells(scaledOf(queries), cents, nprobe)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("qe")), "query_id").cache())
+    // The probed-cell set is a projection of the frame broadcast into
+    // the join below, so this collect is bounded by the same budget as
+    // that broadcast (≤ |queries|·nprobe ints). Path-level pruning (the
+    // StandingIndex idiom): only the probed cell directories are listed
+    // and read; the isin filter stays as the plan-visible
+    // PartitionFilters witness.
     val probed = q.select("cell").distinct()
-      .collect().map(_.getInt(0)).sorted
-    s.read.parquet(cellsDir(base))
-      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+      .collect().map(_.getInt(0).toLong).sorted
+    StandingIndex.prunedRead(s, cellsDir(base), "cell", probed)
       .join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

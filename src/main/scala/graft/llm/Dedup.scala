@@ -475,46 +475,37 @@ object Dedup {
   // row-identical to [[incrementalDedup]] (DedupSpec proves it);
   // `q_dedup_standing` reuses [[incrementalDedupSql]] unchanged.
 
-  private def shBucket(nBuckets: Int): Column =
-    pmod(xxhash64(col("sh")), lit(nBuckets.toLong))
-
   /** Build the standing corpus shingle index at `base` unless its marker
-    * shows it was built from this corpus (same dir, same corpus doc
-    * count, same bucket count). Three tables: `postings/` (sh, doc_id;
-    * pre-filtered to corpus-df ≤ cap — a shingle past the cap on corpus
-    * df alone can never be kept), `dfc/` (sh, dfc; ALL shingles — the
-    * probe must distinguish "new shingle" from "capped shingle"), and
-    * `n0/` (doc_id, n0 — the doc's standing capped size). */
+    * shows it was built from this corpus (same dir, same corpus-file
+    * content signature — an in-place rewrite with the same doc count
+    * still rebuilds — and same bucket count). Three tables: `postings/`
+    * (sh, doc_id; pre-filtered to corpus-df ≤ cap — a shingle past the
+    * cap on corpus df alone can never be kept), `dfc/` (sh, dfc; ALL
+    * shingles — the probe must distinguish "new shingle" from "capped
+    * shingle"), and `n0/` (doc_id, n0 — the doc's standing capped
+    * size). */
   def shingleBuildIfStale(s: SparkSession, d: String, base: String,
       nBuckets: Int = 64): Boolean = {
+    val sig = StandingIndex.sourceSig(s"$d/documents.parquet")
+    val want = s"dir=$d sig=$sig buckets=$nBuckets"
+    if (StandingIndex.upToDate(base, want)) return false
+    StandingIndex.reset(base)
     val corpus = Tables.documents(s, d)
       .filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
-    val nd = corpus.count()
-    val want = s"dir=$d ndocs=$nd buckets=$nBuckets"
-    val mp = java.nio.file.Paths.get(s"$base/_meta")
-    if (java.nio.file.Files.exists(mp) &&
-        new String(java.nio.file.Files.readAllBytes(mp), "UTF-8") == want)
-      return false
-    val bp = java.nio.file.Paths.get(base)
-    if (java.nio.file.Files.exists(bp)) graft.Fs.deleteRec(bp)
-    java.nio.file.Files.createDirectories(bp)
     val csh = graft.TrackedCaches.track(shinglesOf(corpus).cache())
     val dfc = csh.groupBy("sh").agg(count(lit(1)).as("dfc"))
-    def byBucket(df: DataFrame): DataFrame =
-      df.withColumn("bucket", shBucket(nBuckets)).repartition(col("bucket"))
-    byBucket(dfc).write.partitionBy("bucket")
-      .mode("overwrite").parquet(s"$base/dfc")
+    StandingIndex.writeBucketed(dfc, col("sh"), nBuckets, s"$base/dfc")
     val kept = csh.join(
       s.read.parquet(s"$base/dfc").filter(col("dfc") <= ShingleDfCap)
         .select("sh"), Seq("sh"))
-    byBucket(kept).write.partitionBy("bucket")
-      .mode("overwrite").parquet(s"$base/postings")
+    StandingIndex.writeBucketed(kept, col("sh"), nBuckets,
+      s"$base/postings")
     s.read.parquet(s"$base/postings")
       .groupBy("doc_id").agg(count(lit(1)).as("n0"))
       .write.mode("overwrite").parquet(s"$base/n0")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/_stats"),
       s"$nBuckets".getBytes("UTF-8"))
-    java.nio.file.Files.write(mp, want.getBytes("UTF-8"))
+    StandingIndex.commit(base, want)
     true
   }
 
@@ -532,18 +523,12 @@ object Dedup {
     val bsh = graft.TrackedCaches.track(
       shinglesOf(batchDocs.select("doc_id", "text")).cache())
     val bdf = bsh.groupBy("sh").agg(count(lit(1)).as("dfb"))
-    val qb = bdf.select(shBucket(nBuckets).as("bucket")).distinct()
+    val qb = bdf.select(StandingIndex.bucketOf(col("sh"), nBuckets)
+        .as("bucket")).distinct()
       .collect().map(_.getLong(0)).sorted
-    // Path-level pruning (the standing-index idiom — see bm25Probe): the
-    // driver lists and reads ONLY the batch's bucket directories.
-    def pruned(dir: String): DataFrame = {
-      val all = s"$base/$dir"
-      val paths = qb.map(b => s"$all/bucket=$b")
-        .filter(p => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
-      val raw = if (paths.isEmpty) s.read.parquet(all)
-        else s.read.option("basePath", all).parquet(paths: _*)
-      raw.filter(col("bucket").isin(qb: _*)).drop("bucket")
-    }
+    def pruned(dir: String): DataFrame =
+      StandingIndex.prunedRead(s, s"$base/$dir", "bucket", qb)
+        .drop("bucket")
     // Joint-cap reconciliation over the batch's vocabulary: dfc = 0 for
     // genuinely new shingles (left join), kept iff dfb + dfc ≤ cap,
     // flipped iff the BATCH's arrivals pushed a standing shingle past it.

@@ -1582,45 +1582,35 @@ object Retrieval {
   // reuses [[bm25Sql]] unchanged (persistence moves the cost regime,
   // never the semantics; RetrievalSpec proves probe ≡ rebuild).
 
-  private def bm25TermBucket(nBuckets: Int): Column =
-    pmod(xxhash64(col("term")), lit(nBuckets.toLong))
-
   /** Build the standing index at `base` unless its marker shows it was
-    * built from this corpus (same dir, same doc count, same bucket
-    * count). One write task per bucket dir (repartition on the partition
-    * column), so the layout is ≤ nBuckets files per table at any corpus
-    * scale. `nBuckets` is the serving-layout knob: a probe reads the
-    * buckets its query terms hash into, so pruning wins when the query's
-    * distinct-term count is small against nBuckets — size it ~(corpus
-    * partition budget), not to the query (64 mirrors the evolving gate's
-    * bench-scale default; a 100 TB deployment sizes buckets to ~128 MB
-    * partitions exactly like any hive layout). The count is persisted in
-    * `_stats`, so probes always hash with the layout that built the
-    * index. */
+    * built from this corpus (same dir, same corpus-file content
+    * signature — an in-place rewrite with the same doc count still
+    * rebuilds — and same bucket count). One write task per bucket dir
+    * ([[StandingIndex.writeBucketed]]), so the layout is ≤ nBuckets
+    * files per table at any corpus scale. `nBuckets` is the
+    * serving-layout knob: a probe reads the buckets its query terms hash
+    * into, so pruning wins when the query's distinct-term count is small
+    * against nBuckets — size it ~(corpus partition budget), not to the
+    * query (64 mirrors the evolving gate's bench-scale default; a 100 TB
+    * deployment sizes buckets to ~128 MB partitions exactly like any
+    * hive layout). The count is persisted in `_stats`, so probes always
+    * hash with the layout that built the index. */
   def bm25BuildIfStale(s: SparkSession, d: String, base: String,
       nBuckets: Int = EvolvingDistIndex.NumBuckets): Boolean = {
+    val sig = StandingIndex.sourceSig(s"$d/documents.parquet")
+    val want = s"dir=$d sig=$sig buckets=$nBuckets"
+    if (StandingIndex.upToDate(base, want)) return false
+    StandingIndex.reset(base)
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val nd = docs.count()
-    val want = s"dir=$d ndocs=$nd buckets=$nBuckets"
-    val mp = java.nio.file.Paths.get(s"$base/_meta")
-    if (java.nio.file.Files.exists(mp) &&
-        new String(java.nio.file.Files.readAllBytes(mp), "UTF-8") == want)
-      return false
-    val bp = java.nio.file.Paths.get(base)
-    if (java.nio.file.Files.exists(bp)) graft.Fs.deleteRec(bp)
-    java.nio.file.Files.createDirectories(bp)
     val ix = buildIndex(docs, cache = true)
-    def byBucket(df: DataFrame): DataFrame =
-      df.withColumn("bucket", bm25TermBucket(nBuckets))
-        .repartition(col("bucket"))
-    byBucket(ix.tf).write.partitionBy("bucket")
-      .mode("overwrite").parquet(s"$base/postings")
-    byBucket(ix.dft).write.partitionBy("bucket")
-      .mode("overwrite").parquet(s"$base/dft")
+    StandingIndex.writeBucketed(ix.tf, col("term"), nBuckets,
+      s"$base/postings")
+    StandingIndex.writeBucketed(ix.dft, col("term"), nBuckets,
+      s"$base/dft")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/_stats"),
       s"${ix.n} ${java.lang.Double.toString(ix.avgLen)} $nBuckets"
         .getBytes("UTF-8"))
-    java.nio.file.Files.write(mp, want.getBytes("UTF-8"))
+    StandingIndex.commit(base, want)
     true
   }
 
@@ -1633,26 +1623,17 @@ object Retrieval {
       k: Int = TopK): DataFrame = {
     val Array(nS, alS, nbS) = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$base/_stats")), "UTF-8").split(" ")
-    val qt = postings(queryDocs)
-      .select(col("doc_id").as("query_id"), col("term"))
-    val qb = qt.select(bm25TermBucket(nbS.toInt).as("bucket")).distinct()
+    // Two consumers (the bucket-set collect and the candidates
+    // broadcast): cache the query-side term frame so the tokenize +
+    // groupBy run once per probe.
+    val qt = graft.TrackedCaches.track(postings(queryDocs)
+      .select(col("doc_id").as("query_id"), col("term")).cache())
+    val qb = qt.select(StandingIndex.bucketOf(col("term"), nbS.toInt)
+        .as("bucket")).distinct()
       .collect().map(_.getLong(0)).sorted
-    // Path-level pruning, not just partition-filter pruning: hand the
-    // reader ONLY the probed bucket directories (basePath keeps the
-    // partition column), so the driver never lists or footer-reads the
-    // unprobed ones — with a wide layout (1024+ buckets) the full-table
-    // listing itself costs more than the probe's data. A query term
-    // whose bucket no corpus term hashed into has no directory; drop it
-    // (it matches nothing). The isin filter stays as the in-plan
-    // partition predicate (and the plan-shape witness).
-    def pruned(dir: String): DataFrame = {
-      val all = s"$base/$dir"
-      val paths = qb.map(b => s"$all/bucket=$b")
-        .filter(p => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
-      val raw = if (paths.isEmpty) s.read.parquet(all)
-        else s.read.option("basePath", all).parquet(paths: _*)
-      raw.filter(col("bucket").isin(qb: _*)).drop("bucket")
-    }
+    def pruned(dir: String): DataFrame =
+      StandingIndex.prunedRead(s, s"$base/$dir", "bucket", qb)
+        .drop("bucket")
     val ix = Bm25Index(pruned("postings"), pruned("dft"),
       nS.toLong, java.lang.Double.parseDouble(alS))
     graft.plans.TopKPerKey.ensureRegistered(s)

@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared machinery of the three standing (persisted, probe-only) indexes
+  * — [[AnnIndex]] (IVF cells), [[Retrieval]]'s BM25 impact index, and
+  * [[Dedup]]'s shingle index. One implementation of the three idioms they
+  * all need, so a fix lands once:
+  *
+  *  - **Content-aware staleness marker.** The first cut stamped only
+  *    (source dir, row count), which is blind to an in-place rewrite with
+  *    the same cardinality — a regenerated corpus would silently serve
+  *    the old index. The marker now embeds [[sourceSig]]: name + length +
+  *    mtime of every file under the source table, so any rewrite flips
+  *    it. Checking is pure file metadata — no Spark job on the serving
+  *    path.
+  *  - **Bucketed layout writer** (xxhash64 % n on the routing column,
+  *    repartitioned on the partition column so each bucket directory is
+  *    one file per write at any corpus scale).
+  *  - **Path-level pruned reader.** Handing the reader only the probed
+  *    `part=value` directories (with basePath preserving the partition
+  *    column) keeps the driver from listing + footer-reading the
+  *    unprobed ones — measured on the BM25 ladder: at 1024 buckets the
+  *    full-table listing cost MORE than the probe's data (5.5 → 3.1 s
+  *    after the fix). The residual isin filter stays as the in-plan
+  *    partition predicate and the plan-shape witness.
+  */
+private[graft] object StandingIndex {
+
+  /** Content signature of a source table (file or directory): md5 over
+    * sorted (relative-name, length, mtime) of every regular file. File
+    * metadata only — safe to evaluate on every serving call. */
+  def sourceSig(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return "absent"
+    val st = java.nio.file.Files.walk(p)
+    val parts =
+      try {
+        val b = Seq.newBuilder[String]
+        st.filter(q => java.nio.file.Files.isRegularFile(q))
+          .sorted()
+          .forEach { q =>
+            b += s"${p.relativize(q)}:${java.nio.file.Files.size(q)}:" +
+              s"${java.nio.file.Files.getLastModifiedTime(q).toMillis}"
+          }
+        b.result()
+      } finally st.close()
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** True iff `base/_meta` exists and matches `want` exactly. */
+  def upToDate(base: String, want: String): Boolean = {
+    val mp = java.nio.file.Paths.get(s"$base/_meta")
+    java.nio.file.Files.exists(mp) &&
+      new String(java.nio.file.Files.readAllBytes(mp), "UTF-8") == want
+  }
+
+  /** Wipe and recreate `base` for a fresh build. */
+  def reset(base: String): Unit = {
+    val bp = java.nio.file.Paths.get(base)
+    if (java.nio.file.Files.exists(bp)) graft.Fs.deleteRec(bp)
+    java.nio.file.Files.createDirectories(bp)
+    ()
+  }
+
+  /** Stamp the marker — written LAST in every build, so a crash mid-build
+    * leaves a stale-marked (rebuildable) dir, never a fresh-marked
+    * partial one. */
+  def commit(base: String, want: String): Unit = {
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/_meta"),
+      want.getBytes("UTF-8"))
+    ()
+  }
+
+  /** The routing-column bucket expression shared with
+    * [[Retrieval.EvolvingDistIndex]]: pmod(xxhash64(c), n). */
+  def bucketOf(c: Column, nBuckets: Int): Column =
+    pmod(xxhash64(c), lit(nBuckets.toLong))
+
+  /** Bucket-partitioned layout write: one task — hence one file — per
+    * bucket directory. */
+  def writeBucketed(df: DataFrame, routing: Column, nBuckets: Int,
+      dir: String): Unit = {
+    df.withColumn("bucket", bucketOf(routing, nBuckets))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+    ()
+  }
+
+  /** Path-level pruned read of a `part`-partitioned table: only the
+    * probed `part=value` directories are listed and read; the isin
+    * filter remains as the in-plan partition predicate (callers that
+    * don't join on it drop the column). Falls back to a full
+    * (partition-filtered) read when none of the probed directories
+    * exist, which also covers reading a layout written before any
+    * matching value existed. */
+  def prunedRead(s: SparkSession, tableDir: String, part: String,
+      values: Seq[Long]): DataFrame = {
+    val paths = values.map(v => s"$tableDir/$part=$v")
+      .filter(p => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
+    val raw = if (paths.isEmpty) s.read.parquet(tableDir)
+      else s.read.option("basePath", tableDir).parquet(paths: _*)
+    raw.filter(col(part).isin(values: _*))
+  }
+}

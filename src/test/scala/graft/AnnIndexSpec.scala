@@ -51,12 +51,16 @@ class AnnIndexSpec extends SparkSpec {
   test("a changed corpus is stale — the marker guards against serving old cells") {
     val base = freshBase("stale")
     assert(AnnIndex.buildIfStale(spark, Sf, base))
-    // Same dir string, different row count ⇒ meta mismatch ⇒ rebuild.
+    // Simulate an in-place corpus rewrite: the marker's content
+    // signature (file name/length/mtime digest) no longer matches ⇒
+    // rebuild — the exact hole a row-count-only marker would miss.
     val meta = java.nio.file.Paths.get(s"$base/_meta")
     val stamped = new String(java.nio.file.Files.readAllBytes(meta), "UTF-8")
-    java.nio.file.Files.write(meta, (stamped + "0").getBytes("UTF-8"))
+    assert(stamped.contains(" sig="), s"marker must carry a content sig: $stamped")
+    java.nio.file.Files.write(meta,
+      stamped.replaceFirst(" sig=[0-9a-f]+", " sig=deadbeef").getBytes("UTF-8"))
     assert(AnnIndex.buildIfStale(spark, Sf, base),
-      "meta mismatch must trigger a rebuild")
+      "content-signature mismatch must trigger a rebuild")
     graft.Fs.deleteRec(java.nio.file.Paths.get(base))
   }
 
