@@ -634,16 +634,36 @@ object ScaleTest {
         .write.format("noop").mode("overwrite").save()
       val tps = (System.nanoTime() - t1s) / 1e9
       settle(spark)
+      // The commit leg: accept arrival 1's survivors into the standing
+      // state (timing includes the survivor probe — that probe+commit
+      // pair IS the per-arrival serving cost), then probe a SECOND
+      // arrival slice against the grown index. Both must track the
+      // batch, not the corpus.
+      val small2 = fullBatch.filter(col("doc_id") % 500 === 250)
+      val t1c = System.nanoTime()
+      val survivors = smallBatch.join(
+        graft.llm.Dedup.shingleProbe(spark, base, smallBatch)
+          .filter(!col("is_dup")).select("doc_id"), Seq("doc_id"), "left_semi")
+      graft.llm.Dedup.shingleCommit(spark, base, survivors)
+      val tc = (System.nanoTime() - t1c) / 1e9
+      settle(spark)
+      val t1p2 = System.nanoTime()
+      graft.llm.Dedup.shingleProbe(spark, base, small2)
+        .write.format("noop").mode("overwrite").save()
+      val tp2 = (System.nanoTime() - t1p2) / 1e9
+      settle(spark)
       val t2 = System.nanoTime()
       SparkEntry.queries("q_dedup_incremental")(spark, dir)
         .write.format("noop").mode("overwrite").save()
       val tr = (System.nanoTime() - t2) / 1e9
       settle(spark)
       println(f"standing,$tag,build=$tb%.2f,probefull=$tp%.2f," +
-        f"probesmall=$tps%.2f,rebuild=$tr%.2f")
+        f"probesmall=$tps%.2f,commit=$tc%.2f,probe2=$tp2%.2f," +
+        f"rebuild=$tr%.2f")
     }
     run("warm", src) // warm code paths; discard
-    println("standing,scale,build_s,probe_fullbatch_s,probe_1pct_s,rebuild_incremental_s")
+    println("standing,scale,build_s,probe_fullbatch_s,probe_1pct_s," +
+      "commit_1pct_s,probe2_1pct_s,rebuild_incremental_s")
     run("docs1x", src)
     run(s"docs${copies}x", dst)
     spark.stop()

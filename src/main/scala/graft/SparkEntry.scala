@@ -34,6 +34,7 @@ object SparkEntry {
     "q_distinct_flags" -> (Relational.distinctFlags _),
     "q_global_count" -> (Relational.globalCount _),
     "q_csv_roundtrip" -> (Relational.csvRoundtrip _),
+    "q_objectstore_roundtrip" -> (Relational.objectStoreRoundtrip _),
     "q_log_parse" -> (Relational.logParse _),
     "q_orc_roundtrip" -> (Relational.orcRoundtrip _),
     "q_xml_roundtrip" -> (Relational.xmlRoundtrip _),
@@ -199,6 +200,7 @@ object SparkEntry {
     // Continuous-ingest curation surface
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
     "q_dedup_standing" -> (Dedup.standingIngestDedup _),
+    "q_dedup_standing_commit" -> (Dedup.standingCommitIngest _),
     "q_dup_ngram_fraction" -> (Dedup.dupNgramFraction _),
     "q_curation_funnel" -> (TextAnalysis.curationFunnel _),
     // Product/event analytics over the event stream
@@ -300,6 +302,7 @@ object SparkEntry {
     "q_log_parse" -> Relational.logParseSql,
     "q_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_objectstore_roundtrip" -> Relational.objectStoreRoundtripSql,
     "q_orc_roundtrip" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
@@ -609,6 +612,7 @@ object SparkEntry {
     // bucketed shingle postings, joint-df-cap reconciled probes), never
     // the semantics.
     "q_dedup_standing" -> Dedup.incrementalDedupSql,
+    "q_dedup_standing_commit" -> Dedup.standingCommitIngestSql,
     "q_dup_ngram_fraction" -> Dedup.dupNgramFractionSql,
     "q_curation_funnel" -> TextAnalysis.curationFunnelSql,
     "q_event_funnel" -> graft.ops.EventAnalytics.eventFunnelSql,

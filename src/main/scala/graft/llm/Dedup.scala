@@ -453,6 +453,39 @@ object Dedup {
         WHERE d.doc_id % 5 = 0
         ORDER BY d.doc_id"""
 
+  /** [[incrementalDedup]] over ARBITRARY (doc_id, text) frames — the
+    * library-shape API the %5-sliced query demonstrates: screen `batch`
+    * against `corpus`, df cap computed over batch ∪ corpus JOINTLY
+    * (exactly [[incrementalDedup]]'s semantics, where [[cappedShingles]]
+    * runs over the whole table). Also the rebuild-from-scratch reference
+    * the standing-index commit path is spec-proven against. `batch` and
+    * `corpus` doc_ids must be disjoint. */
+  def incrementalDedupOf(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val all = shinglesOf(corpus.select("doc_id", "text")
+      .unionByName(batch.select("doc_id", "text")))
+    val hot = all.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap).select("sh")
+    val sh = all.join(broadcast(hot), Seq("sh"), "left_anti")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val bid = broadcast(batch.select("doc_id"))
+    val a = sh.join(bid, Seq("doc_id"), "left_semi").as("a")
+    val b = sh.join(bid, Seq("doc_id"), "left_anti").as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh"), "inner")
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    val matches = inter
+      .join(sizes.as("na"), col("da") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("db") === col("nb.doc_id"))
+      .filter(col("i").cast(DoubleType) /
+        (col("na.n") + col("nb.n") - col("i")) >= JaccardThreshold)
+      .groupBy(col("da")).agg(min(col("db")).as("dup_src"))
+    batch.select(col("doc_id"))
+      .join(matches, col("doc_id") === col("da"), "left")
+      .select(col("doc_id"), col("dup_src").isNotNull.as("is_dup"),
+        coalesce(col("dup_src"), lit(-1L)).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
   // ── Standing shingle index: the ingestion-serving regime ────────────
   //
   // [[incrementalDedup]] is the right QUERY shape (batch × corpus, never
@@ -532,8 +565,12 @@ object Dedup {
     // Joint-cap reconciliation over the batch's vocabulary: dfc = 0 for
     // genuinely new shingles (left join), kept iff dfb + dfc ≤ cap,
     // flipped iff the BATCH's arrivals pushed a standing shingle past it.
+    // The standing df is a SUM: [[shingleCommit]] appends per-commit df
+    // deltas rather than rewriting the table (a fresh build has one row
+    // per shingle, so the aggregate is the identity there).
     val v = graft.TrackedCaches.track(
-      bdf.join(pruned("dfc"), Seq("sh"), "left")
+      bdf.join(pruned("dfc").groupBy("sh").agg(sum("dfc").as("dfc")),
+          Seq("sh"), "left")
         .select(col("sh"), col("dfb"),
           coalesce(col("dfc"), lit(0L)).as("dfc"))
         .withColumn("joint", col("dfb") + col("dfc")).cache())
@@ -552,7 +589,12 @@ object Dedup {
       .agg(count(lit(1)).as("i"))
     val f = postings.join(flipped, Seq("sh"))
       .groupBy("doc_id").agg(count(lit(1)).as("fl"))
-    val nb = s.read.parquet(s"$base/n0").join(f, Seq("doc_id"), "left")
+    // Standing sizes are also delta-summed: [[shingleCommit]] appends the
+    // accepted docs' sizes plus NEGATIVE corrections for standing docs
+    // whose shingles a commit pushed past the cap.
+    val nb = s.read.parquet(s"$base/n0")
+      .groupBy("doc_id").agg(sum("n0").as("n0"))
+      .join(f, Seq("doc_id"), "left")
       .select(col("doc_id"),
         (col("n0") - coalesce(col("fl"), lit(0L))).as("n"))
     val matches = inter
@@ -579,6 +621,156 @@ object Dedup {
       Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
         .select("doc_id", "text"))
   }
+
+  /** Commit ACCEPTED batch docs into the standing shingle index — the
+    * mutation that turns probe-only serving into a full ingest pipeline
+    * (probe → keep the survivors → commit them → the next batch dedups
+    * against corpus ∪ survivors). Everything is APPEND-ONLY and
+    * batch-vocabulary-bounded, the [[graft.llm.Retrieval.EvolvingDistIndex]]
+    * discipline: no corpus rebuild, no standing-table rewrite, ≤ one new
+    * file per touched bucket per commit.
+    *
+    * What a commit appends, and why each piece keeps the index EXACT
+    * (probe-after-commit ≡ rebuild over corpus ∪ accepted — DedupSpec):
+    *  - `dfc/`: the accepted docs' per-shingle df as DELTA rows; the probe
+    *    sums per shingle, so standing df = corpus df + every committed
+    *    batch's df.
+    *  - `postings/`: accepted occurrences of shingles whose POST-COMMIT
+    *    standing df stays ≤ [[ShingleDfCap]] (df only grows, so an
+    *    over-cap shingle can never return — its occurrences would be dead
+    *    rows). Pre-existing rows for shingles this commit pushes past the
+    *    cap stay in place: every probe path that reads them is gated on
+    *    standing-df ≤ cap, so they are inert, and an append-only layout
+    *    beats a rewrite at any scale.
+    *  - `n0/`: the accepted docs' kept sizes, plus NEGATIVE delta rows for
+    *    every standing owner of a shingle this commit pushed past the cap
+    *    (their effective capped size shrinks — the correction the
+    *    rebuild's joint cap applies implicitly). Only batch-vocabulary
+    *    shingles can cross, so the correction reads only the batch's own
+    *    buckets.
+    *
+    * `accepted` doc_ids must be disjoint from the standing corpus (the
+    * probe-survivor contract). The caller owns marker/recovery protocol:
+    * re-stamp the index marker only after a successful commit, and treat
+    * a marker mismatch as rebuild-from-source ([[standingCommitIngest]]
+    * does exactly that, so a crash mid-commit can only cost a rebuild,
+    * never serve half-committed state). */
+  def shingleCommit(s: SparkSession, base: String,
+      accepted: DataFrame): Unit = {
+    val nBuckets = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/_stats")), "UTF-8").trim.toInt
+    // localCheckpoint (eager) rather than cache: the frames below are
+    // re-evaluated across several write actions that MUTATE the very
+    // directories their lineage reads — a dropped cache would silently
+    // recompute against post-append state. Checkpointing cuts the lineage.
+    val acc = accepted.select("doc_id", "text").localCheckpoint()
+    val ash = shinglesOf(acc)
+    val adf = ash.groupBy("sh").agg(count(lit(1)).as("dfa"))
+    val qb = adf.select(StandingIndex.bucketOf(col("sh"), nBuckets)
+        .as("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    def pruned(dir: String): DataFrame =
+      StandingIndex.prunedRead(s, s"$base/$dir", "bucket", qb)
+        .drop("bucket")
+    val df0 = pruned("dfc").groupBy("sh").agg(sum("dfc").as("df0"))
+    val v = adf.join(df0, Seq("sh"), "left")
+      .select(col("sh"), col("dfa"),
+        coalesce(col("df0"), lit(0L)).as("df0"))
+      .withColumn("dfNew", col("dfa") + col("df0"))
+      .localCheckpoint()
+    val keptSh = v.filter(col("dfNew") <= ShingleDfCap).select("sh")
+    val crossed = v.filter(col("df0") <= ShingleDfCap &&
+      col("dfNew") > ShingleDfCap).select("sh")
+    // Negative size corrections FIRST, while postings/ still holds only
+    // pre-commit rows (this commit never appends occurrences of crossed
+    // shingles anyway — kept ∩ crossed = ∅ — but the ordering makes the
+    // read's correctness independent of that invariant).
+    pruned("postings").join(crossed, Seq("sh"))
+      .groupBy("doc_id").agg((count(lit(1)) * -1).as("n0"))
+      .write.mode("append").parquet(s"$base/n0")
+    val keptRows = ash.join(keptSh, Seq("sh"))
+    StandingIndex.appendBucketed(keptRows, col("sh"), nBuckets,
+      s"$base/postings")
+    StandingIndex.appendBucketed(adf.select(col("sh"),
+      col("dfa").as("dfc")), col("sh"), nBuckets, s"$base/dfc")
+    keptRows.groupBy("doc_id").agg(count(lit(1)).as("n0"))
+      .write.mode("append").parquet(s"$base/n0")
+  }
+
+  /** The shipped two-phase ingest query (`q_dedup_standing_commit`):
+    * build the standing index from the corpus (doc_id % 5 ≠ 0), probe
+    * arrival batch 1 (doc_id % 10 = 5), COMMIT its survivors, then probe
+    * arrival batch 2 (doc_id % 10 = 0) against the GROWN index — batch 2's
+    * verdicts are the output, and they must match a from-scratch joint
+    * dedup of batch 2 against corpus ∪ batch-1-survivors (the oracle
+    * recomputes both phases in SQL). The marker embeds the committed
+    * phase, so reruns serve probe 2 straight from the committed state and
+    * any interruption (or corpus rewrite) rebuilds from source. */
+  def standingCommitIngest(s: SparkSession, d: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_shingle_commit"
+    val sig = StandingIndex.sourceSig(s"$d/documents.parquet")
+    val wantFinal = s"dir=$d sig=$sig buckets=64 committed=b1"
+    if (!StandingIndex.upToDate(base, wantFinal)) {
+      StandingIndex.reset(base)
+      shingleBuildIfStale(s, d, base)
+      val b1 = Tables.documents(s, d).filter(col("doc_id") % 10 === 5)
+        .select("doc_id", "text")
+      val survivors = shingleProbe(s, base, b1)
+        .filter(!col("is_dup")).select("doc_id")
+      shingleCommit(s, base, b1.join(survivors, Seq("doc_id"), "left_semi"))
+      StandingIndex.commit(base, wantFinal)
+    }
+    shingleProbe(s, base,
+      Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+        .select("doc_id", "text"))
+  }
+
+  /** Oracle for [[standingCommitIngest]]: both phases recomputed from
+    * scratch — phase 1's joint-capped screen of batch 1 (% 10 = 5) against
+    * the corpus picks the survivors; phase 2 screens batch 2 (% 10 = 0)
+    * against corpus ∪ survivors with the cap re-computed over THAT
+    * population. */
+  val standingCommitIngestSql: String =
+    s"""WITH $shinglesSql,
+        p1 AS (SELECT * FROM sh WHERE doc_id % 5 <> 0 OR doc_id % 10 = 5),
+        hot1 AS (SELECT sh FROM p1 GROUP BY sh
+                 HAVING count(*) > $ShingleDfCap),
+        c1 AS (SELECT * FROM p1 WHERE sh NOT IN (SELECT sh FROM hot1)),
+        n1 AS (SELECT doc_id, count(*) AS n FROM c1 GROUP BY doc_id),
+        i1 AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+               FROM c1 a JOIN c1 b ON a.sh = b.sh
+               WHERE a.doc_id % 10 = 5 AND b.doc_id % 5 <> 0 GROUP BY 1, 2),
+        m1 AS (SELECT da FROM i1 JOIN n1 na ON da = na.doc_id
+                             JOIN n1 nb ON db = nb.doc_id
+               WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i)
+                     >= $JaccardThreshold
+               GROUP BY da),
+        stand AS (SELECT doc_id FROM documents
+                  WHERE doc_id % 5 <> 0
+                     OR (doc_id % 10 = 5
+                         AND doc_id NOT IN (SELECT da FROM m1))),
+        p2 AS (SELECT * FROM sh WHERE doc_id % 10 = 0
+                  OR doc_id IN (SELECT doc_id FROM stand)),
+        hot2 AS (SELECT sh FROM p2 GROUP BY sh
+                 HAVING count(*) > $ShingleDfCap),
+        c2 AS (SELECT * FROM p2 WHERE sh NOT IN (SELECT sh FROM hot2)),
+        n2 AS (SELECT doc_id, count(*) AS n FROM c2 GROUP BY doc_id),
+        i2 AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+               FROM c2 a JOIN c2 b ON a.sh = b.sh
+               WHERE a.doc_id % 10 = 0
+                 AND b.doc_id IN (SELECT doc_id FROM stand)
+               GROUP BY 1, 2),
+        m2 AS (SELECT da, min(db) AS dup_src
+               FROM i2 JOIN n2 na ON da = na.doc_id
+                       JOIN n2 nb ON db = nb.doc_id
+               WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i)
+                     >= $JaccardThreshold
+               GROUP BY da)
+        SELECT d.doc_id, (m2.dup_src IS NOT NULL) AS is_dup,
+               coalesce(m2.dup_src, -1) AS dup_of
+        FROM documents d LEFT JOIN m2 ON d.doc_id = m2.da
+        WHERE d.doc_id % 10 = 0
+        ORDER BY d.doc_id"""
 
   /** Window width for the duplicated-text-fraction signal: long enough that
     * a shared window means real copied text (the classic memorization-span

@@ -90,6 +90,20 @@ private[graft] object StandingIndex {
     ()
   }
 
+  /** Append-only variant of [[writeBucketed]] for standing indexes whose
+    * state GROWS (committed arrivals): same routing/repartition discipline
+    * — ≤ one new file per touched bucket per append, so a steady commit
+    * stream adds batch-bucket-count files, never task-count × bucket-count
+    * (the small-file storm [[Retrieval.EvolvingDistIndex]] guards against
+    * the same way). */
+  def appendBucketed(df: DataFrame, routing: Column, nBuckets: Int,
+      dir: String): Unit = {
+    df.withColumn("bucket", bucketOf(routing, nBuckets))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("append").parquet(dir)
+    ()
+  }
+
   /** Path-level pruned read of a `part`-partitioned table: only the
     * probed `part=value` directories are listed and read; the isin
     * filter remains as the in-plan partition predicate (callers that

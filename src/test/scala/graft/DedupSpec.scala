@@ -359,4 +359,124 @@ class DedupSpec extends SparkSpec {
       graft.Fs.deleteRec(java.nio.file.Paths.get(base))
     }
   }
+
+  // ── Standing shingle index: the COMMIT path (append-only growth) ──
+  // The oracle gate recomputes both phases in SQL; these specs pin the
+  // exactness claim directly — probe-after-commit ≡ a from-scratch joint
+  // dedup against corpus ∪ survivors — plus the one correction a naive
+  // append would miss (negative size deltas when a commit pushes a
+  // standing shingle past the df cap).
+
+  test("commit: probe after commit equals rebuild over corpus ∪ survivors") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_shingle_commit_spec").toString
+    Dedup.shingleBuildIfStale(spark, Sf, base)
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val b1 = docs.filter(col("doc_id") % 10 === 5)
+    val b2 = docs.filter(col("doc_id") % 10 === 0)
+    val v1 = Dedup.shingleProbe(spark, base, b1)
+    // The frames API is the rebuild reference — prove it agrees with the
+    // probe BEFORE the commit too.
+    assert(v1.collect().map(_.toString).toSeq ==
+      Dedup.incrementalDedupOf(corpus, b1).collect().map(_.toString).toSeq,
+      "incrementalDedupOf diverged from the standing probe pre-commit")
+    val accepted = b1.join(v1.filter(!col("is_dup")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    Dedup.shingleCommit(spark, base, accepted)
+    val after = Dedup.shingleProbe(spark, base, b2)
+      .collect().map(_.toString).toSeq
+    val rebuild = Dedup.incrementalDedupOf(
+        corpus.unionByName(accepted), b2)
+      .collect().map(_.toString).toSeq
+    assert(after.nonEmpty)
+    assert(after == rebuild,
+      "probe after commit diverged from the corpus ∪ survivors rebuild")
+    graft.TrackedCaches.release()
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
+
+  test("commit writes exact negative size deltas on a cap crossing") {
+    // Corpus: exactly ShingleDfCap docs sharing "x y z" (df == cap →
+    // survives the build). Committing one survivor that also carries it
+    // pushes standing df to cap + 1: the commit must decrement all 50
+    // owners' standing sizes, or doc 46's post-commit size is 4 instead
+    // of 3 and the crafted batch-2 doc Q lands at jaccard 2/5 < 0.5
+    // instead of 2/4 — is_dup flips. Engineered decisive.
+    val cap = Dedup.ShingleDfCap
+    val corpus = (0 until cap).map { i =>
+      (i * 5L + 1, s"x y z u$i v$i w$i")
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shingle_commit_cross").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_shingle_commit_cross_ix").toString
+    Dedup.shingleBuildIfStale(spark, dir, base)
+    val b1 = Seq((0L, "x y z p0 q0 r0")).toDF("doc_id", "text")
+    val v1 = Dedup.shingleProbe(spark, base, b1).collect()
+    assert(v1.length == 1 && !v1.head.getBoolean(1),
+      "crafted batch-1 doc must survive (its only shared shingle flips)")
+    Dedup.shingleCommit(spark, base, b1)
+    // The crossing correction: 50 standing owners, one −1 row each.
+    val neg = spark.read.parquet(s"$base/n0")
+      .filter(col("n0") < 0).collect()
+    assert(neg.length == cap && neg.forall(_.getLong(1) == -1L),
+      s"expected $cap −1 size deltas, got ${neg.length}")
+    // Q shares 2 of doc 46's 3 post-crossing kept shingles: dup iff the
+    // deltas landed (2/4 = 0.5 with them, 2/5 without).
+    val b2 = Seq((10L, "z u9 v9 w9 t9")).toDF("doc_id", "text")
+    val after = Dedup.shingleProbe(spark, base, b2)
+      .collect().map(_.toString).toSeq
+    val rebuild = Dedup.incrementalDedupOf(
+        corpus.unionByName(b1), b2)
+      .collect().map(_.toString).toSeq
+    assert(after == rebuild,
+      "post-crossing probe diverged from the union rebuild")
+    assert(after.head.contains("true") && after.head.contains("46"),
+      s"Q must match doc 46 at exactly-threshold jaccard, got $after")
+    graft.TrackedCaches.release()
+    graft.Fs.deleteRec(java.nio.file.Paths.get(dir))
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
+
+  test("commit equals union rebuild on random corpora (property)") {
+    // Same tiny-vocabulary fuzz as the probe property — dfs land on both
+    // sides of the cap, commits cross shingles over it, and real dup
+    // verdicts exercise the size arithmetic end to end.
+    val tinyVocab = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val tinyDoc = Gen.chooseNum(3, 9).flatMap(n => Gen.listOfN(n, tinyVocab))
+    (1 to 2).foreach { seed =>
+      val docs = (0 until 160).flatMap { i =>
+        tinyDoc.apply(Gen.Parameters.default, Seed(seed * 7000L + i))
+          .map(ws => (i.toLong, ws.mkString(" ")))
+      }.toDF("doc_id", "text")
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_commit_prop_$seed").toString
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_commit_prop_ix_$seed").toString
+      Dedup.shingleBuildIfStale(spark, dir, base)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val b1 = docs.filter(col("doc_id") % 10 === 5)
+      val b2 = docs.filter(col("doc_id") % 10 === 0)
+      val accepted = b1.join(
+        Dedup.shingleProbe(spark, base, b1)
+          .filter(!col("is_dup")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      Dedup.shingleCommit(spark, base, accepted)
+      val after = Dedup.shingleProbe(spark, base, b2)
+        .collect().map(_.toString).toSeq
+      val rebuild = Dedup.incrementalDedupOf(
+          corpus.unionByName(accepted), b2)
+        .collect().map(_.toString).toSeq
+      assert(after == rebuild,
+        s"seed $seed: post-commit probe diverged from union rebuild")
+      assert(rebuild.exists(_.contains("true")),
+        s"seed $seed: no dup verdicts — fuzz too weak")
+      graft.TrackedCaches.release()
+      graft.Fs.deleteRec(java.nio.file.Paths.get(dir))
+      graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+    }
+  }
 }

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Invariant specs for the newest pipeline operators: clustering validity,
   * quantization error bounds, sampling properties. */
-class PipelineOpsSpec extends SparkSpec {
+class PipelineOpsSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   test("dedup clusters: every near-dup pair lands in one cluster, one keeper each") {
     val clusters = Dedup.dedupClusters(spark, Sf).cache()
@@ -79,5 +80,26 @@ class PipelineOpsSpec extends SparkSpec {
     val bad = got.join(sizes, "lang")
       .filter(col("n") =!= least(lit(k.toLong), col("count")))
     assert(bad.count() == 0)
+  }
+
+  test("object-store roundtrip: scan reads the scheme-qualified bucket URI") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = graft.ops.Relational.objectStoreRoundtrip(spark, Sf)
+    df.collect()
+    val scans = collect(df.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a file scan over the bucket")
+    val roots = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(roots.exists(p =>
+        p.startsWith("file:") && p.contains("graft_store_bucket")),
+      s"scan must read the scheme-qualified bucket, got $roots")
+    // Bucket holds the uploaded objects, nothing else (no staging leak).
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val uri = new java.net.URI(roots.head)
+    val fs = FileSystem.get(uri, spark.sparkContext.hadoopConfiguration)
+    val objs = fs.listStatus(new HPath(roots.head)).map(_.getPath.getName)
+    assert(objs.nonEmpty && objs.forall(_.endsWith(".json")),
+      s"bucket must contain only uploaded JSON objects, got ${objs.toSeq}")
   }
 }
