@@ -41,4 +41,18 @@ object Fs {
       _.filter(p => p.getFileName.toString.startsWith(prefix))
         .forEach(p => Files.delete(p))
     }
+
+  /** Recursive copy (dirs then files, parents before children) — used to
+    * clone a pristine marker-gated standing index into a mutable working
+    * copy so a stream gate's commits never touch the amortized build. */
+  def copyRec(src: Path, dst: Path): Unit =
+    withStream(Files.walk(src)) {
+      _.sorted().forEach { p =>
+        val q = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(q)
+        else Files.copy(p, q,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    }
 }

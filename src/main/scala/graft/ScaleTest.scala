@@ -517,15 +517,35 @@ object ScaleTest {
         .write.format("noop").mode("overwrite").save()
       val tp = (System.nanoTime() - t1) / 1e9
       settle(spark)
+      // Append leg: a 1% arrival slice (fresh ids past the corpus max so
+      // they're disjoint) assigned to the FROZEN centroids and appended
+      // into its cells — must be batch-scale — then the same query set
+      // probed against the grown index.
+      val emb = graft.Tables.embeddings(spark, dir)
+      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val arrivals = emb.filter(col("vec_id") % 100 === 7)
+        .select((col("vec_id") + maxId + 1).as("vec_id"),
+          col("embedding"), col("label"))
+      val ta0 = System.nanoTime()
+      graft.llm.AnnIndex.append(spark, base, arrivals)
+      val ta = (System.nanoTime() - ta0) / 1e9
+      settle(spark)
+      val tp20 = System.nanoTime()
+      graft.llm.AnnIndex.probe(spark, base, q)
+        .write.format("noop").mode("overwrite").save()
+      val tp2 = (System.nanoTime() - tp20) / 1e9
+      settle(spark)
       val t2 = System.nanoTime()
       SparkEntry.queries("q_ann_ivf")(spark, dir)
         .write.format("noop").mode("overwrite").save()
       val tr = (System.nanoTime() - t2) / 1e9
       settle(spark)
-      println(f"standing,$tag,build=$tb%.2f,probe=$tp%.2f,rebuild=$tr%.2f")
+      println(f"standing,$tag,build=$tb%.2f,probe=$tp%.2f," +
+        f"append=$ta%.2f,probe2=$tp2%.2f,rebuild=$tr%.2f")
     }
     run("warm", src) // warm code paths; discard
-    println("standing,scale,build_s,probe_s,rebuild_annivf_s")
+    println("standing,scale,build_s,probe_s,append_1pct_s,probe2_s," +
+      "rebuild_annivf_s")
     run("vecs1x", src)
     run(s"vecs${copies}x", dst)
     spark.stop()

@@ -105,6 +105,7 @@ object SparkEntry {
     "q_ann_lsh" -> (Similarity.annLsh _),
     "q_ann_ivf" -> (Similarity.annIvf _),
     "q_ann_ivf_standing" -> (graft.llm.AnnIndex.annIvfStanding _),
+    "q_ann_ivf_append" -> (graft.llm.AnnIndex.annIvfAppendStanding _),
     "q_ann_ivf_rescore" -> (Similarity.annIvfRescore _),
     "q_mmr_rerank" -> (Similarity.mmrRerank _),
     "q_bm25_topk" -> (Retrieval.bm25TopK _),
@@ -166,6 +167,7 @@ object SparkEntry {
     "q_stream_file_sink" -> (graft.streaming.EventStreams.streamFileSink _),
     "q_stream_cdc_apply" -> (graft.streaming.EventStreams.streamCdcApply _),
     "q_stream_ingest_dedup" -> (graft.streaming.DocStreams.streamIngestDedup _),
+    "q_stream_dedup_evolving" -> (graft.streaming.DocStreams.streamDedupEvolving _),
     "q_stream_quality_gate" -> (graft.streaming.DocStreams.streamQualityGate _),
     "q_stream_decontam" -> (graft.streaming.DocStreams.streamDecontam _),
     "q_stream_decontam_evolving" -> (graft.streaming.DocStreams.streamDecontamEvolving _),
@@ -502,6 +504,7 @@ object SparkEntry {
     // The standing index moves the cost regime (build-once bucketed
     // parquet, probe-only queries), never the semantics — same oracle.
     "q_ann_ivf_standing" -> Similarity.annIvfSql,
+    "q_ann_ivf_append" -> graft.llm.AnnIndex.annIvfAppendSql,
     "q_ann_ivf_rescore" -> Similarity.annIvfRescoreSql,
     "q_mmr_rerank" -> Similarity.mmrRerankSql,
     "q_bm25_topk" -> Retrieval.bm25Sql,
@@ -569,6 +572,7 @@ object SparkEntry {
     "q_stream_file_sink" -> graft.streaming.EventStreams.streamFileSinkSql,
     "q_stream_cdc_apply" -> graft.streaming.EventStreams.streamCdcApplySql,
     "q_stream_ingest_dedup" -> graft.streaming.DocStreams.streamIngestDedupSql,
+    "q_stream_dedup_evolving" -> graft.streaming.DocStreams.streamDedupEvolvingSql,
     "q_stream_quality_gate" -> graft.streaming.DocStreams.streamQualityGateSql,
     "q_stream_decontam" -> graft.streaming.DocStreams.streamDecontamSql,
     "q_stream_decontam_evolving" -> graft.streaming.DocStreams.streamDecontamEvolvingSql,

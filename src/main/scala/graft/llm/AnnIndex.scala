@@ -78,8 +78,20 @@ object AnnIndex {
         Some(new String(java.nio.file.Files.readAllBytes(mp), "UTF-8"))
       else None
     if (prior.exists(_.startsWith(s"dir=$d sig=$sig n="))) return false
+    val n = buildFrom(s, Tables.embeddings(s, d), base)
+    StandingIndex.commit(base, s"dir=$d sig=$sig n=$n")
+    true
+  }
+
+  /** The build body over an arbitrary (vec_id, embedding) corpus frame:
+    * reset, train, lay out cell-partitioned. Returns the corpus count n
+    * (the probe-budget input). Writes NO marker — the caller stamps one
+    * (with ` n=$n` last) only once its whole state transition succeeded,
+    * so a crash anywhere leaves an unmarked dir that the next call
+    * rebuilds. */
+  private[graft] def buildFrom(s: SparkSession, emb: DataFrame,
+      base: String): Long = {
     StandingIndex.reset(base)
-    val emb = Tables.embeddings(s, d)
     val n = emb.count()
     val sx = graft.TrackedCaches.track(scaledOf(emb).cache())
     val k = centroidsFor(n)
@@ -93,8 +105,31 @@ object AnnIndex {
       // `cell=<id>/` directory at any corpus scale (k = √N directories).
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(cellsDir(base))
-    StandingIndex.commit(base, s"dir=$d sig=$sig n=$n")
-    true
+    n
+  }
+
+  /** Append new vectors into a standing index under FROZEN centroids —
+    * the IVF serving mutation (Faiss `add` after `train`): each arrival
+    * is assigned to its argmin cell against the centroids the index was
+    * built with and appended into that cell's partition directory
+    * (repartition on the partition column → ≤ one new file per touched
+    * cell per append, batch-scale work — the assignment is a broadcast
+    * argmin over |arrivals|, never a corpus pass). The probe budget (k,
+    * nprobe) is part of the frozen index geometry and does NOT move with
+    * appends — the ` n=` the marker carries stays the build-time corpus
+    * count, exactly as IVF serving freezes its cell count until the next
+    * retrain (recall under distribution drift is the retrain trigger, not
+    * a correctness condition: probe results stay exact over whatever the
+    * cells contain, spec-proven against a frozen-centroid union
+    * reference). Arrival vec_ids must be disjoint from the standing
+    * corpus. */
+  def append(s: SparkSession, base: String, arrivals: DataFrame): Unit = {
+    val cents = s.read.parquet(centroidsDir(base))
+    assignCells(scaledOf(arrivals), cents)
+      .join(arrivals.select("vec_id", "embedding"), "vec_id")
+      .select(col("cell"), col("vec_id"), col("embedding"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(cellsDir(base))
   }
 
   /** Probe-only top-candidate query against a standing index: no
@@ -144,5 +179,75 @@ object AnnIndex {
     buildIfStale(s, d, base)
     probe(s, base,
       Tables.embeddings(s, d).filter(col("vec_id") < NumQueries))
+  }
+
+  /** The shipped APPEND query (`q_ann_ivf_append`): build the standing
+    * index from the corpus slice (vec_id % 5 ≠ 0), [[append]] the arrival
+    * slice (vec_id % 5 = 0) under the frozen centroids, then probe the
+    * standard query set against the grown index — neighbors come from
+    * corpus AND arrivals through one cell-pruned plan. The oracle
+    * recomputes both phases in SQL (train on the corpus slice, assign
+    * arrivals to the trained centroids, probe the union — the
+    * [[graft.streaming.VecStreams]] frozen-centroid idiom). The marker
+    * embeds the appended phase, so reruns serve probe-only and a crash
+    * mid-transition (or a corpus rewrite) rebuilds from source. */
+  def annIvfAppendStanding(s: SparkSession, d: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_append"
+    val sig = StandingIndex.sourceSig(s"$d/embeddings.parquet")
+    val emb = Tables.embeddings(s, d)
+    def wantFinal(n: Long) =
+      s"dir=$d sig=$sig corpus=mod5ne0 appended=mod5eq0 n=$n"
+    val mp = java.nio.file.Paths.get(metaPath(base))
+    val prior: Option[String] =
+      if (java.nio.file.Files.exists(mp))
+        Some(new String(java.nio.file.Files.readAllBytes(mp), "UTF-8"))
+      else None
+    if (!prior.exists(m => m.startsWith(
+        s"dir=$d sig=$sig corpus=mod5ne0 appended=mod5eq0 n="))) {
+      val n = buildFrom(s, emb.filter(col("vec_id") % 5 =!= 0), base)
+      append(s, base, emb.filter(col("vec_id") % 5 === 0))
+      StandingIndex.commit(base, wantFinal(n))
+    }
+    probe(s, base, emb.filter(col("vec_id") < NumQueries))
+  }
+
+  /** Oracle for [[annIvfAppendStanding]]: k-means over the corpus slice
+    * only, arrivals assigned to those FROZEN centroids, probes over the
+    * union. */
+  val annIvfAppendSql: String = {
+    import Similarity.{KmIters, NumProbes, ProbePct, ScaleQ}
+    s"""WITH corpus AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+        ${Similarity.kmeansCellsSqlOver("corpus")},
+        ax AS (SELECT vec_id, i,
+                 CAST(floor(CAST(embedding[i] AS DOUBLE) * $ScaleQ + 0.5) AS BIGINT) AS v
+               FROM embeddings, generate_series(1, 64) t(i)
+               WHERE vec_id % 5 = 0),
+        da AS (SELECT x.vec_id, c.cent_id, sum((x.v - c.c) * (x.v - c.c)) AS d
+               FROM ax x JOIN cent$KmIters c ON x.i = c.i GROUP BY 1, 2),
+        acells AS (SELECT vec_id, cent_id AS cell FROM (
+                     SELECT vec_id, cent_id,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rk
+                     FROM da) WHERE rk = 1),
+        allcells AS (SELECT vec_id, cell FROM cells
+                     UNION ALL SELECT vec_id, cell FROM acells),
+        qdist AS (SELECT vec_id, cent_id, d FROM dfin WHERE vec_id < $NumQueries
+                  UNION ALL
+                  SELECT vec_id, cent_id, d FROM da WHERE vec_id < $NumQueries),
+        probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM (
+                     SELECT vec_id, cent_id,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rk
+                     FROM qdist)
+                   WHERE rk <= (SELECT greatest($NumProbes,
+                                  ($ProbePct * k + 50) // 100) FROM kk)),
+        q AS (SELECT p.query_id, p.cell, e.embedding AS qe
+              FROM probes p JOIN embeddings e ON p.query_id = e.vec_id)
+        SELECT q.query_id, k.vec_id AS neighbor_id,
+          round(sum(CAST(q.qe[i] * e.embedding[i] AS DOUBLE))
+            / (sqrt(sum(CAST(q.qe[i] * q.qe[i] AS DOUBLE)))
+               * sqrt(sum(CAST(e.embedding[i] * e.embedding[i] AS DOUBLE)))), 4) AS cos
+        FROM q JOIN allcells k ON k.cell = q.cell AND k.vec_id <> q.query_id
+        JOIN embeddings e ON e.vec_id = k.vec_id,
+             generate_series(1, 64) t(i)
+        GROUP BY 1, 2 ORDER BY query_id, neighbor_id"""
   }
 }

@@ -725,31 +725,52 @@ object Dedup {
         .select("doc_id", "text"))
   }
 
-  /** Oracle for [[standingCommitIngest]]: both phases recomputed from
-    * scratch — phase 1's joint-capped screen of batch 1 (% 10 = 5) against
-    * the corpus picks the survivors; phase 2 screens batch 2 (% 10 = 0)
-    * against corpus ∪ survivors with the cap re-computed over THAT
-    * population. */
-  val standingCommitIngestSql: String =
+  /** Parameterized two-phase commit-ingest oracle: phase 1's joint-capped
+    * screen of batch 1 against the corpus (doc_id % 5 ≠ 0) picks the
+    * survivors; phase 2 screens batch 2 against corpus ∪ survivors with
+    * the cap re-computed over THAT population. `b1`/`b2` render the batch
+    * membership predicate for a given doc_id column reference (so the
+    * standing-commit query's %-slices and the streaming gate's
+    * chunk-boundary batches share one screen chain — structurally
+    * incapable of drifting apart, the [[graft.streaming.DocStreams]]
+    * evolvingScreenBlock discipline). `emitPhase1` additionally emits
+    * batch 1's own verdicts (the streaming gate reports every arrival;
+    * the standing-commit query reports only batch 2). */
+  private[graft] def twoPhaseDedupSql(extraCtes: String,
+      b1: String => String, b2: String => String,
+      emitPhase1: Boolean): String = {
+    val extra = if (extraCtes.isEmpty) "" else s"$extraCtes,\n        "
+    val phase1Out =
+      if (emitPhase1)
+        s"""SELECT d.doc_id, (m1.dup_src IS NOT NULL) AS is_dup,
+               coalesce(m1.dup_src, -1) AS dup_of
+        FROM documents d LEFT JOIN m1 ON d.doc_id = m1.da
+        WHERE ${b1("d.doc_id")}
+        UNION ALL
+        """
+      else ""
     s"""WITH $shinglesSql,
-        p1 AS (SELECT * FROM sh WHERE doc_id % 5 <> 0 OR doc_id % 10 = 5),
+        ${extra}p1 AS (SELECT * FROM sh
+               WHERE doc_id % 5 <> 0 OR (${b1("doc_id")})),
         hot1 AS (SELECT sh FROM p1 GROUP BY sh
                  HAVING count(*) > $ShingleDfCap),
         c1 AS (SELECT * FROM p1 WHERE sh NOT IN (SELECT sh FROM hot1)),
         n1 AS (SELECT doc_id, count(*) AS n FROM c1 GROUP BY doc_id),
         i1 AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
                FROM c1 a JOIN c1 b ON a.sh = b.sh
-               WHERE a.doc_id % 10 = 5 AND b.doc_id % 5 <> 0 GROUP BY 1, 2),
-        m1 AS (SELECT da FROM i1 JOIN n1 na ON da = na.doc_id
-                             JOIN n1 nb ON db = nb.doc_id
+               WHERE (${b1("a.doc_id")}) AND b.doc_id % 5 <> 0
+               GROUP BY 1, 2),
+        m1 AS (SELECT da, min(db) AS dup_src
+               FROM i1 JOIN n1 na ON da = na.doc_id
+                       JOIN n1 nb ON db = nb.doc_id
                WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i)
                      >= $JaccardThreshold
                GROUP BY da),
         stand AS (SELECT doc_id FROM documents
                   WHERE doc_id % 5 <> 0
-                     OR (doc_id % 10 = 5
+                     OR ((${b1("doc_id")})
                          AND doc_id NOT IN (SELECT da FROM m1))),
-        p2 AS (SELECT * FROM sh WHERE doc_id % 10 = 0
+        p2 AS (SELECT * FROM sh WHERE (${b2("doc_id")})
                   OR doc_id IN (SELECT doc_id FROM stand)),
         hot2 AS (SELECT sh FROM p2 GROUP BY sh
                  HAVING count(*) > $ShingleDfCap),
@@ -757,7 +778,7 @@ object Dedup {
         n2 AS (SELECT doc_id, count(*) AS n FROM c2 GROUP BY doc_id),
         i2 AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
                FROM c2 a JOIN c2 b ON a.sh = b.sh
-               WHERE a.doc_id % 10 = 0
+               WHERE (${b2("a.doc_id")})
                  AND b.doc_id IN (SELECT doc_id FROM stand)
                GROUP BY 1, 2),
         m2 AS (SELECT da, min(db) AS dup_src
@@ -766,11 +787,17 @@ object Dedup {
                WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i)
                      >= $JaccardThreshold
                GROUP BY da)
-        SELECT d.doc_id, (m2.dup_src IS NOT NULL) AS is_dup,
+        ${phase1Out}SELECT d.doc_id, (m2.dup_src IS NOT NULL) AS is_dup,
                coalesce(m2.dup_src, -1) AS dup_of
         FROM documents d LEFT JOIN m2 ON d.doc_id = m2.da
-        WHERE d.doc_id % 10 = 0
-        ORDER BY d.doc_id"""
+        WHERE ${b2("d.doc_id")}
+        ORDER BY doc_id"""
+  }
+
+  /** Oracle for [[standingCommitIngest]]: the two-phase chain over the
+    * %-sliced batches, batch-2 verdicts only. */
+  val standingCommitIngestSql: String = twoPhaseDedupSql("",
+    c => s"$c % 10 = 5", c => s"$c % 10 = 0", emitPhase1 = false)
 
   /** Window width for the duplicated-text-fraction signal: long enough that
     * a shared window means real copied text (the classic memorization-span

@@ -412,6 +412,97 @@ object DocStreams {
     }
   }
 
+  /** EVOLVING streaming ingest dedup — the commit-path gate: each
+    * micro-batch is probed against the STANDING shingle index
+    * ([[graft.llm.Dedup.shingleProbe]] — exact joint-df-cap n-gram
+    * Jaccard, the [[graft.llm.Dedup.incrementalDedup]] semantics), its
+    * verdicts land as parquet, and its SURVIVORS commit into the index
+    * ([[graft.llm.Dedup.shingleCommit]]) — so batch 1 dedups against
+    * corpus ∪ batch-0 survivors. This is the production continuous-ingest
+    * shape: the standing state grows by appends (df deltas, under-cap
+    * occurrences, size corrections), never a rebuild, and dup arrivals
+    * are NOT indexed (the difference from the decontam evolving gates,
+    * which ingest every arrival — a dedup gate admitting a dup would
+    * poison the index with the copy).
+    *
+    * Zone discipline is [[streamDecontamEvolving]]'s (dense 4-chunk /
+    * 2-batch staged slice, maxFilesPerTrigger = 2) so a batch DuckDB
+    * oracle can replay the boundary arithmetic. Each call clones a
+    * PRISTINE marker-gated corpus index into a working copy (file copy,
+    * not rebuild — the commits mutate the working copy only, so reruns
+    * amortize the corpus-scale build exactly like the other standing
+    * queries). Survivors are read back from the WRITTEN verdict parquet,
+    * so the commit's lineage can never re-run the probe against
+    * post-append state. */
+  def streamDedupEvolving(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file._
+    import graft.llm.Dedup
+    val dir = stageDocs(s, d)
+    val tmp = System.getProperty("java.io.tmpdir")
+    val pristine = s"$tmp/graft_shingle_stream_pristine"
+    Dedup.shingleBuildIfStale(s, d, pristine)
+    val base = Paths.get(tmp, "graft_stream_dedup_evolving_ix")
+    graft.Fs.deleteRec(base)
+    graft.Fs.copyRec(Paths.get(pristine), base)
+    val outBase = Paths.get(tmp, "graft_stream_dedup_evolving")
+    if (Files.exists(outBase)) {
+      graft.Fs.deleteRec(outBase)
+    }
+    Files.createDirectories(outBase)
+    @volatile var latest = -1L
+    val stream = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 2).parquet(dir)
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        val b = batch.toDF().select(col("doc_id"), col("text"))
+        val out = outBase.resolve(s"v$batchId").toString
+        Dedup.shingleProbe(s, base.toString, b)
+          .write.mode("overwrite").parquet(out)
+        val survivors = s.read.parquet(out)
+          .filter(!col("is_dup")).select("doc_id")
+        Dedup.shingleCommit(s, base.toString,
+          b.join(survivors, Seq("doc_id"), "left_semi"))
+        latest = batchId
+        ()
+    }
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val qs = q.start()
+    try { try qs.processAllAvailable() finally qs.stop() }
+    finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    val nChunks = graft.Fs.countWithSuffix(Paths.get(dir), ".parquet")
+    if (latest < 0) {
+      // Empty arrival slice: nothing probed, nothing committed.
+      Dedup.shingleProbe(s, base.toString,
+        Tables.documents(s, d).select(col("doc_id"), col("text")).limit(0))
+    } else {
+      require(nChunks == 4 && latest == 1,
+        s"evolving dedup ran ${latest + 1} batches over $nChunks chunks — " +
+          "the oracle's batch arithmetic needs the dense 4-chunk / 2-batch zone")
+      s.read.parquet((0L to latest).map(b => outBase.resolve(s"v$b").toString): _*)
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Oracle for [[streamDedupEvolving]]: the shared two-phase commit
+    * chain ([[graft.llm.Dedup.twoPhaseDedupSql]]) with the batch
+    * membership replayed from the staged zone's boundary arithmetic
+    * (chunk = (doc_id − lo) / span, batch = chunk / 2 — exactly
+    * [[streamDecontamEvolvingSql]]'s `ab` block), emitting BOTH batches'
+    * verdicts. */
+  val streamDedupEvolvingSql: String = graft.llm.Dedup.twoPhaseDedupSql(
+    s"""arrb AS (SELECT a.doc_id, ((a.doc_id - p.lo) // p.span) // 2 AS b
+                 FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) a,
+                      (SELECT lo, (hi - lo) // 4 + 1 AS span FROM
+                         (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+                          FROM documents WHERE doc_id % 5 = 0)) p),
+        a0 AS (SELECT doc_id FROM arrb WHERE b = 0),
+        a1 AS (SELECT doc_id FROM arrb WHERE b = 1)""",
+    c => s"$c IN (SELECT doc_id FROM a0)",
+    c => s"$c IN (SELECT doc_id FROM a1)",
+    emitPhase1 = true)
+
   /** Admission ceiling for [[streamQualityGate]]: arrivals scoring above
     * this perplexity under the corpus LM are rejected. Sits at the corpus
     * median (~29.6 at sf0.01) so both verdicts are exercised. */

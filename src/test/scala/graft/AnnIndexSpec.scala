@@ -77,4 +77,60 @@ class AnnIndexSpec extends SparkSpec {
       s"cells scan lost its partition filter:\n$plan")
     graft.Fs.deleteRec(java.nio.file.Paths.get(base))
   }
+
+  test("append: probe equals the frozen-centroid union reference") {
+    import graft.functions.VectorFunctions.floatCosine
+    val base = freshBase("append")
+    val emb = Tables.embeddings(spark, Sf)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 5 === 0)
+    val got = graft.llm.AnnIndex.annIvfAppendStanding(spark, Sf)
+    // Independent reference computed WITHOUT the standing dirs: the
+    // index's centroids (frozen at build), every union vector assigned
+    // to its argmin cell, queries routed with the BUILD-time probe
+    // budget, exact cosine over probed candidates.
+    val qbase = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_append"
+    val cents = spark.read.parquet(s"$qbase/centroids")
+    val nprobe = Similarity.probesFor(Similarity.centroidsFor(corpus.count()))
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueries)
+    val q = Similarity.probeCells(Similarity.scaledOf(queries), cents, nprobe)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe")), "query_id")
+    val union = corpus.unionByName(arrivals)
+    val expected = Similarity.assignCells(Similarity.scaledOf(union), cents)
+      .join(union.select("vec_id", "embedding"), "vec_id")
+      .join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(floatCosine(col("qe"), col("embedding")), 4).as("cos"))
+      .orderBy("query_id", "neighbor_id")
+    assert(rows(got).nonEmpty)
+    assert(rows(got) == rows(expected),
+      "post-append probe diverged from the frozen-centroid union")
+    // Arrivals really are IN the index: some neighbor must be an
+    // arrival id (vec_id % 5 == 0, excluding the query itself).
+    assert(got.filter(col("neighbor_id") % 5 === 0).count() > 0,
+      "no arrival ever surfaced as a neighbor — append landed nothing")
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
+
+  test("append lands every arrival in its argmin cell") {
+    val base = freshBase("appendcells")
+    val emb = Tables.embeddings(spark, Sf)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 5 === 0)
+    graft.llm.AnnIndex.buildFrom(spark, corpus, base)
+    graft.llm.AnnIndex.append(spark, base, arrivals)
+    val cents = spark.read.parquet(s"$base/centroids")
+    val gotCells = spark.read.parquet(s"$base/cells")
+      .select("vec_id", "cell")
+    val wantCells = Similarity.assignCells(
+        Similarity.scaledOf(corpus.unionByName(arrivals)), cents)
+      .select("vec_id", "cell")
+    assert(gotCells.exceptAll(wantCells).isEmpty &&
+      wantCells.exceptAll(gotCells).isEmpty,
+      "cells layout diverged from the frozen-centroid assignment")
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
 }

@@ -610,6 +610,68 @@ class StreamingSpec extends SparkSpec {
       "no batch-1 score moved — the index did not grow")
   }
 
+  test("evolving dedup gate: stream verdicts equal the two-phase batch reference") {
+    import spark.implicits._
+    // The gate probes batch 0 against the standing corpus index, commits
+    // its survivors, probes batch 1 against the GROWN index. The reference
+    // recomputes both phases from scratch with the frames API — joint df
+    // caps per phase population, exactly the oracle's semantics.
+    val got = graft.streaming.DocStreams.streamDedupEvolving(spark, Sf)
+      .collect()
+    graft.TrackedCaches.release()
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val ids = got.map(_.getLong(0))
+    assert(ids.nonEmpty)
+    val (lo, hi) = (ids.min, ids.max)
+    val span = (hi - lo) / 4 + 1
+    def batchOf(id: Long) = ((id - lo) / span) / 2
+    val b0 = ids.filter(batchOf(_) == 0L).toSeq
+    val b1 = ids.filter(batchOf(_) == 1L).toSeq
+    assert(b0.nonEmpty && b1.nonEmpty, "both batches must be populated")
+    val arr0 = docs.join(b0.toDF("doc_id"), Seq("doc_id"), "left_semi")
+    val arr1 = docs.join(b1.toDF("doc_id"), Seq("doc_id"), "left_semi")
+    val v0 = graft.llm.Dedup.incrementalDedupOf(corpus, arr0).collect()
+    val surv = v0.filter(!_.getBoolean(1)).map(_.getLong(0)).toSeq
+    val accepted = arr0.join(surv.toDF("doc_id"), Seq("doc_id"), "left_semi")
+    val v1 = graft.llm.Dedup
+      .incrementalDedupOf(corpus.unionByName(accepted), arr1).collect()
+    graft.TrackedCaches.release()
+    val want = (v0 ++ v1).sortBy(_.getLong(0)).map(_.toString).toSeq
+    assert(got.map(_.toString).toSeq == want,
+      "stream verdicts diverged from the two-phase batch reference")
+  }
+
+  test("evolving dedup gate: batch-1 dup of a committed survivor is caught (crafted)") {
+    import spark.implicits._
+    // Zone arithmetic: arrivals {0, 10, 20, 30} → lo=0, span=8 → chunks
+    // {0},{10},{20},{30}; maxFilesPerTrigger=2 → batch 0 = {0, 10},
+    // batch 1 = {20, 30}. Doc 20 duplicates doc 0 EXACTLY — it can only
+    // be verdicted a dup if batch 0's survivor was COMMITTED into the
+    // standing index; a no-op commit yields (20, false, -1). Doc 10
+    // duplicates the corpus doc, so it is rejected and must NOT be
+    // committed (dup_of for 20 must be 0, not 10).
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (0L, "one two three four five"),
+      (10L, "alpha beta gamma delta epsilon"),
+      (20L, "one two three four five"),
+      (30L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_dedup_crafted").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.streaming.DocStreams.streamDedupEvolving(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    graft.TrackedCaches.release()
+    spark.catalog.clearCache()
+    assert(got.toSeq == Seq(
+      (0L, false, -1L), (10L, true, 1L), (20L, true, 0L),
+      (30L, false, -1L)),
+      s"crafted verdicts wrong: ${got.toSeq}")
+    graft.Fs.deleteRec(java.nio.file.Paths.get(dir))
+  }
+
   test("evolving decontam: distributed (bucketed-append) twin == broadcast twin") {
     // The distributed-regime evolving gate keeps the standing index as
     // append-only term-bucketed parquet instead of a driver snapshot; the
