@@ -142,6 +142,7 @@ object SparkEntry {
     "q_token_counts" -> (TextAnalysis.tokenCounts _),
     "q_bpe_merges" -> (graft.llm.Bpe.bpeMerges _),
     "q_bpe_apply" -> (graft.llm.Bpe.bpeApply _),
+    "q_bpe_standing" -> (graft.llm.Bpe.bpeStandingApply _),
     "q_bpe_exhaustion" -> (graft.llm.Bpe.bpeExhaustion _),
     "q_hash_sample" -> (TextAnalysis.hashSample _),
     "q_stratified_sample" -> ((s: SparkSession, d: String) =>
@@ -545,6 +546,7 @@ object SparkEntry {
     "q_token_counts" -> TextAnalysis.tokenCountsSql,
     "q_bpe_merges" -> graft.llm.Bpe.bpeMergesSql,
     "q_bpe_apply" -> graft.llm.Bpe.bpeApplySql,
+    "q_bpe_standing" -> graft.llm.Bpe.bpeApplySql,
     "q_bpe_exhaustion" -> graft.llm.Bpe.bpeExhaustionSql,
     "q_hash_sample" -> TextAnalysis.hashSampleSql,
     "q_stratified_sample" -> TextAnalysis.stratifiedSampleSql,

@@ -114,6 +114,35 @@ object Bpe {
       .orderBy("doc_id")
   }
 
+  /** STANDING tokenizer (`q_bpe_standing`) — the fourth standing index,
+    * and the smallest: the trained merge table persisted once under a
+    * content-signature marker ([[StandingIndex]] discipline), apply-only
+    * serving after. The trainer is [[MergeRounds]] sequential corpus
+    * passes; the table it produces is KB-scale however big the corpus —
+    * exactly the asset a pipeline trains once and ships everywhere — so
+    * the standing form converts every subsequent tokenization call into
+    * [[bpeApplyWith]]'s single fused map pass (no aggregates, no
+    * shuffles). The rank column preserves merge ORDER, which is the
+    * tokenizer's semantics: the read sorts on it before composing the
+    * replace chain. Oracle: [[bpeApplySql]] unchanged — persistence moves
+    * the cost regime, never the semantics (BpeSpec proves standing apply
+    * ≡ [[bpeApply]] row-for-row, and that the second call serves without
+    * retraining). */
+  def bpeStandingApply(s: SparkSession, d: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bpe_standing"
+    val sig = StandingIndex.sourceSig(s"$d/documents.parquet")
+    val want = s"dir=$d sig=$sig rounds=$MergeRounds"
+    if (!StandingIndex.upToDate(base, want)) {
+      StandingIndex.reset(base)
+      bpeMerges(s, d).write.mode("overwrite").parquet(s"$base/merges")
+      StandingIndex.commit(base, want)
+    }
+    val merges = s.read.parquet(s"$base/merges").orderBy("rank")
+      .select("left_unit", "right_unit")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    bpeApplyWith(Tables.documents(s, d).select("doc_id", "text"), merges)
+  }
+
   /** [[bpeMerges]] over an explicit (doc_id, text) frame — exposed so
     * BpeSpec can prove the overlap/greedy semantics on crafted corpora;
     * `rounds` genuinely bounds the loop (BpeSpec's crafted runs rely on

@@ -437,13 +437,25 @@ object DocStreams {
   def streamDedupEvolving(s: SparkSession, d: String): DataFrame = {
     import java.nio.file._
     import graft.llm.Dedup
+    // Pricing marks (the [[streamDecontamEvolvingDist]] discipline):
+    // GRAFT_SDE_TIMING=1 prints per-term wall so a bench-row cost can be
+    // attributed instead of guessed.
+    def mark(tag: String, t0: Long): Long = {
+      if (sys.env.contains("GRAFT_SDE_TIMING"))
+        println(f"[sde] gate/$tag ${(System.nanoTime() - t0) / 1e9}%.2f")
+      System.nanoTime()
+    }
+    var tg = System.nanoTime()
     val dir = stageDocs(s, d)
+    tg = mark("stage", tg)
     val tmp = System.getProperty("java.io.tmpdir")
     val pristine = s"$tmp/graft_shingle_stream_pristine"
     Dedup.shingleBuildIfStale(s, d, pristine)
+    tg = mark("pristine_build", tg)
     val base = Paths.get(tmp, "graft_stream_dedup_evolving_ix")
     graft.Fs.deleteRec(base)
     graft.Fs.copyRec(Paths.get(pristine), base)
+    tg = mark("clone", tg)
     val outBase = Paths.get(tmp, "graft_stream_dedup_evolving")
     if (Files.exists(outBase)) {
       graft.Fs.deleteRec(outBase)
@@ -457,12 +469,15 @@ object DocStreams {
        batchId: Long) =>
         val b = batch.toDF().select(col("doc_id"), col("text"))
         val out = outBase.resolve(s"v$batchId").toString
+        var tb = System.nanoTime()
         Dedup.shingleProbe(s, base.toString, b)
           .write.mode("overwrite").parquet(out)
+        tb = mark(s"probe_b$batchId", tb)
         val survivors = s.read.parquet(out)
           .filter(!col("is_dup")).select("doc_id")
         Dedup.shingleCommit(s, base.toString,
           b.join(survivors, Seq("doc_id"), "left_semi"))
+        mark(s"commit_b$batchId", tb)
         latest = batchId
         ()
     }

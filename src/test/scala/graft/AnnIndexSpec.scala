@@ -121,8 +121,22 @@ class AnnIndexSpec extends SparkSpec {
     val corpus = emb.filter(col("vec_id") % 5 =!= 0)
     val arrivals = emb.filter(col("vec_id") % 5 === 0)
     graft.llm.AnnIndex.buildFrom(spark, corpus, base)
+    def parquetFiles(dir: String): Long = {
+      val p = java.nio.file.Paths.get(dir)
+      val st = java.nio.file.Files.walk(p)
+      try st.filter(q => q.toString.endsWith(".parquet") &&
+        java.nio.file.Files.isRegularFile(q)).count()
+      finally st.close()
+    }
+    val filesBefore = parquetFiles(s"$base/cells")
     graft.llm.AnnIndex.append(spark, base, arrivals)
     val cents = spark.read.parquet(s"$base/centroids")
+    // Append discipline: ≤ one new file per cell the arrivals touch.
+    val touched = graft.llm.Similarity
+      .assignCells(graft.llm.Similarity.scaledOf(arrivals), cents)
+      .select("cell").distinct().count()
+    assert(parquetFiles(s"$base/cells") <= filesBefore + touched,
+      "append small-file-stormed the cells layout")
     val gotCells = spark.read.parquet(s"$base/cells")
       .select("vec_id", "cell")
     val wantCells = Similarity.assignCells(

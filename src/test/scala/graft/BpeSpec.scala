@@ -206,4 +206,24 @@ class BpeSpec extends SparkSpec {
     assert(maxUnits <= Bpe.MaxUnits,
       s"doc with $maxUnits units exceeds the oracle's MaxUnits=${Bpe.MaxUnits}")
   }
+
+  test("standing tokenizer: apply-from-persisted-merges equals train+apply; reruns skip training") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bpe_standing"
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+    val standing = Bpe.bpeStandingApply(spark, Sf)
+      .collect().map(_.toString).toSeq
+    val trained = Bpe.bpeApply(spark, Sf).collect().map(_.toString).toSeq
+    assert(standing.nonEmpty)
+    assert(standing == trained,
+      "standing apply diverged from the train+apply path")
+    // The serving contract: a second call must reuse the persisted table
+    // — the marker is up to date, so no trainer pass rewrites merges/.
+    val mergesDir = java.nio.file.Paths.get(s"$base/merges")
+    val before = java.nio.file.Files.getLastModifiedTime(mergesDir).toMillis
+    val again = Bpe.bpeStandingApply(spark, Sf)
+      .collect().map(_.toString).toSeq
+    val after = java.nio.file.Files.getLastModifiedTime(mergesDir).toMillis
+    assert(again == trained)
+    assert(after == before, "second call retrained — the marker is broken")
+  }
 }

@@ -417,7 +417,20 @@ class DedupSpec extends SparkSpec {
     val v1 = Dedup.shingleProbe(spark, base, b1).collect()
     assert(v1.length == 1 && !v1.head.getBoolean(1),
       "crafted batch-1 doc must survive (its only shared shingle flips)")
+    def parquetFiles(dir: String): Long = {
+      val p = java.nio.file.Paths.get(dir)
+      val st = java.nio.file.Files.walk(p)
+      try st.filter(q => q.toString.endsWith(".parquet") &&
+        java.nio.file.Files.isRegularFile(q)).count()
+      finally st.close()
+    }
+    val filesBefore = parquetFiles(s"$base/postings")
     Dedup.shingleCommit(spark, base, b1)
+    // Append discipline: ≤ one new file per bucket the batch touches —
+    // the batch's 4 shingles land in ≤ 4 bucket files, never a
+    // task-count × bucket-count storm.
+    assert(parquetFiles(s"$base/postings") <= filesBefore + 4,
+      "commit small-file-stormed the postings layout")
     // The crossing correction: 50 standing owners, one −1 row each.
     val neg = spark.read.parquet(s"$base/n0")
       .filter(col("n0") < 0).collect()
