@@ -55,4 +55,26 @@ object Fs {
         ()
       }
     }
+
+  /** Recursive HARD-LINK clone — metadata-scale however big the tree,
+    * correct whenever the consumer's mutations are APPEND-ONLY (new files
+    * only; linked bytes are never rewritten in place — the standing-index
+    * commit contract). Falls back to byte copy per file when the
+    * filesystem refuses the link (cross-device, unsupported). */
+  def linkRec(src: Path, dst: Path): Unit =
+    withStream(Files.walk(src)) {
+      _.sorted().forEach { p =>
+        val q = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(q)
+        else
+          try { Files.createLink(q, p); () }
+          catch {
+            case _: UnsupportedOperationException | _: java.io.IOException =>
+              Files.copy(p, q,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              ()
+          }
+        ()
+      }
+    }
 }

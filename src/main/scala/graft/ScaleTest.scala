@@ -523,9 +523,13 @@ object ScaleTest {
       // probed against the grown index.
       val emb = graft.Tables.embeddings(spark, dir)
       val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+      // Materialize the arrival slice OUTSIDE the timed window: deriving
+      // it is a corpus-scale filter the ingest source pays, not the
+      // index mutation this leg exists to measure.
       val arrivals = emb.filter(col("vec_id") % 100 === 7)
         .select((col("vec_id") + maxId + 1).as("vec_id"),
           col("embedding"), col("label"))
+        .localCheckpoint()
       val ta0 = System.nanoTime()
       graft.llm.AnnIndex.append(spark, base, arrivals)
       val ta = (System.nanoTime() - ta0) / 1e9

@@ -72,12 +72,8 @@ object AnnIndex {
     * would silently diverge from [[Similarity.annIvf]]'s budget. */
   def buildIfStale(s: SparkSession, d: String, base: String): Boolean = {
     val sig = StandingIndex.sourceSig(s"$d/embeddings.parquet")
-    val mp = java.nio.file.Paths.get(metaPath(base))
-    val prior: Option[String] =
-      if (java.nio.file.Files.exists(mp))
-        Some(new String(java.nio.file.Files.readAllBytes(mp), "UTF-8"))
-      else None
-    if (prior.exists(_.startsWith(s"dir=$d sig=$sig n="))) return false
+    if (StandingIndex.markerStartsWith(base, s"dir=$d sig=$sig n="))
+      return false
     val n = buildFrom(s, Tables.embeddings(s, d), base)
     StandingIndex.commit(base, s"dir=$d sig=$sig n=$n")
     true
@@ -125,8 +121,15 @@ object AnnIndex {
     * corpus. */
   def append(s: SparkSession, base: String, arrivals: DataFrame): Unit = {
     val cents = s.read.parquet(centroidsDir(base))
-    assignCells(scaledOf(arrivals), cents)
-      .join(arrivals.select("vec_id", "embedding"), "vec_id")
+    // Materialize the arrival slice ONCE: it fans out to two consumers
+    // (the quantize/argmin branch and the embedding join-back), and when
+    // the caller passes a filter over the corpus table an uncut lineage
+    // would re-scan the corpus per consumer — two corpus passes for a
+    // batch-scale mutation. The checkpoint bounds both reads to
+    // |arrivals|.
+    val a = arrivals.select("vec_id", "embedding").localCheckpoint()
+    assignCells(scaledOf(a), cents)
+      .join(a, "vec_id")
       .select(col("cell"), col("vec_id"), col("embedding"))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(cellsDir(base))
@@ -197,13 +200,8 @@ object AnnIndex {
     val emb = Tables.embeddings(s, d)
     def wantFinal(n: Long) =
       s"dir=$d sig=$sig corpus=mod5ne0 appended=mod5eq0 n=$n"
-    val mp = java.nio.file.Paths.get(metaPath(base))
-    val prior: Option[String] =
-      if (java.nio.file.Files.exists(mp))
-        Some(new String(java.nio.file.Files.readAllBytes(mp), "UTF-8"))
-      else None
-    if (!prior.exists(m => m.startsWith(
-        s"dir=$d sig=$sig corpus=mod5ne0 appended=mod5eq0 n="))) {
+    if (!StandingIndex.markerStartsWith(base,
+        s"dir=$d sig=$sig corpus=mod5ne0 appended=mod5eq0 n=")) {
       val n = buildFrom(s, emb.filter(col("vec_id") % 5 =!= 0), base)
       append(s, base, emb.filter(col("vec_id") % 5 === 0))
       StandingIndex.commit(base, wantFinal(n))

@@ -58,6 +58,18 @@ private[graft] object StandingIndex {
       new String(java.nio.file.Files.readAllBytes(mp), "UTF-8") == want
   }
 
+  /** True iff `base/_meta` exists and STARTS WITH `prefix` — the check
+    * for markers whose tail carries a build-derived value (AnnIndex's
+    * ` n=<corpus count>`, which the prober parses back out). One
+    * implementation so the recovery-protocol idiom can't drift between
+    * call sites. */
+  def markerStartsWith(base: String, prefix: String): Boolean = {
+    val mp = java.nio.file.Paths.get(s"$base/_meta")
+    java.nio.file.Files.exists(mp) &&
+      new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
+        .startsWith(prefix)
+  }
+
   /** Wipe and recreate `base` for a fresh build. */
   def reset(base: String): Unit = {
     val bp = java.nio.file.Paths.get(base)

@@ -452,10 +452,18 @@ object DocStreams {
     val pristine = s"$tmp/graft_shingle_stream_pristine"
     Dedup.shingleBuildIfStale(s, d, pristine)
     tg = mark("pristine_build", tg)
+    // Empty arrival slice: nothing will probe or commit — serve the empty
+    // verdict frame straight off the pristine index, no working clone.
+    if (graft.Fs.countWithSuffix(Paths.get(dir), ".parquet") == 0)
+      return Dedup.shingleProbe(s, pristine,
+        Tables.documents(s, d).select(col("doc_id"), col("text")).limit(0))
     val base = Paths.get(tmp, "graft_stream_dedup_evolving_ix")
     graft.Fs.deleteRec(base)
-    graft.Fs.copyRec(Paths.get(pristine), base)
-    tg = mark("clone", tg)
+    // Hard-link clone: shingleCommit is append-only (existing files are
+    // never rewritten), so links give pristine-isolation at metadata cost
+    // however big the standing index grows.
+    graft.Fs.linkRec(Paths.get(pristine), base)
+    mark("clone", tg)
     val outBase = Paths.get(tmp, "graft_stream_dedup_evolving")
     if (Files.exists(outBase)) {
       graft.Fs.deleteRec(outBase)

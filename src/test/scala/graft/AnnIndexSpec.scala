@@ -80,7 +80,11 @@ class AnnIndexSpec extends SparkSpec {
 
   test("append: probe equals the frozen-centroid union reference") {
     import graft.functions.VectorFunctions.floatCosine
-    val base = freshBase("append")
+    // Wipe the query's standing dir first so EVERY run exercises the
+    // build + append transition, not just the first on a fresh host
+    // (the marker would otherwise serve probe-only forever).
+    val qbase = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_append"
+    graft.Fs.deleteRec(java.nio.file.Paths.get(qbase))
     val emb = Tables.embeddings(spark, Sf)
     val corpus = emb.filter(col("vec_id") % 5 =!= 0)
     val arrivals = emb.filter(col("vec_id") % 5 === 0)
@@ -89,7 +93,6 @@ class AnnIndexSpec extends SparkSpec {
     // index's centroids (frozen at build), every union vector assigned
     // to its argmin cell, queries routed with the BUILD-time probe
     // budget, exact cosine over probed candidates.
-    val qbase = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_append"
     val cents = spark.read.parquet(s"$qbase/centroids")
     val nprobe = Similarity.probesFor(Similarity.centroidsFor(corpus.count()))
     val queries = emb.filter(col("vec_id") < Similarity.NumQueries)
@@ -112,7 +115,7 @@ class AnnIndexSpec extends SparkSpec {
     // arrival id (vec_id % 5 == 0, excluding the query itself).
     assert(got.filter(col("neighbor_id") % 5 === 0).count() > 0,
       "no arrival ever surfaced as a neighbor — append landed nothing")
-    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+    graft.Fs.deleteRec(java.nio.file.Paths.get(qbase))
   }
 
   test("append lands every arrival in its argmin cell") {
