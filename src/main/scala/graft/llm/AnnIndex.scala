@@ -173,6 +173,19 @@ object AnnIndex {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Compact the cells layout back to one file per cell directory — the
+    * maintenance pass a steady [[append]] stream needs (each append adds
+    * a file per touched cell; the 100× ladder measured ~447 files per 1%
+    * arrival, and scan cost eventually tracks file count). Runs under the
+    * marker-suspend protocol: a crash mid-compaction leaves an unmarked
+    * (rebuildable) dir, never a fresh-marked partial one. Probe results
+    * are IDENTICAL before and after (AnnIndexSpec) — compaction moves
+    * bytes, never semantics. */
+  def compact(s: SparkSession, base: String): Unit =
+    StandingIndex.withMarkerSuspended(base) {
+      StandingIndex.compactTable(s, base, "cells", "cell")
+    }
+
   /** The shipped query: same query set and semantics as `q_ann_ivf`, via
     * the standing index (built on first call, probe-only after — a bench
     * rerun measures the serving regime, which is the feature). Oracle:

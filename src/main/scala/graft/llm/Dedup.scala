@@ -697,6 +697,38 @@ object Dedup {
       .write.mode("append").parquet(s"$base/n0")
   }
 
+  /** Compact a standing shingle index that has taken commits: rewrite
+    * postings to one file per bucket, and ROLL UP the delta tables —
+    * dfc's per-commit df rows collapse to one row per shingle and n0's
+    * size rows (including the negative crossing corrections) to one row
+    * per doc, exactly because the probe reads both through sums, so the
+    * rollup is semantics-free by construction. Runs under the
+    * marker-suspend protocol (crash ⇒ unmarked, rebuildable dir).
+    * DedupSpec proves probe-after-compact stays row-identical to the
+    * union rebuild on the crafted crossing corpus. */
+  def shingleCompact(s: SparkSession, base: String): Unit =
+    StandingIndex.withMarkerSuspended(base) {
+      StandingIndex.compactTable(s, base, "postings", "bucket")
+      val dfcTmp = s"$base/_compact_dfc"
+      graft.Fs.deleteRec(java.nio.file.Paths.get(dfcTmp))
+      s.read.parquet(s"$base/dfc")
+        .groupBy("bucket", "sh").agg(sum("dfc").as("dfc"))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(dfcTmp)
+      graft.Fs.deleteRec(java.nio.file.Paths.get(s"$base/dfc"))
+      java.nio.file.Files.move(java.nio.file.Paths.get(dfcTmp),
+        java.nio.file.Paths.get(s"$base/dfc"))
+      val n0Tmp = s"$base/_compact_n0"
+      graft.Fs.deleteRec(java.nio.file.Paths.get(n0Tmp))
+      s.read.parquet(s"$base/n0")
+        .groupBy("doc_id").agg(sum("n0").as("n0"))
+        .write.mode("overwrite").parquet(n0Tmp)
+      graft.Fs.deleteRec(java.nio.file.Paths.get(s"$base/n0"))
+      java.nio.file.Files.move(java.nio.file.Paths.get(n0Tmp),
+        java.nio.file.Paths.get(s"$base/n0"))
+      ()
+    }
+
   /** The shipped two-phase ingest query (`q_dedup_standing_commit`):
     * build the standing index from the corpus (doc_id % 5 ≠ 0), probe
     * arrival batch 1 (doc_id % 10 = 5), COMMIT its survivors, then probe

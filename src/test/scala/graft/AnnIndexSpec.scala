@@ -115,6 +115,23 @@ class AnnIndexSpec extends SparkSpec {
     // arrival id (vec_id % 5 == 0, excluding the query itself).
     assert(got.filter(col("neighbor_id") % 5 === 0).count() > 0,
       "no arrival ever surfaced as a neighbor — append landed nothing")
+    // Compaction (one file per cell dir) must not move the probe answer;
+    // the marker survives the suspend/restore protocol, so the rerun
+    // serves probe-only from the compacted layout.
+    graft.llm.AnnIndex.compact(spark, qbase)
+    val again = graft.llm.AnnIndex.annIvfAppendStanding(spark, Sf)
+    assert(rows(again) == rows(expected), "compaction moved the probe answer")
+    val cellFiles = {
+      val p = java.nio.file.Paths.get(s"$qbase/cells")
+      val st = java.nio.file.Files.walk(p)
+      try st.filter(q => q.toString.endsWith(".parquet") &&
+        java.nio.file.Files.isRegularFile(q)).count()
+      finally st.close()
+    }
+    val nCells = spark.read.parquet(s"$qbase/cells")
+      .select("cell").distinct().count()
+    assert(cellFiles == nCells,
+      s"compaction left $cellFiles files over $nCells cells")
     graft.Fs.deleteRec(java.nio.file.Paths.get(qbase))
   }
 

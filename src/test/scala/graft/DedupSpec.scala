@@ -448,6 +448,18 @@ class DedupSpec extends SparkSpec {
       "post-crossing probe diverged from the union rebuild")
     assert(after.head.contains("true") && after.head.contains("46"),
       s"Q must match doc 46 at exactly-threshold jaccard, got $after")
+    // Compaction is semantics-free: the delta tables roll up (one row
+    // per shingle / per doc — the −1 crossing corrections fold into the
+    // owners' sums) and the probe answer must not move.
+    Dedup.shingleCompact(spark, base)
+    val n0 = spark.read.parquet(s"$base/n0")
+    assert(n0.groupBy("doc_id").count().filter(col("count") > 1).count() == 0,
+      "compaction left multiple n0 rows for one doc")
+    assert(n0.filter(col("n0") < 0).count() == 0,
+      "crossing corrections must fold into the rolled-up sums")
+    val compacted = Dedup.shingleProbe(spark, base, b2)
+      .collect().map(_.toString).toSeq
+    assert(compacted == rebuild, "compaction moved the probe answer")
     graft.TrackedCaches.release()
     graft.Fs.deleteRec(java.nio.file.Paths.get(dir))
     graft.Fs.deleteRec(java.nio.file.Paths.get(base))
