@@ -1058,6 +1058,48 @@ object Retrieval {
       } finally { tf.unpersist(); () }
     }
 
+    /** Compact the append-only state: postings rewritten to one file per
+      * bucket, df DELTAS rolled up to one row per term (semantics-free —
+      * the screen already reads dfd through a per-term sum), fwd
+      * rewritten to bounded file count. A steady batch stream otherwise
+      * accumulates ≤ NumBuckets files per append and every screen's
+      * bucket-pruned scans pay the file-open count back. Same atomicity
+      * caveat as [[append]] (documented above): the rewrite-and-swap is
+      * not crash-atomic — a crash between a delete and its move loses a
+      * dir and the next screen fails LOUDLY (no silent wrong answers;
+      * production wraps state transitions in a transactional table
+      * format); stats deltas are deliberately NOT merged, because any
+      * crash ordering there could double-count or zero the corpus stats
+      * silently, and one tiny text file per append is never the
+      * bottleneck. RetrievalSpec pins screen-identity before/after. */
+    def compact(): Unit = {
+      import java.nio.file.{Files, Paths}
+      def swapIn(tmp: String, dir: String): Unit = {
+        graft.Fs.deleteRec(Paths.get(dir))
+        Files.move(Paths.get(tmp), Paths.get(dir)); ()
+      }
+      val tasks = math.max(1, math.min(NumBuckets,
+        s.conf.get("spark.sql.shuffle.partitions").toInt))
+      val pTmp = s"$base/_compact_postings"
+      graft.Fs.deleteRec(Paths.get(pTmp))
+      s.read.parquet(postingsDir)
+        .repartition(tasks, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(pTmp)
+      swapIn(pTmp, postingsDir)
+      val dTmp = s"$base/_compact_dfd"
+      graft.Fs.deleteRec(Paths.get(dTmp))
+      s.read.parquet(dfdDir)
+        .groupBy("bucket", "term").agg(sum("df").as("df"))
+        .repartition(tasks, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(dTmp)
+      swapIn(dTmp, dfdDir)
+      val fTmp = s"$base/_compact_fwd"
+      graft.Fs.deleteRec(Paths.get(fTmp))
+      s.read.parquet(fwdDir).repartition(tasks)
+        .write.mode("overwrite").parquet(fTmp)
+      swapIn(fTmp, fwdDir)
+    }
+
     /** (doc_id, top_match, top_score) of each arrival against the standing
       * index AS CURRENTLY APPENDED — callers order screen-before-append to
       * get the screen-then-ingest evolving semantics. */

@@ -496,4 +496,40 @@ class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     graft.TrackedCaches.release()
     graft.Fs.deleteRec(java.nio.file.Paths.get(base))
   }
+
+  test("evolving dist index: compaction is screen-identical and shrinks the file census") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_evodist_compact").toString
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+    val inc = new Retrieval.EvolvingDistIndex(spark, base)
+    inc.append(docs.filter(col("doc_id") % 5 =!= 0))
+    val arrivals = docs.filter(col("doc_id") % 5 === 0)
+    // Grow the state past the seed so the rollup has deltas to fold.
+    inc.append(arrivals.filter(col("doc_id") % 10 === 0))
+    val probe = arrivals.filter(col("doc_id") % 10 === 5)
+    val before = inc.screen(probe).collect().map(_.toString).toSeq
+    graft.TrackedCaches.release()
+    spark.catalog.clearCache()
+    def files(dir: String): Long = {
+      val p = java.nio.file.Paths.get(dir)
+      val st = java.nio.file.Files.walk(p)
+      try st.filter(q => q.toString.endsWith(".parquet") &&
+        java.nio.file.Files.isRegularFile(q)).count()
+      finally st.close()
+    }
+    val censusBefore = files(s"$base/postings") + files(s"$base/dfd")
+    inc.compact()
+    val censusAfter = files(s"$base/postings") + files(s"$base/dfd")
+    assert(censusAfter < censusBefore,
+      s"compaction did not shrink the census ($censusBefore -> $censusAfter)")
+    // The dfd rollup really folded: one row per term.
+    val dup = spark.read.parquet(s"$base/dfd")
+      .groupBy("term").count().filter(col("count") > 1).count()
+    assert(dup == 0, "dfd rollup left multiple rows for one term")
+    val after = inc.screen(probe).collect().map(_.toString).toSeq
+    assert(before.nonEmpty && after == before,
+      "compaction moved the screen verdicts")
+    graft.TrackedCaches.release()
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
 }
