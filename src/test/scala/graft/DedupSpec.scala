@@ -504,4 +504,60 @@ class DedupSpec extends SparkSpec {
       graft.Fs.deleteRec(java.nio.file.Paths.get(base))
     }
   }
+
+  test("commit-compact-commit equals sequential rebuild (property)") {
+    // The interleaving the single-shot specs can't see: a SECOND commit
+    // lands its deltas on ROLLED-UP state (compaction collapsed the
+    // first commit's df/size rows), and cap crossings span three index
+    // generations. Each probe must still equal the from-scratch joint
+    // rebuild over everything accepted so far.
+    val tinyVocab = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val tinyDoc = Gen.chooseNum(3, 9).flatMap(n => Gen.listOfN(n, tinyVocab))
+    val seed = 31
+    val docs = (0 until 160).flatMap { i =>
+      tinyDoc.apply(Gen.Parameters.default, Seed(seed * 9000L + i))
+        .map(ws => (i.toLong, ws.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ccc_prop").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ccc_prop_ix").toString
+    Dedup.shingleBuildIfStale(spark, dir, base)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    def acceptedOf(batch: org.apache.spark.sql.DataFrame,
+        verdicts: Seq[org.apache.spark.sql.Row]) = {
+      val ids = verdicts.filter(!_.getBoolean(1)).map(_.getLong(0))
+      batch.join(ids.toDF("doc_id"), Seq("doc_id"), "left_semi")
+    }
+    // Generation 1: commit batch-1 survivors, then COMPACT.
+    val b1 = docs.filter(col("doc_id") % 10 === 5)
+    val v1 = Dedup.shingleProbe(spark, base, b1).collect()
+    val acc1 = acceptedOf(b1, v1.toSeq)
+    Dedup.shingleCommit(spark, base, acc1)
+    Dedup.shingleCompact(spark, base)
+    // Generation 2: a second commit ON the compacted state.
+    val b2a = docs.filter(col("doc_id") % 20 === 0)
+    val v2a = Dedup.shingleProbe(spark, base, b2a).collect()
+    val ref2a = Dedup.incrementalDedupOf(
+      corpus.unionByName(acc1), b2a).collect()
+    assert(v2a.map(_.toString).toSeq == ref2a.map(_.toString).toSeq,
+      "post-compact probe diverged from the rebuild")
+    val acc2 = acceptedOf(b2a, v2a.toSeq)
+    Dedup.shingleCommit(spark, base, acc2)
+    // Generation 3: probe against corpus ∪ s1 ∪ s2a.
+    val b2b = docs.filter(col("doc_id") % 20 === 10)
+    val v2b = Dedup.shingleProbe(spark, base, b2b)
+      .collect().map(_.toString).toSeq
+    val ref2b = Dedup.incrementalDedupOf(
+        corpus.unionByName(acc1).unionByName(acc2), b2b)
+      .collect().map(_.toString).toSeq
+    assert(v2b.nonEmpty && v2b == ref2b,
+      "commit-on-compacted-state diverged from the sequential rebuild")
+    assert((v1.map(_.toString) ++ v2b).exists(_.contains("true")),
+      "fuzz produced no dup verdicts — too weak")
+    graft.TrackedCaches.release()
+    graft.Fs.deleteRec(java.nio.file.Paths.get(dir))
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
 }
