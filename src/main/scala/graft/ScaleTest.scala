@@ -539,17 +539,45 @@ object ScaleTest {
         .write.format("noop").mode("overwrite").save()
       val tp2 = (System.nanoTime() - tp20) / 1e9
       settle(spark)
+      // The compaction case: four MORE 1% appends (disjoint fresh-id
+      // slices) pile a file per touched cell per append onto the layout;
+      // probe the accumulated state, compact, probe again — the delta
+      // between those two probes is the file-count tax compaction
+      // recovers.
+      (1 to 4).foreach { j =>
+        graft.llm.AnnIndex.append(spark, base,
+          emb.filter(col("vec_id") % 100 === 7 + j)
+            .select((col("vec_id") + (j + 1) * (maxId + 1)).as("vec_id"),
+              col("embedding"), col("label"))
+            .localCheckpoint())
+      }
+      settle(spark)
+      val tp30 = System.nanoTime()
+      graft.llm.AnnIndex.probe(spark, base, q)
+        .write.format("noop").mode("overwrite").save()
+      val tp3 = (System.nanoTime() - tp30) / 1e9
+      settle(spark)
+      val tc0 = System.nanoTime()
+      graft.llm.AnnIndex.compact(spark, base)
+      val tc = (System.nanoTime() - tc0) / 1e9
+      settle(spark)
+      val tp40 = System.nanoTime()
+      graft.llm.AnnIndex.probe(spark, base, q)
+        .write.format("noop").mode("overwrite").save()
+      val tp4 = (System.nanoTime() - tp40) / 1e9
+      settle(spark)
       val t2 = System.nanoTime()
       SparkEntry.queries("q_ann_ivf")(spark, dir)
         .write.format("noop").mode("overwrite").save()
       val tr = (System.nanoTime() - t2) / 1e9
       settle(spark)
       println(f"standing,$tag,build=$tb%.2f,probe=$tp%.2f," +
-        f"append=$ta%.2f,probe2=$tp2%.2f,rebuild=$tr%.2f")
+        f"append=$ta%.2f,probe2=$tp2%.2f,probe_5appends=$tp3%.2f," +
+        f"compact=$tc%.2f,probe_compacted=$tp4%.2f,rebuild=$tr%.2f")
     }
     run("warm", src) // warm code paths; discard
     println("standing,scale,build_s,probe_s,append_1pct_s,probe2_s," +
-      "rebuild_annivf_s")
+      "probe_5appends_s,compact_s,probe_compacted_s,rebuild_annivf_s")
     run("vecs1x", src)
     run(s"vecs${copies}x", dst)
     spark.stop()
