@@ -59,14 +59,23 @@ object Fs {
   /** Recursive HARD-LINK clone — metadata-scale however big the tree,
     * correct whenever the consumer's mutations are APPEND-ONLY (new files
     * only; linked bytes are never rewritten in place — the standing-index
-    * commit contract). Falls back to byte copy per file when the
+    * commit contract). Small non-data METADATA files (leading-underscore
+    * names: `_meta`, `_stats`, `_SUCCESS`) are byte-COPIED, not linked:
+    * those are the files an index protocol rewrites IN PLACE (marker
+    * re-stamps truncate the inode), and a linked inode would silently
+    * corrupt the pristine source's marker the first time a clone
+    * re-stamps. Falls back to byte copy per data file when the
     * filesystem refuses the link (cross-device, unsupported). */
   def linkRec(src: Path, dst: Path): Unit =
     withStream(Files.walk(src)) {
       _.sorted().forEach { p =>
         val q = dst.resolve(src.relativize(p))
         if (Files.isDirectory(p)) Files.createDirectories(q)
-        else
+        else if (p.getFileName.toString.startsWith("_")) {
+          Files.copy(p, q,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+        } else
           try { Files.createLink(q, p); () }
           catch {
             case _: UnsupportedOperationException | _: java.io.IOException =>

@@ -669,6 +669,12 @@ object Dedup {
     val qb = adf.select(StandingIndex.bucketOf(col("sh"), nBuckets)
         .as("bucket")).distinct()
       .collect().map(_.getLong(0)).sorted
+    // Empty batch vocabulary — every arrival was a dup (reachable every
+    // micro-batch in streamDedupEvolving) or nothing shingled. Nothing to
+    // append, no df can move, and prunedRead's empty-values fallback would
+    // otherwise pay a FULL postings/dfc listing plus three no-op write
+    // jobs — corpus-scale driver work on what must be a no-op.
+    if (qb.isEmpty) return
     def pruned(dir: String): DataFrame =
       StandingIndex.prunedRead(s, s"$base/$dir", "bucket", qb)
         .drop("bucket")

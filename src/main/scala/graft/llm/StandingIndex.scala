@@ -121,14 +121,56 @@ private[graft] object StandingIndex {
     * body succeeds — so a crash anywhere inside leaves an UNMARKED dir
     * the next build call rebuilds from source, never a fresh-marked
     * half-rewritten index. No-op (body not run) when the dir carries no
-    * marker: there is nothing consistent to maintain. */
+    * marker: there is nothing consistent to maintain.
+    *
+    * A transient in-PROCESS failure (a failed Spark job during a tmp
+    * write, before any live directory is touched) should not cost a full
+    * rebuild: on exception the live tree's file signature is re-taken,
+    * and iff it is byte-for-byte where it was before `body` ran, the
+    * marker is restored before rethrowing. Any divergence — a deleted
+    * live table, a completed swap mid-sequence — leaves the dir unmarked
+    * (rebuildable), exactly as a process crash would. */
   def withMarkerSuspended(base: String)(body: => Unit): Unit = {
     val mp = java.nio.file.Paths.get(s"$base/_meta")
     if (!java.nio.file.Files.exists(mp)) return
     val marker = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
     java.nio.file.Files.delete(mp)
-    body
-    commit(base, marker)
+    val sig0 = liveSig(base)
+    try {
+      body
+      commit(base, marker)
+    } catch {
+      case e: Throwable =>
+        if (liveSig(base) == sig0) commit(base, marker)
+        throw e
+    }
+  }
+
+  /** Signature of the LIVE files under a standing-index dir: every
+    * regular file except the marker itself and anything under a
+    * `_compact_*` temp dir (maintenance scratch — a failed tmp write must
+    * not read as live-state divergence). Same (name, length, mtime)
+    * digest as [[sourceSig]]. */
+  private def liveSig(base: String): String = {
+    val p = java.nio.file.Paths.get(base)
+    val st = java.nio.file.Files.walk(p)
+    val parts =
+      try {
+        val b = Seq.newBuilder[String]
+        st.filter(q => java.nio.file.Files.isRegularFile(q))
+          .sorted()
+          .forEach { q =>
+            val rel = p.relativize(q).toString
+            val inTemp = rel.split('/').exists(_.startsWith("_compact_"))
+            if (rel != "_meta" && !inTemp)
+              b += s"$rel:${java.nio.file.Files.size(q)}:" +
+                s"${java.nio.file.Files.getLastModifiedTime(q).toMillis}"
+          }
+        b.result()
+      } finally st.close()
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
   }
 
   /** Compact one `part`-partitioned table of a standing index back to

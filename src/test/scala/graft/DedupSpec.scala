@@ -396,6 +396,35 @@ class DedupSpec extends SparkSpec {
     graft.Fs.deleteRec(java.nio.file.Paths.get(base))
   }
 
+  test("commit with an empty accepted batch is a no-op (no reads, no writes)") {
+    // Reachable every micro-batch in streamDedupEvolving when all arrivals
+    // are dups. Must not touch the standing tables at all — the pruned-read
+    // empty-values fallback would otherwise list the FULL postings/dfc
+    // layout and run three no-op write jobs.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_shingle_commit_empty").toString
+    Dedup.shingleBuildIfStale(spark, Sf, base)
+    def allFiles(): Seq[String] = {
+      val p = java.nio.file.Paths.get(base)
+      val st = java.nio.file.Files.walk(p)
+      try {
+        val b = Seq.newBuilder[String]
+        st.filter(q => java.nio.file.Files.isRegularFile(q))
+          .forEach(q => b += s"$q:${java.nio.file.Files.size(q)}")
+        b.result().sorted
+      } finally st.close()
+    }
+    val before = allFiles()
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    Dedup.shingleCommit(spark, base, empty)
+    assert(allFiles() == before,
+      "empty commit must leave the standing layout byte-identical")
+    val probe = Dedup.shingleProbe(spark, base,
+      Tables.documents(spark, Sf).select("doc_id", "text").limit(5))
+    assert(probe.count() == 5)
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
+
   test("commit writes exact negative size deltas on a cap crossing") {
     // Corpus: exactly ShingleDfCap docs sharing "x y z" (df == cap →
     // survives the build). Committing one survivor that also carries it

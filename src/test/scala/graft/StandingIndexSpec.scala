@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.llm.StandingIndex
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recovery-protocol properties of the standing-index shared machinery
+  * that the per-index suites (AnnIndexSpec, RetrievalSpec, DedupSpec)
+  * exercise only on the happy path: the marker-suspend exception
+  * contract, and linkRec's metadata-vs-data cloning split. */
+class StandingIndexSpec extends AnyFunSuite {
+
+  private def mkIndex(): java.nio.file.Path = {
+    val base = Files.createTempDirectory("graft_standing_spec")
+    Files.createDirectories(base.resolve("cells"))
+    Files.write(base.resolve("cells/part-0.parquet"),
+      "livebytes".getBytes("UTF-8"))
+    StandingIndex.commit(base.toString, "sig v1")
+    base
+  }
+
+  test("marker-suspend: pre-destructive failure restores the marker") {
+    val base = mkIndex()
+    // Body fails BEFORE touching any live file — the compactTable tmp-
+    // write failure mode. Scratch under _compact_* must not read as
+    // live-state divergence.
+    val boom = intercept[RuntimeException] {
+      StandingIndex.withMarkerSuspended(base.toString) {
+        Files.createDirectories(base.resolve("_compact_cells"))
+        Files.write(base.resolve("_compact_cells/part-0.parquet"),
+          "halfwritten".getBytes("UTF-8"))
+        throw new RuntimeException("tmp write failed")
+      }
+    }
+    assert(boom.getMessage == "tmp write failed")
+    assert(StandingIndex.upToDate(base.toString, "sig v1"),
+      "a transient pre-destructive failure must not cost a full rebuild")
+    Fs.deleteRec(base)
+  }
+
+  test("marker-suspend: failure after live mutation stays unmarked") {
+    val base = mkIndex()
+    intercept[RuntimeException] {
+      StandingIndex.withMarkerSuspended(base.toString) {
+        // The destructive phase started: the live table is gone.
+        Fs.deleteRec(base.resolve("cells"))
+        throw new RuntimeException("swap failed")
+      }
+    }
+    assert(!Files.exists(base.resolve("_meta")),
+      "a half-rewritten index must stay unmarked (rebuildable)")
+    Fs.deleteRec(base)
+  }
+
+  test("marker-suspend: success restores the marker over a mutated tree") {
+    val base = mkIndex()
+    StandingIndex.withMarkerSuspended(base.toString) {
+      Files.write(base.resolve("cells/part-1.parquet"),
+        "compacted".getBytes("UTF-8"))
+      ()
+    }
+    assert(StandingIndex.upToDate(base.toString, "sig v1"))
+    Fs.deleteRec(base)
+  }
+
+  test("linkRec byte-copies metadata files so a clone re-stamp cannot " +
+      "corrupt the pristine marker") {
+    val src = mkIndex()
+    val dst = Files.createTempDirectory("graft_standing_clone")
+    Fs.deleteRec(dst); // linkRec creates the root itself via walk order
+    Fs.linkRec(src, dst)
+    // Data file: hard-linked (same inode) — the metadata-scale clone.
+    val srcIno = Files.getAttribute(
+      src.resolve("cells/part-0.parquet"), "unix:ino")
+    val dstIno = Files.getAttribute(
+      dst.resolve("cells/part-0.parquet"), "unix:ino")
+    assert(srcIno == dstIno, "data files must be hard-linked")
+    // Marker: independent bytes — re-stamping the clone (the
+    // StandingIndex.commit truncate-in-place write) leaves the pristine
+    // index's marker intact.
+    StandingIndex.commit(dst.toString, "sig v2 (clone)")
+    assert(StandingIndex.upToDate(src.toString, "sig v1"),
+      "re-stamping the clone corrupted the pristine marker")
+    assert(StandingIndex.upToDate(dst.toString, "sig v2 (clone)"))
+    Fs.deleteRec(src); Fs.deleteRec(dst)
+  }
+}
