@@ -212,6 +212,15 @@ object Retrieval {
     * value pays ~2x stage-2 folds for verdict stability on the worst case. */
   val CandCap = 100
 
+  /** Route-gate refinement window: the per-arrival provability bound (one
+    * extra batch-vocabulary aggregate job) is only computed when the
+    * batch's TOTAL selective mass is under RouteRefineFactor x CandCap —
+    * past that, some arrival plausibly fills a cap and the kernel path is
+    * the plan, so the refinement job would be pure added fixed cost in
+    * exactly the regimes (30x/100x selective vocabularies) built to avoid
+    * fixed cost. */
+  val RouteRefineFactor = 16L
+
   /** Sub-ceiling (query term, df) rows — the shared input of BOTH screening
     * stages. Split out so a caller scoring many batches (the streaming
     * decontam gate) can materialize it ONCE per batch instead of paying the
@@ -381,6 +390,35 @@ object Retrieval {
     // selRows is large, and this gate never trips.
     val selMass = termDf.collect { case (_, df) if df <= comCeil => df }.sum
     if (selMass < CandCap) return flat(s"selRows=$selMass,underCap")
+    // Per-arrival refinement of the same bound (round 14): the batch-total
+    // mass is a loose proxy — an arrival with >= 1 common term is provable
+    // only by filling CandCap candidates from ITS OWN selective posting
+    // lists, so per-arrival selective mass >= CandCap is NECESSARY for a
+    // proof, and the count of arrivals clearing it is an UPPER BOUND on
+    // kernel proof coverage. The cost asymmetry that makes a low bound
+    // decisive: unproven arrivals fall through to the exact scatter
+    // ANYWAY, so at low coverage the kernel's machinery (docMask, qstats,
+    // the slice kernel, the bitmask merge — measured ~7 s/screen at the
+    // bench-scale degenerate profile, census proven=0-5%) is near-pure
+    // added cost regardless of how expensive the scatter is. Route flat
+    // when at most a quarter of the batch could possibly be proven. The
+    // refinement costs one batch-scale aggregate job, so it is only
+    // priced when the batch total is within RouteRefineFactor of the cap
+    // — genuinely selective regimes (30x/100x, where coverage is high and
+    // the kernel carries the batch) skip it entirely. Routing flat is
+    // always EXACT (the scatter is the reference plan; the kernel exists
+    // only to bound cost) — RetrievalSpec proves route equality and gate
+    // engagement.
+    if (selMass < CandCap.toLong * RouteRefineFactor) {
+      val r = rare.groupBy("query_id")
+        .agg(sum(when(col("df") <= comCeil, col("df")).otherwise(0L)).as("m"))
+        .agg(count(lit(1)).as("nq"),
+          sum(when(col("m") >= CandCap, 1L).otherwise(0L)).as("npossible"))
+        .head()
+      val (nq, npossible) = (r.getLong(0), r.getLong(1))
+      if (npossible * 4 < nq)
+        return flat(s"selRows=$selMass,provableUB=$npossible/$nq,lowCoverage")
+    }
     val comDF = broadcast(
       commons.zipWithIndex.map { case ((t, _), i) => (t, i) }.toSeq
         .toDF("term", "bit"))
@@ -984,24 +1022,61 @@ object Retrieval {
     // drops a tiny driver-written delta file (nd, sl) and construction
     // sums whatever deltas exist, so reopening an existing base dir
     // yields BM25 constants consistent with the on-disk index instead of
-    // a silent avgLen = NaN. The delta file is written LAST in an append,
-    // so a failure mid-append can leave data rows without their stats
-    // delta — appends are not atomic (production would wrap the four
-    // writes in a transactional table format); rerun the append or
-    // delete-and-reseed after a crash.
+    // a silent avgLen = NaN. Appends are not atomic (four writes;
+    // production would wrap them in a transactional table format), so the
+    // protocol makes a torn append DETECTABLE instead: an `intent_<id>`
+    // marker lands in stats/ BEFORE any data write and is removed only
+    // after the matching `delta_<id>` stats file lands — a crash anywhere
+    // inside leaves the marker orphaned, and both reopen and every screen
+    // refuse loudly (see [[requireNoTornAppend]]) rather than serve BM25
+    // constants inconsistent with partially-appended postings. Recovery
+    // is delete-and-reseed (partial batch rows may sit in postings/dfd,
+    // so a blind rerun of the append could double them).
     @volatile private var nDocs = 0L
     @volatile private var lenSum = 0L
+    requireNoTornAppend()
     if (java.nio.file.Files.isDirectory(statsDir)) {
       val ds = java.nio.file.Files.list(statsDir)
       try ds.forEach { p =>
-        val Array(nd, sl) =
-          new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-            .trim.split(" ")
-        nDocs += nd.toLong; lenSum += sl.toLong
+        if (p.getFileName.toString.startsWith("delta_")) {
+          val Array(nd, sl) =
+            new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+              .trim.split(" ")
+          nDocs += nd.toLong; lenSum += sl.toLong
+        }
       } finally ds.close()
     }
     def n: Long = nDocs
     def avgLen: Double = lenSum.toDouble / nDocs
+
+    /** Fail-loud gate on the append protocol: any orphaned intent marker
+      * means a previous append died between its first data write and its
+      * stats delta — the on-disk postings/dfd/fwd may hold a partial
+      * batch the stats don't count, and any screen against them would
+      * score with silently-wrong BM25 constants. One tiny directory
+      * listing (#appends files), so it runs on every reopen AND every
+      * screen — the in-process path where this object's own failed
+      * append() left the same inconsistency. */
+    private def requireNoTornAppend(): Unit = {
+      if (!java.nio.file.Files.isDirectory(statsDir)) return
+      val ds = java.nio.file.Files.list(statsDir)
+      val torn =
+        try {
+          val b = Seq.newBuilder[String]
+          ds.forEach { p =>
+            val nm = p.getFileName.toString
+            if (nm.startsWith("intent_")) b += nm
+          }
+          b.result()
+        } finally ds.close()
+      if (torn.nonEmpty)
+        throw new IllegalStateException(
+          s"evolving index at $base has ${torn.size} interrupted append(s) " +
+            s"(${torn.take(3).mkString(", ")}): on-disk postings may hold a " +
+            "partial batch the corpus stats do not count. Refusing to serve " +
+            "inconsistent BM25 constants — delete-and-reseed the index dir " +
+            "(appends are not atomic; see the stats scaladoc).")
+    }
 
     private def bucketed(df: DataFrame): DataFrame =
       df.withColumn("bucket",
@@ -1018,6 +1093,14 @@ object Retrieval {
         System.nanoTime()
       }
       var t = System.nanoTime()
+      // Torn-append protocol (see the stats scaladoc): stake the intent
+      // BEFORE any data write; it is removed only after the stats delta
+      // lands, so a crash anywhere inside this method leaves the marker
+      // orphaned and every later reopen/screen fails loudly.
+      val appendId = java.util.UUID.randomUUID().toString
+      java.nio.file.Files.createDirectories(statsDir)
+      java.nio.file.Files.write(statsDir.resolve(s"intent_$appendId.txt"),
+        "pending".getBytes("UTF-8"))
       val tf = postings(docs).cache()
       // repartition ON the partition column before partitionBy: every
       // bucket lands entirely in one task, so an append adds <= NumBuckets
@@ -1050,10 +1133,11 @@ object Retrieval {
         val nd = m("nd").asInstanceOf[Long]
         val sl = m("sl") match { case l: Long => l; case _ => 0L }
         nDocs += nd; lenSum += sl
-        java.nio.file.Files.createDirectories(statsDir)
         java.nio.file.Files.write(
-          statsDir.resolve(s"delta_${java.util.UUID.randomUUID()}.txt"),
+          statsDir.resolve(s"delta_$appendId.txt"),
           s"$nd $sl".getBytes("UTF-8"))
+        // Delta landed — the append is complete; retire the intent.
+        java.nio.file.Files.delete(statsDir.resolve(s"intent_$appendId.txt"))
         mark("fwd+stats", t); ()
       } finally { tf.unpersist(); () }
     }
@@ -1110,6 +1194,7 @@ object Retrieval {
         System.nanoTime()
       }
       var t = System.nanoTime()
+      requireNoTornAppend()
       val qt = postings(arrivals)
         .select(col("doc_id").as("query_id"), col("term"))
       // The batch's term-bucket set: |batch|-bounded driver data (the same

@@ -170,6 +170,47 @@ class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally graft.Fs.deleteRec(java.nio.file.Paths.get(base))
   }
 
+  test("evolving-dist torn append fails loudly on reopen AND on screen — " +
+      "never serves inconsistent BM25 constants") {
+    // Appends are four writes with no transaction (documented caveat).
+    // The intent-marker protocol makes the caveat ENFORCED: a crash
+    // between the first data write and the stats delta leaves an
+    // orphaned intent_<id> marker, and both a reopen and the live
+    // instance's next screen must refuse — the failure mode being
+    // excluded is data rows in postings/ that the corpus stats (n,
+    // avgLen) silently do not count.
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_evodist_torn_").toString
+    try {
+      val all = Tables.documents(spark, Sf).select("doc_id", "text")
+      val ix = new Retrieval.EvolvingDistIndex(spark, base)
+      ix.append(all.filter(col("doc_id") % 5 =!= 0))
+      // Simulate the crash: the marker an interrupted append leaves when
+      // it dies after staking intent (its data writes may be partial).
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(base, "stats", "intent_crashed.txt"),
+        "pending".getBytes("UTF-8"))
+      val batch = all.filter(col("doc_id") % 5 === 0).limit(3)
+      val onScreen = intercept[IllegalStateException] {
+        ix.screen(batch).collect()
+      }
+      assert(onScreen.getMessage.contains("interrupted append"),
+        s"wrong failure: ${onScreen.getMessage}")
+      val onReopen = intercept[IllegalStateException] {
+        new Retrieval.EvolvingDistIndex(spark, base)
+      }
+      assert(onReopen.getMessage.contains("interrupted append"))
+      // Recovery: remove the torn marker (delete-and-reseed stands in for
+      // it here since no partial data actually landed) — serving resumes.
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(base, "stats", "intent_crashed.txt"))
+      assert(new Retrieval.EvolvingDistIndex(spark, base).n == ix.n)
+      assert(ix.screen(batch).count() == 3)
+      graft.TrackedCaches.release()
+    } finally graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
+
   test("screening candidates stay capped per query") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, Sf).select("doc_id", "text")
@@ -443,6 +484,44 @@ class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       try cands()
       finally spark.conf.unset("graft.retrieval.wavePrune")
     assert(routed == flat, "underCap route diverged from the scatter")
+    graft.TrackedCaches.release()
+  }
+
+  test("low provable coverage routes the whole batch to the exact scatter") {
+    // The round-14 refinement: batch-total selective mass CLEARS the cap
+    // (so the round-13 underCap gate misses) but per-arrival provability
+    // — an arrival's own selective lists filling CandCap — holds for
+    // almost no arrival, so the kernel's machinery is near-pure added
+    // cost (unproven arrivals fall through to the scatter anyway; the
+    // in-suite census measured proven=0-5% while the kernel cost
+    // ~7 s/screen). Corpus: an all-common pool plus a selective token
+    // family where each QUERY doc holds exactly one df=8 selective term —
+    // selMass = 32*8 = 256 >= CandCap, per-arrival mass = 8 < CandCap,
+    // coverage UB = 0.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val vocab = (0 until 30).map(i => s"w$i")
+    val docs = (0L until 4096L).map { d =>
+      val toks = vocab.filter(t => ((d * 31 + t.drop(1).toInt * 17) % 5) != 0L)
+      // 32 selective families, df=8 each (docs 0-255 carry one apiece).
+      val sel = if (d < 256) s" sel${d % 32}" else ""
+      (d, ("base " + toks.mkString(" ") + sel).trim)
+    }.toDF("doc_id", "text")
+    val ix = Retrieval.buildIndex(docs, cache = true)
+    val qt = ix.tf.filter(col("doc_id") < 64)
+      .select(col("doc_id").as("query_id"), col("term"))
+    def cands(): Set[(Long, Long)] =
+      Retrieval.screenCandidates(ix, qt).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val routed = cands()
+    val stats = spark.conf.get("graft.retrieval.waveStats")
+    assert(stats.contains("lowCoverage"),
+      s"expected the low-coverage flat route, got $stats")
+    spark.conf.set("graft.retrieval.wavePrune", "off")
+    val flat =
+      try cands()
+      finally spark.conf.unset("graft.retrieval.wavePrune")
+    assert(routed == flat, "lowCoverage route diverged from the scatter")
     graft.TrackedCaches.release()
   }
 
