@@ -29,7 +29,10 @@ import org.apache.spark.sql.SparkSession
   * same query per BENCH_PRIOR.json, the contention fingerprint that
   * inflates cpu AND wall and defeats the wall-vs-cpu test alone) with
   * caches released between runs (co-tenant-load immunity — see the
-  * comment at the timing loop). Failed runs never contribute their wall
+  * comment at the timing loop). Streaming rows, exempt from the in-place
+  * retries, get their own deferred-pass trigger: kept wall >2x the prior
+  * round's wall for the same query (micro-batch cadence is load-stable,
+  * so a wall stretch IS the contention fingerprint there). Failed runs never contribute their wall
   * time to the kept min. Output, in print order: a diagnostics line (raw
   * run times `runsPerQuery`, per-query GC deltas `gcMsPerQuery`, per-query
   * process-CPU deltas `cpuMsPerQuery`), the full name-keyed contract JSON,
@@ -111,16 +114,28 @@ object Bench {
     // Anchored to the repo root (where sbt runs) but env-overridable: a
     // spark-submit launched from elsewhere would otherwise silently miss
     // the committed baseline (disabling the drift retry) and strand its
-    // end-of-run rewrite in the wrong directory.
+    // end-of-run rewrite in the wrong directory. SF-SCOPED: the baseline
+    // is only meaningful against runs of the SAME data scale — a
+    // full-suite smoke run at sf0.01 rewriting the driver's sf0.1
+    // baseline would both false-trigger every next-round drift check AND
+    // (under the min() anti-ratchet below) freeze the baseline at
+    // sf0.01's tiny cpu numbers forever. The driver's bench SF (sf0.1)
+    // keeps the contract filename; any other SF reads/writes its own
+    // suffixed file.
+    val sfName = new java.io.File(sfDir).getName
     val priorPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_PRIOR", "BENCH_PRIOR.json"))
-    val priorCpuMs: Map[String, Long] =
+      sys.env.getOrElse("SPARK_GRAFT_PRIOR",
+        if (sfName == "sf0.1") "BENCH_PRIOR.json"
+        else s"BENCH_PRIOR.$sfName.json"))
+    val priorRows: Map[String, (Double, Long)] =
       if (!java.nio.file.Files.exists(priorPath)) Map.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(priorPath), "UTF-8")
-        """"([^"]+)":\[[0-9.]+,([0-9]+)\]""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toLong).toMap
+        """"([^"]+)":\[([0-9.]+),([0-9]+)\]""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toLong)).toMap
       }
+    val priorCpuMs: Map[String, Long] = priorRows.map { case (k, v) => k -> v._2 }
+    val priorWallS: Map[String, Double] = priorRows.map { case (k, v) => k -> v._1 }
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
     def gcNowMs(): Long = {
       var t = 0L
@@ -224,6 +239,16 @@ object Bench {
     }
     def stillDrifted(k: String, c: Long) =
       priorCpuMs.get(k).exists(pc => c > 2 * pc && c - pc > 2000)
+    // Streaming rows are exempt from the in-place cpu/starvation retries
+    // (wall >> cpu is their healthy steady state, and contention inflates
+    // their cpu less reliably) — which is exactly how round 13 shipped
+    // q_stream_vec_ingest at 5.95 s where an isolated run measured 2.76.
+    // For them, WALL vs the prior round's wall is the right drift signal:
+    // micro-batch trigger cadence is load-stable, so a 2x wall stretch
+    // (with a 1.5 s floor) is the contention fingerprint.
+    def wallDrifted(k: String, w: Double) =
+      k.startsWith("q_stream") &&
+        priorWallS.get(k).exists(pw => w > 2 * pw && w - pw > 1.5)
     // Deferred out-of-window retry (round 11's dedup stretch): a SUSTAINED
     // co-tenant load window spanning several adjacent queries defeats every
     // in-place retry above, because retries run back-to-back INSIDE the
@@ -236,7 +261,7 @@ object Bench {
     // the same run) only when its wall improves; its time is appended to
     // runsPerQuery either way so the artifact shows the adjudication.
     val firstPassDrift = results0.collect {
-      case (k, _, _, c, _) if stillDrifted(k, c) => k
+      case (k, w, _, c, _) if stillDrifted(k, c) || wallDrifted(k, w) => k
     }
     val results =
       if (firstPassDrift.isEmpty) results0
@@ -274,6 +299,12 @@ object Bench {
     val cpuDrift = results.collect {
       case (k, _, _, c, _) if stillDrifted(k, c) => k
     }
+    // Streaming rows whose kept wall still exceeds 2x the prior round's
+    // after the deferred pass — the round-over-round reader's
+    // contention-suspect list for the rows the cpu detector can't cover.
+    val wallDrift = results.collect {
+      case (k, w, _, _, _) if wallDrifted(k, w) => k
+    }
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val gcs = results.map { case (k, _, g, _, _) => "\"" + k + "\":" + g }
@@ -310,6 +341,7 @@ object Bench {
     val diag =
       s"""{"gcMsPerQuery":$gcs,"cpuMsPerQuery":$cpus_,"runsPerQuery":$runs,""" +
       s""""cpuDriftVsPrior":${cpuDrift.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""wallDriftVsPrior":${wallDrift.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""deferredRetry":${firstPassDrift.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$env,"sf":"$sfDir"}"""
@@ -364,16 +396,26 @@ object Bench {
       // baseline: a query that fails this round and recovers next round
       // would otherwise false-trigger the drift detector on the bogus
       // prior (and waste its extra runs).
-      // Drift-suspect rows must not ratchet the baseline: writing this
-      // round's (contended) cpu for a query still flagged in cpuDrift
-      // would silently disable the drift detector for the next round —
-      // one bad round and the 2x bar moves out of reach. Carry the min of
-      // the old and new cpu forward instead, so the baseline only ever
-      // tightens toward clean-host numbers.
+      // The baseline must not RATCHET under load: round 13 showed that
+      // protecting only cpuDrift-FLAGGED rows lets a contended full-suite
+      // run silently raise the bar for every row that drifted <2x that
+      // day (q_stream_vec_ingest's cpu baseline walked 3.0 -> 10.0 s
+      // across contended rounds and its 5.95 s wall shipped unflagged).
+      // So min(old, new) is carried forward for EVERY row's cpu — and
+      // every streaming row's wall, now that wall is their drift signal —
+      // so the baseline only ever tightens toward clean-host numbers. The
+      // cost is that an INTENTIONAL plan change that legitimately raises
+      // a query's cpu keeps its row drift-flagged (bounded: ≤2 extra runs
+      // + one deferred) until the baseline is re-seeded — set
+      // SPARK_GRAFT_PRIOR_ACCEPT=1 on one clean full-suite run to accept
+      // the measured values as the new baseline after such a change.
+      val accept = sys.env.get("SPARK_GRAFT_PRIOR_ACCEPT").contains("1")
       val prior = results.filter { case (k, _, _, _, _) => !errors.contains(k) }
         .map { case (k, w, _, c, _) =>
-          val cKept = if (cpuDrift.contains(k)) math.min(c, priorCpuMs.getOrElse(k, c)) else c
-          "\"" + k + "\":[" + num(w, 2) + "," + cKept + "]"
+          val cKept = if (accept) c else math.min(c, priorCpuMs.getOrElse(k, c))
+          val wKept = if (!accept && k.startsWith("q_stream"))
+            math.min(w, priorWallS.getOrElse(k, w)) else w
+          "\"" + k + "\":[" + num(wKept, 2) + "," + cKept + "]"
         }.mkString("{", ",", "}")
       java.nio.file.Files.write(priorPath, (prior + "\n").getBytes("UTF-8"))
     }
