@@ -103,6 +103,10 @@ object ScaleTest {
       return dedupStandingMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
     if (args.headOption.contains("events"))
       return eventsMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
+    if (args.headOption.contains("soak"))
+      return soakMain(args.drop(1).headOption.map(_.toInt).getOrElse(20))
+    if (args.headOption.contains("soakdedup"))
+      return soakDedupMain(args.drop(1).headOption.map(_.toInt).getOrElse(20))
     val copies = if (args.nonEmpty) args(0).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -959,5 +963,186 @@ object ScaleTest {
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       }
+  }
+
+  private def soakSession(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", ShuffleDir.path)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  private def parquetFileCount(dir: String): Long = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) return 0L
+    val st = java.nio.file.Files.walk(p)
+    try st.filter(q => q.toString.endsWith(".parquet") &&
+      java.nio.file.Files.isRegularFile(q)).count()
+    finally st.close()
+  }
+
+  /** Multi-batch SOAK of the distributed evolving decontam gate — the
+    * steady state the gate exists for, which the 2-batch oracle zone
+    * cannot show: `nBatches` screen→append micro-batches over a growing
+    * standing index, with compaction triggered MID-STREAM by the file-
+    * count pressure appends actually create (not by a manual call at a
+    * chosen moment). Prints one row per batch (screen s, append s,
+    * standing postings file count, compaction s when it fired) and
+    * enforces the two steady-state claims: (a) verdicts are IDENTICAL
+    * across a compaction (screened before and after on the same batch),
+    * and (b) per-batch wall stays FLAT — the late-stream median must not
+    * exceed 2.5x the early-stream median (generous for host noise; a
+    * file-count or corpus-size slope would blow through it). */
+  private def soakMain(nBatches: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = soakSession()
+    import graft.llm.Retrieval
+    val src = "/root/testdata/sf0.1"
+    val docs = Tables.documents(spark, src).select("doc_id", "text")
+      .localCheckpoint()
+    val seed = docs.filter(col("doc_id") % 3 === 0)
+    val arrivals = docs.filter(col("doc_id") % 3 =!= 0)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_soak_evodist").toString
+    val inc = new Retrieval.EvolvingDistIndex(spark, base)
+    val t0 = System.nanoTime()
+    inc.append(seed)
+    println(f"soak seed: ${seed.count()} docs, " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    graft.plans.TopKPerKey.ensureRegistered(spark)
+    // Compact when the standing postings exceed this many files — at
+    // ~22 files per append (the batch vocab spans ~22 of the 64 buckets)
+    // the trigger fires every ~6 batches after a reset, so a 20-batch
+    // soak compacts mid-stream ~2 times.
+    val fileTrigger = 192L
+    val walls = Array.ofDim[Double](nBatches)
+    var compactions = 0
+    for (b <- 0 until nBatches) {
+      val batch = arrivals
+        .filter(pmod(xxhash64(col("doc_id")), lit(nBatches.toLong)) === b)
+        .localCheckpoint()
+      def verdicts(): Seq[String] = {
+        val v = inc.screen(batch).collect()
+          .map(_.toString).sorted.toSeq
+        TrackedCaches.release(); spark.catalog.clearCache()
+        v
+      }
+      val ts = System.nanoTime()
+      val v1 = verdicts()
+      val screenS = (System.nanoTime() - ts) / 1e9
+      val filesBefore = parquetFileCount(s"$base/postings")
+      var compactS = 0.0
+      if (filesBefore > fileTrigger) {
+        val tc = System.nanoTime()
+        inc.compact()
+        compactS = (System.nanoTime() - tc) / 1e9
+        compactions += 1
+        val v2 = verdicts()
+        require(v1 == v2,
+          s"batch $b: verdicts changed across compaction " +
+            s"(${v1.size} vs ${v2.size} rows)")
+      }
+      val ta = System.nanoTime()
+      inc.append(batch)
+      val appendS = (System.nanoTime() - ta) / 1e9
+      walls(b) = screenS + appendS
+      println(f"soak batch $b%2d: arrivals=${batch.count()}%4d " +
+        f"screen=$screenS%6.2f append=$appendS%5.2f " +
+        f"files=$filesBefore%4d" +
+        (if (compactS > 0) f" COMPACT=$compactS%5.2f -> " +
+          f"${parquetFileCount(s"$base/postings")} files" else ""))
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2)
+    }
+    val early = median(walls.take(5).toSeq)
+    val late = median(walls.takeRight(5).toSeq)
+    println(f"soak summary: batches=$nBatches compactions=$compactions " +
+      f"earlyMedian=$early%.2f lateMedian=$late%.2f ratio=${late / early}%.2f")
+    require(compactions > 0,
+      "soak never triggered a compaction — lower the file trigger")
+    require(late <= 2.5 * early,
+      f"per-batch wall is NOT flat: late median $late%.2f vs early $early%.2f")
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+    spark.stop()
+  }
+
+  /** The same steady-state soak for the standing SHINGLE index's commit
+    * path (the streaming dedup gate's machinery): probe→commit-survivors
+    * per batch, shingleCompact under marker-suspend when postings file
+    * count crosses the trigger, probe-identity asserted across each
+    * compaction. */
+  private def soakDedupMain(nBatches: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = soakSession()
+    import graft.llm.Dedup
+    val src = "/root/testdata/sf0.1"
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_soak_shingle").toString
+    val t0 = System.nanoTime()
+    Dedup.shingleBuildIfStale(spark, src, base)
+    println(f"soak dedup build: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // The build's standing corpus is doc_id % 5 =!= 0; arrivals come from
+    // the held-out fifth, split into nBatches by id hash.
+    val pool = Tables.documents(spark, src)
+      .filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+      .localCheckpoint()
+    val fileTrigger = 192L
+    val walls = Array.ofDim[Double](nBatches)
+    var compactions = 0
+    for (b <- 0 until nBatches) {
+      val batch = pool
+        .filter(pmod(xxhash64(col("doc_id")), lit(nBatches.toLong)) === b)
+        .localCheckpoint()
+      def probe(): Array[org.apache.spark.sql.Row] = {
+        val v = Dedup.shingleProbe(spark, base, batch).collect()
+          .sortBy(_.getLong(0))
+        TrackedCaches.release(); spark.catalog.clearCache()
+        v
+      }
+      val ts = System.nanoTime()
+      val v1 = probe()
+      val probeS = (System.nanoTime() - ts) / 1e9
+      val filesBefore = parquetFileCount(s"$base/postings")
+      var compactS = 0.0
+      if (filesBefore > fileTrigger) {
+        val tc = System.nanoTime()
+        Dedup.shingleCompact(spark, base)
+        compactS = (System.nanoTime() - tc) / 1e9
+        compactions += 1
+        val v2 = probe()
+        require(v1.map(_.toString).toSeq == v2.map(_.toString).toSeq,
+          s"batch $b: probe verdicts changed across shingleCompact")
+      }
+      val surviving = v1.filter(!_.getBoolean(1)).map(_.getLong(0)).toSeq
+      val survivors = batch.filter(col("doc_id").isin(surviving: _*))
+      val ta = System.nanoTime()
+      Dedup.shingleCommit(spark, base, survivors)
+      val commitS = (System.nanoTime() - ta) / 1e9
+      walls(b) = probeS + commitS
+      println(f"soak batch $b%2d: arrivals=${batch.count()}%4d " +
+        f"probe=$probeS%6.2f commit=$commitS%5.2f files=$filesBefore%4d" +
+        (if (compactS > 0) f" COMPACT=$compactS%5.2f" else ""))
+    }
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+    val early = median(walls.take(5).toSeq)
+    val late = median(walls.takeRight(5).toSeq)
+    println(f"soak dedup summary: batches=$nBatches " +
+      f"compactions=$compactions earlyMedian=$early%.2f " +
+      f"lateMedian=$late%.2f ratio=${late / early}%.2f")
+    require(compactions > 0,
+      "soak never triggered a compaction — lower the file trigger")
+    require(late <= 2.5 * early,
+      f"per-batch wall is NOT flat: late median $late%.2f vs early $early%.2f")
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+    spark.stop()
   }
 }
