@@ -43,6 +43,25 @@ import org.apache.spark.sql.SparkSession
   * /tmp/graft_bench.json gets the full merged object.
   */
 object Bench {
+
+  /** The baseline-merge policy, factored out so BenchSpec can prove the
+    * anti-ratchet property directly: given this run's kept (wall s,
+    * cpu ms) per query and the prior baseline, produce the next
+    * baseline. cpu carries min(old, new) for EVERY row and wall carries
+    * min(old, new) for streaming rows (wall is their drift signal) —
+    * so a contended run can never raise the drift bar; `accept` (the
+    * SPARK_GRAFT_PRIOR_ACCEPT escape hatch) re-seeds after an
+    * intentional plan change. */
+  def mergePrior(run: Seq[(String, Double, Long)],
+      prior: Map[String, (Double, Long)],
+      accept: Boolean): Seq[(String, Double, Long)] =
+    run.map { case (k, w, c) =>
+      val cKept = if (accept) c else math.min(c, prior.get(k).map(_._2).getOrElse(c))
+      val wKept = if (!accept && k.startsWith("q_stream"))
+        math.min(w, prior.get(k).map(_._1).getOrElse(w)) else w
+      (k, wKept, cKept)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -410,13 +429,13 @@ object Bench {
       // SPARK_GRAFT_PRIOR_ACCEPT=1 on one clean full-suite run to accept
       // the measured values as the new baseline after such a change.
       val accept = sys.env.get("SPARK_GRAFT_PRIOR_ACCEPT").contains("1")
-      val prior = results.filter { case (k, _, _, _, _) => !errors.contains(k) }
-        .map { case (k, w, _, c, _) =>
-          val cKept = if (accept) c else math.min(c, priorCpuMs.getOrElse(k, c))
-          val wKept = if (!accept && k.startsWith("q_stream"))
-            math.min(w, priorWallS.getOrElse(k, w)) else w
-          "\"" + k + "\":[" + num(wKept, 2) + "," + cKept + "]"
-        }.mkString("{", ",", "}")
+      val merged = mergePrior(
+        results.filter { case (k, _, _, _, _) => !errors.contains(k) }
+          .map { case (k, w, _, c, _) => (k, w, c) },
+        priorRows, accept)
+      val prior = merged.map { case (k, w, c) =>
+        "\"" + k + "\":[" + num(w, 2) + "," + c + "]"
+      }.mkString("{", ",", "}")
       java.nio.file.Files.write(priorPath, (prior + "\n").getBytes("UTF-8"))
     }
     spark.stop()

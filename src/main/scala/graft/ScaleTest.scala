@@ -107,6 +107,8 @@ object ScaleTest {
       return soakMain(args.drop(1).headOption.map(_.toInt).getOrElse(20))
     if (args.headOption.contains("soakdedup"))
       return soakDedupMain(args.drop(1).headOption.map(_.toInt).getOrElse(20))
+    if (args.headOption.contains("soakann"))
+      return soakAnnMain(args.drop(1).headOption.map(_.toInt).getOrElse(20))
     val copies = if (args.nonEmpty) args(0).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -1138,6 +1140,79 @@ object ScaleTest {
     println(f"soak dedup summary: batches=$nBatches " +
       f"compactions=$compactions earlyMedian=$early%.2f " +
       f"lateMedian=$late%.2f ratio=${late / early}%.2f")
+    require(compactions > 0,
+      "soak never triggered a compaction — lower the file trigger")
+    require(late <= 2.5 * early,
+      f"per-batch wall is NOT flat: late median $late%.2f vs early $early%.2f")
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+    spark.stop()
+  }
+
+  /** The steady-state soak for the standing IVF index: frozen-centroid
+    * appends per batch, probe-before-append as the serving measurement,
+    * AnnIndex.compact under marker-suspend on the cell-dir file-count
+    * trigger, probe-identity asserted across each compaction. */
+  private def soakAnnMain(nBatches: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = soakSession()
+    import graft.llm.{AnnIndex, StandingIndex}
+    val src = "/root/testdata/sf0.1"
+    val emb = Tables.embeddings(spark, src).select("vec_id", "embedding")
+      .localCheckpoint()
+    val seed = emb.filter(col("vec_id") % 3 === 0)
+    val pool = emb.filter(col("vec_id") % 3 =!= 0)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_soak_ann").toString
+    val t0 = System.nanoTime()
+    val n = AnnIndex.buildFrom(spark, seed, base)
+    // The probe budget rides the marker's ` n=` tail (buildIfStale's
+    // protocol); the soak builds from a seed frame, so it stamps its own.
+    StandingIndex.commit(base, s"dir=soak sig=seed n=$n")
+    println(f"soak ann build: $n vectors, " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // ~24 files per append (~√N cells at this corpus, most touched per
+    // batch): 192 fires every ~7 batches after a reset.
+    val fileTrigger = 192L
+    val walls = Array.ofDim[Double](nBatches)
+    var compactions = 0
+    for (b <- 0 until nBatches) {
+      val batch = pool
+        .filter(pmod(xxhash64(col("vec_id")), lit(nBatches.toLong)) === b)
+        .localCheckpoint()
+      def probe(): Seq[String] = {
+        val v = AnnIndex.probe(spark, base, batch).collect()
+          .map(_.toString).sorted.toSeq
+        TrackedCaches.release(); spark.catalog.clearCache()
+        v
+      }
+      val ts = System.nanoTime()
+      val v1 = probe()
+      val probeS = (System.nanoTime() - ts) / 1e9
+      val filesBefore = parquetFileCount(s"$base/cells")
+      var compactS = 0.0
+      if (filesBefore > fileTrigger) {
+        val tc = System.nanoTime()
+        AnnIndex.compact(spark, base)
+        compactS = (System.nanoTime() - tc) / 1e9
+        compactions += 1
+        val v2 = probe()
+        require(v1 == v2,
+          s"batch $b: probe results changed across AnnIndex.compact")
+      }
+      val ta = System.nanoTime()
+      AnnIndex.append(spark, base, batch)
+      val appendS = (System.nanoTime() - ta) / 1e9
+      walls(b) = probeS + appendS
+      println(f"soak batch $b%2d: arrivals=${batch.count()}%4d " +
+        f"probe=$probeS%6.2f append=$appendS%5.2f files=$filesBefore%4d" +
+        (if (compactS > 0) f" COMPACT=$compactS%5.2f -> " +
+          f"${parquetFileCount(s"$base/cells")} files" else ""))
+    }
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+    val early = median(walls.take(5).toSeq)
+    val late = median(walls.takeRight(5).toSeq)
+    println(f"soak ann summary: batches=$nBatches compactions=$compactions " +
+      f"earlyMedian=$early%.2f lateMedian=$late%.2f ratio=${late / early}%.2f")
     require(compactions > 0,
       "soak never triggered a compaction — lower the file trigger")
     require(late <= 2.5 * early,

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench baseline-merge policy (the drift detector's memory). The
+  * property the round-13 verdict demanded: a CONTENDED full-suite run
+  * followed by a clean one must leave the baseline at the clean values —
+  * the old policy protected only rows already flagged as drifted, so a
+  * row inflated <2x under load silently ratcheted the bar for every
+  * later round. */
+class BenchSpec extends AnyFunSuite {
+
+  private val clean = Map(
+    "q_batch" -> (1.0, 3000L),
+    "q_stream_x" -> (2.0, 3000L))
+
+  test("contended-then-clean run pair leaves the baseline at clean values") {
+    // Contended run: everything inflated 1.9x (below the 2x drift flag —
+    // exactly the rows the old policy ratcheted).
+    val contended = Seq(("q_batch", 1.9, 5700L), ("q_stream_x", 3.8, 5700L))
+    val afterBad = Bench.mergePrior(contended, clean, accept = false)
+      .map { case (k, w, c) => k -> (w, c) }.toMap
+    // cpu held at the clean prior for both rows; streaming wall held too.
+    assert(afterBad("q_batch")._2 == 3000L, "batch cpu ratcheted under load")
+    assert(afterBad("q_stream_x") == ((2.0, 3000L)),
+      "streaming row ratcheted under load")
+    // Batch wall is informational (not a drift signal) and stays fresh.
+    assert(afterBad("q_batch")._1 == 1.9)
+    // Clean run on the (possibly load-written) baseline: values converge
+    // back to clean — nothing was lost to the contended round.
+    val clean2 = Seq(("q_batch", 1.0, 3000L), ("q_stream_x", 2.0, 3000L))
+    val afterGood = Bench.mergePrior(clean2, afterBad, accept = false)
+      .map { case (k, w, c) => k -> (w, c) }.toMap
+    assert(afterGood == Map(
+      "q_batch" -> ((1.0, 3000L)), "q_stream_x" -> ((2.0, 3000L))))
+  }
+
+  test("baseline only tightens: a faster clean run lowers it") {
+    val faster = Seq(("q_batch", 0.8, 2400L), ("q_stream_x", 1.5, 2500L))
+    val out = Bench.mergePrior(faster, clean, accept = false)
+      .map { case (k, w, c) => k -> (w, c) }.toMap
+    assert(out("q_batch") == ((0.8, 2400L)))
+    assert(out("q_stream_x") == ((1.5, 2500L)))
+  }
+
+  test("accept re-seeds the baseline after an intentional plan change") {
+    val regressed = Seq(("q_batch", 3.0, 9000L), ("q_stream_x", 6.0, 9000L))
+    val out = Bench.mergePrior(regressed, clean, accept = true)
+      .map { case (k, w, c) => k -> (w, c) }.toMap
+    assert(out("q_batch") == ((3.0, 9000L)))
+    assert(out("q_stream_x") == ((6.0, 9000L)))
+  }
+
+  test("rows absent from the prior seed at their measured values") {
+    val out = Bench.mergePrior(Seq(("q_new", 1.2, 1000L)), clean, accept = false)
+    assert(out == Seq(("q_new", 1.2, 1000L)))
+  }
+}

@@ -211,6 +211,35 @@ class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally graft.Fs.deleteRec(java.nio.file.Paths.get(base))
   }
 
+  test("evolving-dist compaction crash (lost dir mid-swap) fails the next " +
+      "screen loudly") {
+    // compact()'s documented contract: the rewrite-and-swap is not
+    // crash-atomic — a crash between a deleteRec and its move loses a
+    // dir, and the next screen must fail LOUDLY (path-not-found), never
+    // quietly score against partial state. Simulate the torn swap: the
+    // dfd dir deleted, its compacted replacement still stranded at the
+    // tmp path.
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_evodist_tornswap_").toString
+    try {
+      val all = Tables.documents(spark, Sf).select("doc_id", "text")
+      val ix = new Retrieval.EvolvingDistIndex(spark, base)
+      ix.append(all.filter(col("doc_id") % 5 =!= 0))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(base, "dfd"),
+        java.nio.file.Paths.get(base, "_compact_dfd"))
+      val boom = intercept[Exception] {
+        ix.screen(all.filter(col("doc_id") % 5 === 0).limit(3)).collect()
+      }
+      assert(boom.getMessage != null &&
+        (boom.getMessage.contains("PATH_NOT_FOUND") ||
+          boom.getMessage.toLowerCase.contains("path does not exist")),
+        s"expected a loud path failure, got: ${boom.getMessage}")
+      graft.TrackedCaches.release()
+    } finally graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
+
   test("screening candidates stay capped per query") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, Sf).select("doc_id", "text")
