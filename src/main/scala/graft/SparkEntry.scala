@@ -113,6 +113,7 @@ object SparkEntry {
     "q_hybrid_rrf" -> (Retrieval.hybridRrf _),
     "q_tfidf_top" -> (TextAnalysis.tfidfTop _),
     "q_pii_scrub" -> (TextAnalysis.piiScrub _),
+    "q_boilerplate_scrub" -> (TextAnalysis.boilerplateScrub _),
     "q_repetition" -> (TextAnalysis.repetition _),
     "q_contamination" -> (TextAnalysis.contamination _),
     "q_token_budget" -> (TextAnalysis.tokenBudgetSample _),
@@ -515,6 +516,7 @@ object SparkEntry {
     "q_hybrid_rrf" -> Retrieval.hybridRrfSql,
     "q_tfidf_top" -> TextAnalysis.tfidfTopSql,
     "q_pii_scrub" -> TextAnalysis.piiScrubSql,
+    "q_boilerplate_scrub" -> TextAnalysis.boilerplateScrubSql,
     "q_repetition" -> TextAnalysis.repetitionSql,
     "q_contamination" -> TextAnalysis.contaminationSql,
     "q_token_budget" -> TextAnalysis.tokenBudgetSampleSql,

@@ -1152,10 +1152,16 @@ object Retrieval {
       * not crash-atomic — a crash between a delete and its move loses a
       * dir and the next screen fails LOUDLY (no silent wrong answers;
       * production wraps state transitions in a transactional table
-      * format); stats deltas are deliberately NOT merged, because any
-      * crash ordering there could double-count or zero the corpus stats
-      * silently, and one tiny text file per append is never the
-      * bottleneck. RetrievalSpec pins screen-identity before/after. */
+      * format). Every OTHER interleaving is safe by construction: each
+      * table's compaction is row-equivalent (postings repartitioned,
+      * dfd deltas rolled up under the sum the screen already applies,
+      * fwd repartitioned), so a crash that leaves SOME tables swapped
+      * and others not still serves exact answers — loss-or-loud is the
+      * complete failure model, and RetrievalSpec exercises the loud arm
+      * (torn-swap spec) alongside screen-identity before/after. Stats
+      * deltas are deliberately NOT merged, because any crash ordering
+      * there could double-count or zero the corpus stats silently, and
+      * one tiny text file per append is never the bottleneck. */
     def compact(): Unit = {
       import java.nio.file.{Files, Paths}
       def swapIn(tmp: String, dir: String): Unit = {

@@ -201,6 +201,90 @@ object TextAnalysis {
              FROM dirty)
        ORDER BY doc_id"""
 
+  /** Boilerplate block width (words) and the cross-document frequency at
+    * which a block counts as boilerplate. MinDf = 2 is the aggressive
+    * C4-style setting: any block shared verbatim by two documents is
+    * template/boilerplate material, not content. */
+  val BoilerplateBlock = 10
+  val BoilerplateMinDf = 2
+
+  /** C4/CCNet-style boilerplate REMOVAL — the rewrite stage, not just a
+    * score ([[graft.llm.Dedup.dupNgramFraction]] measures; this cleans):
+    * split every document into non-overlapping [[BoilerplateBlock]]-word
+    * blocks, count each distinct block's document frequency across the
+    * corpus, drop blocks appearing in ≥ [[BoilerplateMinDf]] documents
+    * (navigation chrome, footers, template text — the repeated-line
+    * removal C4/CCNet run on web text, expressed over this corpus's
+    * space-token structure), and reassemble each document from its kept
+    * blocks in order. Returns (doc_id, n_blocks, n_removed, clean_text),
+    * one row per document — clean_text is '' when everything was
+    * boilerplate.
+    *
+    * Scale shape: one explode to corpus-tokens/B block rows; block df is
+    * one map-side-combined groupBy on the block text; the keep-join is
+    * SKEW-FREE BY CONSTRUCTION (it joins only blocks with df <
+    * MinDf — the hot high-df blocks are exactly the rows that never
+    * enter the join); reassembly is a per-document groupBy whose payload
+    * is bounded by document length. No windows, no driver state. */
+  def boilerplateScrub(s: SparkSession, d: String): DataFrame = {
+    val B = BoilerplateBlock
+    val w = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("toks", size(col("ws")).cast(LongType))
+    val b = w
+      .select(col("doc_id"), col("ws"), col("toks"),
+        explode(sequence(lit(0L), expr(s"(toks - 1) div $B"))).as("block_id"))
+      .select(col("doc_id"), col("block_id"),
+        array_join(slice(col("ws"),
+            (col("block_id") * B + 1).cast(IntegerType),
+            least(lit(B.toLong), col("toks") - col("block_id") * B)
+              .cast(IntegerType)),
+          " ").as("bt"))
+    val keepVocab = b.groupBy("bt")
+      .agg(countDistinct("doc_id").as("bdf"))
+      .filter(col("bdf") < BoilerplateMinDf).select("bt")
+    val kept = b.join(keepVocab, Seq("bt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(" +
+          "collect_list(struct(block_id, bt))), x -> x.bt), ' ')")
+          .as("clean_text"))
+    w.select(col("doc_id"),
+        expr(s"(toks + ${B - 1}) div $B").as("n_blocks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        (col("n_blocks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle mirror. generate_series bound 15 covers the corpus's ≤100-word
+    * documents with headroom (the WHERE guard makes the bound slack-safe);
+    * the Spark side uses an exact per-row sequence instead. */
+  val boilerplateScrubSql: String = {
+    val B = BoilerplateBlock
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+          FROM documents),
+        b AS (SELECT doc_id, j AS block_id,
+                array_to_string(list_slice(ws, CAST(j * $B + 1 AS INT),
+                  CAST(least((j + 1) * $B, toks) AS INT)), ' ') AS bt
+              FROM w CROSS JOIN generate_series(0, 15) g(j)
+              WHERE j * $B < toks),
+        bdf AS (SELECT bt, count(DISTINCT doc_id) AS bdf FROM b GROUP BY bt),
+        kept AS (SELECT doc_id, count(*) AS n_kept,
+                   array_to_string(list(bt ORDER BY block_id), ' ') AS clean_text
+                 FROM b JOIN bdf USING (bt)
+                 WHERE bdf < $BoilerplateMinDf GROUP BY doc_id)
+        SELECT w.doc_id,
+          CAST((toks + ${B - 1}) // $B AS BIGINT) AS n_blocks,
+          CAST((toks + ${B - 1}) // $B - coalesce(n_kept, 0) AS BIGINT)
+            AS n_removed,
+          coalesce(clean_text, '') AS clean_text
+        FROM w LEFT JOIN kept ON w.doc_id = kept.doc_id
+        ORDER BY w.doc_id"""
+  }
+
   /** Intra-document repetition score (the Gopher-style quality signal):
     * fraction of word-3-grams that are repeats of an earlier 3-gram in the
     * SAME document. Boilerplate and generator loops light this up while

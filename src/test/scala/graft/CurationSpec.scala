@@ -231,6 +231,41 @@ class CurationSpec extends SparkSpec {
       f"max PMI ${pmis.head}%.6f exceeds ln(T/minCount) = ${math.log(t.toDouble / TextAnalysis.PmiMinCount)}%.6f")
   }
 
+  test("boilerplate scrub removes exactly the planted shared blocks, in order") {
+    // Three docs share a verbatim 10-word header block (df=3 ≥ MinDf=2 →
+    // boilerplate); each doc's remaining blocks are unique. The scrub
+    // must drop the header from all three, keep unique blocks in
+    // document order, and report a doc that is ALL boilerplate as
+    // clean_text = ''.
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val B = TextAnalysis.BoilerplateBlock
+    val header = (0 until B).map(i => s"nav$i").mkString(" ")
+    val docs = Seq(
+      (1L, header + " " + (0 until B).map(i => s"a$i").mkString(" ") +
+        " " + (0 until B).map(i => s"b$i").mkString(" ")),
+      (2L, header + " " + (0 until B).map(i => s"c$i").mkString(" ")),
+      (3L, header), // all boilerplate
+      (4L, (0 until B).map(i => s"d$i").mkString(" ") + " tail words here")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_boiler_spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.boilerplateScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((3L, 1L,
+      (0 until B).map(i => s"a$i").mkString(" ") + " " +
+        (0 until B).map(i => s"b$i").mkString(" "))),
+      s"doc 1 mis-scrubbed: ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, (0 until B).map(i => s"c$i").mkString(" "))))
+    assert(out(3L) == ((1L, 1L, "")), "an all-boilerplate doc must empty out")
+    // Doc 4: no shared blocks — untouched, including its short tail block.
+    assert(out(4L) == ((2L, 0L,
+      (0 until B).map(i => s"d$i").mkString(" ") + " tail words here")))
+    graft.Fs.deleteRec(java.nio.file.Paths.get(dir))
+  }
+
   test("cluster profile partitions the corpus over the trained cells") {
     val emb = Tables.embeddings(spark, Sf)
     val n = emb.count()
