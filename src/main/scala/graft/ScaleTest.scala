@@ -212,7 +212,7 @@ object ScaleTest {
       "q_dedup_incremental",
       "q_heavy_hitters", "q_curation_funnel",
       "q_seq_pack", "q_doc_chunks", "q_cdc_chunks", "q_cdc_shared",
-      "q_mixture_rebalance", "q_dup_ngram_fraction", "q_boilerplate_scrub",
+      "q_mixture_rebalance", "q_dup_ngram_fraction", "q_boilerplate_scrub", "q_dedup_canonical",
       "q_bpe_merges", "q_lm_perplexity",
       "q_ppl_buckets", "q_source_scorecard", "q_bm25_topk", "q_hybrid_rrf",
       "q_train_split", "q_shard_manifest", "q_source_overlap",

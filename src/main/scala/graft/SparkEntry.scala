@@ -94,6 +94,7 @@ object SparkEntry {
     "q_cdc_chunks" -> (Dedup.cdcChunkMap _),
     "q_cdc_shared" -> (Dedup.cdcSharedChunks _),
     "q_dedup_clusters" -> (Dedup.dedupClusters _),
+    "q_dedup_canonical" -> (Dedup.canonicalKeep _),
     "q_vec_quantize" -> (Similarity.quantizeVectors _),
     "q_rand_projection" -> (Similarity.randProjection _),
     "q_cluster_profile" -> (Similarity.clusterProfile _),
@@ -493,6 +494,7 @@ object SparkEntry {
     "q_cdc_chunks" -> Dedup.cdcChunkMapSql,
     "q_cdc_shared" -> Dedup.cdcSharedChunksSql,
     "q_dedup_clusters" -> Dedup.dedupClustersSql,
+    "q_dedup_canonical" -> Dedup.canonicalKeepSql,
     "q_vec_quantize" -> Similarity.quantizeVectorsSql,
     "q_rand_projection" -> Similarity.randProjectionSql,
     "q_cluster_profile" -> Similarity.clusterProfileSql,

@@ -1239,6 +1239,80 @@ object Dedup {
         SELECT doc_id, min(r) AS cluster_id, (doc_id = min(r)) AS is_keeper
         FROM reach GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Quality-aware canonicalization — the KEEP DECISION a curation
+    * pipeline runs after clustering: every document gets a verdict, and
+    * each near-dup cluster keeps its highest-quality member (type-token
+    * ratio, the cheap per-row quality signal; ties break to the smallest
+    * doc_id) instead of [[dedupClusters]]' arbitrary min-id keeper —
+    * "keep the best copy", not "keep the first copy". Documents with no
+    * near-dup pair are their own singleton cluster and trivially
+    * canonical, so the output covers the WHOLE corpus: (doc_id,
+    * cluster_id, is_canonical).
+    *
+    * Scale shape: clusters ride the shared Pregel-lite min-label
+    * propagation (edge-count-scale); TTR is per-row arithmetic on the
+    * corpus scan; the per-cluster argmax is ONE aggregate of
+    * max(struct(ttr, -doc_id)) — no WindowExec, no per-cluster sort —
+    * and the canonical join-back is cluster-arity. Both engines compute
+    * the same IEEE division from the same integers, so the double
+    * compare is deterministic cross-engine. */
+  def canonicalKeep(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        (size(array_distinct(col("ws"))).cast(DoubleType) /
+          size(col("ws"))).as("ttr"))
+    val cl = minLabelComponents(ngramJaccardPairs(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("id").as("doc_id"), col("label").as("cl"))
+    // Two consumers (the per-cluster argmax and the verdict join-back):
+    // cache, or the corpus scan + cluster join run twice.
+    val full = graft.TrackedCaches.track(
+      docs.join(cl, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("ttr"),
+          coalesce(col("cl"), col("doc_id")).as("cluster_id"))
+        .cache())
+    val best = full.groupBy("cluster_id")
+      .agg(max(struct(col("ttr"), (-col("doc_id")).as("negId"))).as("b"))
+      .select(col("cluster_id"), (-col("b.negId")).as("canonical_id"))
+    full.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  val canonicalKeepSql: String =
+    s"""WITH RECURSIVE $cappedShinglesSql,
+        sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        jp AS (SELECT doc_a, doc_b
+               FROM inter JOIN sizes na ON doc_a = na.doc_id
+                          JOIN sizes nb ON doc_b = nb.doc_id
+               WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= $JaccardThreshold),
+        edges AS (SELECT doc_a AS s, doc_b AS t FROM jp
+                  UNION ALL SELECT doc_b, doc_a FROM jp),
+        nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
+        reach AS (SELECT doc_id, doc_id AS r FROM nodes
+                  UNION
+                  SELECT reach.doc_id, e.t FROM reach JOIN edges e ON reach.r = e.s),
+        clus AS (SELECT doc_id, min(r) AS cl FROM reach GROUP BY doc_id),
+        q AS (SELECT doc_id,
+                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+                  len(string_split(text, ' ')) AS ttr
+              FROM documents),
+        f AS (SELECT q.doc_id, q.ttr, coalesce(clus.cl, q.doc_id) AS cluster_id
+              FROM q LEFT JOIN clus ON q.doc_id = clus.doc_id),
+        best AS (SELECT cluster_id, doc_id AS canonical_id
+                 FROM (SELECT cluster_id, doc_id,
+                         row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY ttr DESC, doc_id ASC) AS rk
+                       FROM f) WHERE rk = 1)
+        SELECT f.doc_id, f.cluster_id, f.doc_id = best.canonical_id AS is_canonical
+        FROM f JOIN best ON f.cluster_id = best.cluster_id
+        ORDER BY f.doc_id"""
+
   val ngramJaccardPairsSql: String =
     s"""WITH $cappedShinglesSql,
         sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),

@@ -396,6 +396,32 @@ class DedupSpec extends SparkSpec {
     graft.Fs.deleteRec(java.nio.file.Paths.get(base))
   }
 
+  test("canonical keep prefers the higher-quality cluster member over the min id") {
+    // Cluster {10, 11}: doc 10 (the SMALLER id — dedupClusters' arbitrary
+    // keeper) is doc 11 plus a repeated-word tail, so its TTR is lower;
+    // shared shingles put the pair at jaccard 18/21 ≥ 0.5. canonicalKeep
+    // must keep doc 11 — quality beats arrival order. Doc 12 shares
+    // nothing: a singleton, trivially canonical, covered in the output.
+    import spark.implicits._
+    val base = (0 until 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (10L, base + " w0 w0 w0"),
+      (11L, base),
+      (12L, (0 until 20).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_canonical_spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.canonicalKeep(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(10L) == ((10L, false)),
+      s"low-quality min-id member must NOT be canonical: ${out(10L)}")
+    assert(out(11L) == ((10L, true)),
+      "the higher-TTR member must be the cluster's canonical")
+    assert(out(12L) == ((12L, true)), "singletons are their own canonical")
+    graft.Fs.deleteRec(java.nio.file.Paths.get(dir))
+  }
+
   test("commit with an empty accepted batch is a no-op (no reads, no writes)") {
     // Reachable every micro-batch in streamDedupEvolving when all arrivals
     // are dups. Must not touch the standing tables at all — the pruned-read
