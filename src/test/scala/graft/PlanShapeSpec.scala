@@ -43,6 +43,42 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(windows.isEmpty, s"numbering path must not use a window:\n$plan")
   }
 
+  test("boilerplate scrub: no window, no cartesian, no single-partition funnel") {
+    // The rewrite stage must stay an explode → agg → join → agg chain: a
+    // WindowExec would mean the reassembly regressed to a per-doc sort
+    // window, and the keep-join must never cross-product.
+    val df = graft.llm.TextAnalysis.boilerplateScrub(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"boilerplate scrub must not window:\n$plan")
+    assert(collectWithSubqueries(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"no cartesian in the keep-join:\n$plan")
+    // Only the final presentation ORDER BY may land on one partition; the
+    // working exchanges (block df, reassembly, joins) must stay wide.
+    val singles = collectWithSubqueries(plan) {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }
+    assert(singles.size <= 1,
+      s"working shuffles must not funnel to one partition:\n$plan")
+  }
+
+  test("canonical keep aggregates the cluster argmax — no window, no cartesian") {
+    val df = graft.llm.Dedup.canonicalKeep(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty,
+      s"the per-cluster argmax must be max(struct), not a ranked window:\n$plan")
+    assert(collectWithSubqueries(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"no cartesian in the canonical join-back:\n$plan")
+    graft.TrackedCaches.release()
+  }
+
   test("partitioned parquet read-back prunes partitions in the scan") {
     val df = Relational.partitionedParquetRoundtrip(spark, Sf)
     df.collect()
