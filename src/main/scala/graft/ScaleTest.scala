@@ -992,18 +992,77 @@ object ScaleTest {
     finally st.close()
   }
 
-  /** Multi-batch SOAK of the distributed evolving decontam gate — the
-    * steady state the gate exists for, which the 2-batch oracle zone
-    * cannot show: `nBatches` screen→append micro-batches over a growing
-    * standing index, with compaction triggered MID-STREAM by the file-
-    * count pressure appends actually create (not by a manual call at a
-    * chosen moment). Prints one row per batch (screen s, append s,
-    * standing postings file count, compaction s when it fired) and
-    * enforces the two steady-state claims: (a) verdicts are IDENTICAL
-    * across a compaction (screened before and after on the same batch),
-    * and (b) per-batch wall stays FLAT — the late-stream median must not
-    * exceed 2.5x the early-stream median (generous for host noise; a
-    * file-count or corpus-size slope would blow through it). */
+  /** One soak driver for all three standing families — the steady state
+    * the 2-batch oracle zones cannot show: `nBatches` probe→mutate
+    * micro-batches over a growing standing index, with compaction
+    * triggered MID-STREAM by the file-count pressure the mutations
+    * actually create (not by a manual call at a chosen moment). Prints
+    * one row per batch and enforces the two steady-state claims:
+    * (a) probe results are IDENTICAL across a compaction (probed before
+    * and after on the same batch), and (b) per-batch wall stays FLAT —
+    * the late-stream median must not exceed 2.5x the early-stream
+    * median (generous for host noise; a file-count or corpus-size slope
+    * would blow through it). One implementation so a tuning change to
+    * the trigger accounting or the flatness bar cannot silently diverge
+    * the three soaks' acceptance criteria. */
+  private def runSoak(spark: SparkSession, nBatches: Int, name: String,
+      base: String, filesDir: String, fileTrigger: Long,
+      probeLabel: String, mutateLabel: String,
+      batchOf: Int => org.apache.spark.sql.DataFrame,
+      probe: org.apache.spark.sql.DataFrame => Seq[String],
+      mutate: org.apache.spark.sql.DataFrame => Unit,
+      compact: () => Unit): Unit = {
+    val walls = Array.ofDim[Double](nBatches)
+    var compactions = 0
+    for (b <- 0 until nBatches) {
+      val batch = batchOf(b)
+      def probed(): Seq[String] = {
+        val v = probe(batch)
+        TrackedCaches.release(); spark.catalog.clearCache()
+        v
+      }
+      val ts = System.nanoTime()
+      val v1 = probed()
+      val probeS = (System.nanoTime() - ts) / 1e9
+      val filesBefore = parquetFileCount(filesDir)
+      var compactS = 0.0
+      if (filesBefore > fileTrigger) {
+        val tc = System.nanoTime()
+        compact()
+        compactS = (System.nanoTime() - tc) / 1e9
+        compactions += 1
+        val v2 = probed()
+        require(v1 == v2,
+          s"batch $b: $name probe results changed across compaction " +
+            s"(${v1.size} vs ${v2.size} rows)")
+      }
+      val ta = System.nanoTime()
+      mutate(batch)
+      val mutateS = (System.nanoTime() - ta) / 1e9
+      walls(b) = probeS + mutateS
+      println(f"soak batch $b%2d: arrivals=${batch.count()}%4d " +
+        f"$probeLabel=$probeS%6.2f $mutateLabel=$mutateS%5.2f " +
+        f"files=$filesBefore%4d" +
+        (if (compactS > 0) f" COMPACT=$compactS%5.2f -> " +
+          f"${parquetFileCount(filesDir)} files" else ""))
+    }
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+    val early = median(walls.take(5).toSeq)
+    val late = median(walls.takeRight(5).toSeq)
+    println(f"soak $name summary: batches=$nBatches " +
+      f"compactions=$compactions earlyMedian=$early%.2f " +
+      f"lateMedian=$late%.2f ratio=${late / early}%.2f")
+    require(compactions > 0,
+      "soak never triggered a compaction — lower the file trigger")
+    require(late <= 2.5 * early,
+      f"per-batch wall is NOT flat: late median $late%.2f vs early $early%.2f")
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+    spark.stop()
+  }
+
+  /** Distributed evolving decontam gate soak: screen→append per batch.
+    * Trigger 192 at ~22 files per append (the batch vocab spans ~22 of
+    * the 64 buckets) fires every ~6 batches after a reset. */
   private def soakMain(nBatches: Int): Unit = {
     import org.apache.spark.sql.functions._
     val spark = soakSession()
@@ -1021,68 +1080,19 @@ object ScaleTest {
     println(f"soak seed: ${seed.count()} docs, " +
       f"${(System.nanoTime() - t0) / 1e9}%.2f s")
     graft.plans.TopKPerKey.ensureRegistered(spark)
-    // Compact when the standing postings exceed this many files — at
-    // ~22 files per append (the batch vocab spans ~22 of the 64 buckets)
-    // the trigger fires every ~6 batches after a reset, so a 20-batch
-    // soak compacts mid-stream ~2 times.
-    val fileTrigger = 192L
-    val walls = Array.ofDim[Double](nBatches)
-    var compactions = 0
-    for (b <- 0 until nBatches) {
-      val batch = arrivals
+    runSoak(spark, nBatches, "evodist", base, s"$base/postings", 192L,
+      "screen", "append",
+      b => arrivals
         .filter(pmod(xxhash64(col("doc_id")), lit(nBatches.toLong)) === b)
-        .localCheckpoint()
-      def verdicts(): Seq[String] = {
-        val v = inc.screen(batch).collect()
-          .map(_.toString).sorted.toSeq
-        TrackedCaches.release(); spark.catalog.clearCache()
-        v
-      }
-      val ts = System.nanoTime()
-      val v1 = verdicts()
-      val screenS = (System.nanoTime() - ts) / 1e9
-      val filesBefore = parquetFileCount(s"$base/postings")
-      var compactS = 0.0
-      if (filesBefore > fileTrigger) {
-        val tc = System.nanoTime()
-        inc.compact()
-        compactS = (System.nanoTime() - tc) / 1e9
-        compactions += 1
-        val v2 = verdicts()
-        require(v1 == v2,
-          s"batch $b: verdicts changed across compaction " +
-            s"(${v1.size} vs ${v2.size} rows)")
-      }
-      val ta = System.nanoTime()
-      inc.append(batch)
-      val appendS = (System.nanoTime() - ta) / 1e9
-      walls(b) = screenS + appendS
-      println(f"soak batch $b%2d: arrivals=${batch.count()}%4d " +
-        f"screen=$screenS%6.2f append=$appendS%5.2f " +
-        f"files=$filesBefore%4d" +
-        (if (compactS > 0) f" COMPACT=$compactS%5.2f -> " +
-          f"${parquetFileCount(s"$base/postings")} files" else ""))
-    }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted; s(s.size / 2)
-    }
-    val early = median(walls.take(5).toSeq)
-    val late = median(walls.takeRight(5).toSeq)
-    println(f"soak summary: batches=$nBatches compactions=$compactions " +
-      f"earlyMedian=$early%.2f lateMedian=$late%.2f ratio=${late / early}%.2f")
-    require(compactions > 0,
-      "soak never triggered a compaction — lower the file trigger")
-    require(late <= 2.5 * early,
-      f"per-batch wall is NOT flat: late median $late%.2f vs early $early%.2f")
-    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
-    spark.stop()
+        .localCheckpoint(),
+      batch => inc.screen(batch).collect().map(_.toString).sorted.toSeq,
+      batch => inc.append(batch),
+      () => inc.compact())
   }
 
-  /** The same steady-state soak for the standing SHINGLE index's commit
-    * path (the streaming dedup gate's machinery): probe→commit-survivors
-    * per batch, shingleCompact under marker-suspend when postings file
-    * count crosses the trigger, probe-identity asserted across each
-    * compaction. */
+  /** Standing shingle index soak: probe→commit-survivors per batch,
+    * shingleCompact under marker-suspend. 64 new files per commit
+    * (shingle vocab spans all buckets) → trigger 192 fires every ~3. */
   private def soakDedupMain(nBatches: Int): Unit = {
     import org.apache.spark.sql.functions._
     val spark = soakSession()
@@ -1098,61 +1108,32 @@ object ScaleTest {
     val pool = Tables.documents(spark, src)
       .filter(col("doc_id") % 5 === 0).select("doc_id", "text")
       .localCheckpoint()
-    val fileTrigger = 192L
-    val walls = Array.ofDim[Double](nBatches)
-    var compactions = 0
-    for (b <- 0 until nBatches) {
-      val batch = pool
+    // Commit needs the batch's SURVIVORS — derived from the rows of the
+    // probe the harness just timed (memoized here), never a second probe.
+    // When a compaction intervenes the memo holds the post-compaction
+    // probe's rows, which the identity require has already proven equal.
+    var lastProbe: Array[org.apache.spark.sql.Row] = Array.empty
+    runSoak(spark, nBatches, "dedup", base, s"$base/postings", 192L,
+      "probe", "commit",
+      b => pool
         .filter(pmod(xxhash64(col("doc_id")), lit(nBatches.toLong)) === b)
-        .localCheckpoint()
-      def probe(): Array[org.apache.spark.sql.Row] = {
-        val v = Dedup.shingleProbe(spark, base, batch).collect()
-          .sortBy(_.getLong(0))
-        TrackedCaches.release(); spark.catalog.clearCache()
-        v
-      }
-      val ts = System.nanoTime()
-      val v1 = probe()
-      val probeS = (System.nanoTime() - ts) / 1e9
-      val filesBefore = parquetFileCount(s"$base/postings")
-      var compactS = 0.0
-      if (filesBefore > fileTrigger) {
-        val tc = System.nanoTime()
-        Dedup.shingleCompact(spark, base)
-        compactS = (System.nanoTime() - tc) / 1e9
-        compactions += 1
-        val v2 = probe()
-        require(v1.map(_.toString).toSeq == v2.map(_.toString).toSeq,
-          s"batch $b: probe verdicts changed across shingleCompact")
-      }
-      val surviving = v1.filter(!_.getBoolean(1)).map(_.getLong(0)).toSeq
-      val survivors = batch.filter(col("doc_id").isin(surviving: _*))
-      val ta = System.nanoTime()
-      Dedup.shingleCommit(spark, base, survivors)
-      val commitS = (System.nanoTime() - ta) / 1e9
-      walls(b) = probeS + commitS
-      println(f"soak batch $b%2d: arrivals=${batch.count()}%4d " +
-        f"probe=$probeS%6.2f commit=$commitS%5.2f files=$filesBefore%4d" +
-        (if (compactS > 0) f" COMPACT=$compactS%5.2f" else ""))
-    }
-    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
-    val early = median(walls.take(5).toSeq)
-    val late = median(walls.takeRight(5).toSeq)
-    println(f"soak dedup summary: batches=$nBatches " +
-      f"compactions=$compactions earlyMedian=$early%.2f " +
-      f"lateMedian=$late%.2f ratio=${late / early}%.2f")
-    require(compactions > 0,
-      "soak never triggered a compaction — lower the file trigger")
-    require(late <= 2.5 * early,
-      f"per-batch wall is NOT flat: late median $late%.2f vs early $early%.2f")
-    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
-    spark.stop()
+        .localCheckpoint(),
+      batch => {
+        lastProbe = Dedup.shingleProbe(spark, base, batch).collect()
+        lastProbe.map(_.toString).sorted.toSeq
+      },
+      batch => {
+        val ids = lastProbe.filter(!_.getBoolean(1)).map(_.getLong(0)).toSeq
+        Dedup.shingleCommit(spark, base,
+          batch.filter(col("doc_id").isin(ids: _*)))
+      },
+      () => Dedup.shingleCompact(spark, base))
   }
 
-  /** The steady-state soak for the standing IVF index: frozen-centroid
-    * appends per batch, probe-before-append as the serving measurement,
-    * AnnIndex.compact under marker-suspend on the cell-dir file-count
-    * trigger, probe-identity asserted across each compaction. */
+  /** Standing IVF index soak: frozen-centroid appends per batch,
+    * AnnIndex.compact under marker-suspend. ~24 files per append (~√N
+    * cells at this corpus, most touched per batch) → trigger 192 fires
+    * every ~7 batches after a reset. */
   private def soakAnnMain(nBatches: Int): Unit = {
     import org.apache.spark.sql.functions._
     val spark = soakSession()
@@ -1171,54 +1152,14 @@ object ScaleTest {
     StandingIndex.commit(base, s"dir=soak sig=seed n=$n")
     println(f"soak ann build: $n vectors, " +
       f"${(System.nanoTime() - t0) / 1e9}%.2f s")
-    // ~24 files per append (~√N cells at this corpus, most touched per
-    // batch): 192 fires every ~7 batches after a reset.
-    val fileTrigger = 192L
-    val walls = Array.ofDim[Double](nBatches)
-    var compactions = 0
-    for (b <- 0 until nBatches) {
-      val batch = pool
+    runSoak(spark, nBatches, "ann", base, s"$base/cells", 192L,
+      "probe", "append",
+      b => pool
         .filter(pmod(xxhash64(col("vec_id")), lit(nBatches.toLong)) === b)
-        .localCheckpoint()
-      def probe(): Seq[String] = {
-        val v = AnnIndex.probe(spark, base, batch).collect()
-          .map(_.toString).sorted.toSeq
-        TrackedCaches.release(); spark.catalog.clearCache()
-        v
-      }
-      val ts = System.nanoTime()
-      val v1 = probe()
-      val probeS = (System.nanoTime() - ts) / 1e9
-      val filesBefore = parquetFileCount(s"$base/cells")
-      var compactS = 0.0
-      if (filesBefore > fileTrigger) {
-        val tc = System.nanoTime()
-        AnnIndex.compact(spark, base)
-        compactS = (System.nanoTime() - tc) / 1e9
-        compactions += 1
-        val v2 = probe()
-        require(v1 == v2,
-          s"batch $b: probe results changed across AnnIndex.compact")
-      }
-      val ta = System.nanoTime()
-      AnnIndex.append(spark, base, batch)
-      val appendS = (System.nanoTime() - ta) / 1e9
-      walls(b) = probeS + appendS
-      println(f"soak batch $b%2d: arrivals=${batch.count()}%4d " +
-        f"probe=$probeS%6.2f append=$appendS%5.2f files=$filesBefore%4d" +
-        (if (compactS > 0) f" COMPACT=$compactS%5.2f -> " +
-          f"${parquetFileCount(s"$base/cells")} files" else ""))
-    }
-    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
-    val early = median(walls.take(5).toSeq)
-    val late = median(walls.takeRight(5).toSeq)
-    println(f"soak ann summary: batches=$nBatches compactions=$compactions " +
-      f"earlyMedian=$early%.2f lateMedian=$late%.2f ratio=${late / early}%.2f")
-    require(compactions > 0,
-      "soak never triggered a compaction — lower the file trigger")
-    require(late <= 2.5 * early,
-      f"per-batch wall is NOT flat: late median $late%.2f vs early $early%.2f")
-    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
-    spark.stop()
+        .localCheckpoint(),
+      batch => AnnIndex.probe(spark, base, batch).collect()
+        .map(_.toString).sorted.toSeq,
+      batch => AnnIndex.append(spark, base, batch),
+      () => AnnIndex.compact(spark, base))
   }
 }

@@ -1093,10 +1093,22 @@ object Retrieval {
         System.nanoTime()
       }
       var t = System.nanoTime()
+      // Appending onto a dir someone else's append already tore would
+      // compound the damage (and a caller blindly retrying ITS OWN torn
+      // append would double the partial rows) — same loud refusal the
+      // screens give.
+      requireNoTornAppend()
       // Torn-append protocol (see the stats scaladoc): stake the intent
       // BEFORE any data write; it is removed only after the stats delta
       // lands, so a crash anywhere inside this method leaves the marker
-      // orphaned and every later reopen/screen fails loudly.
+      // orphaned and every later reopen/screen fails loudly. An
+      // IN-PROCESS failure is cheaper to recover when provably clean:
+      // the catch below retires this append's own intent iff the data
+      // census (committed parquet files) is byte-for-byte where it
+      // started — a transient job failure that committed nothing must
+      // not brick the index into a delete-and-reseed (the same
+      // restore-iff-unchanged refinement withMarkerSuspended carries).
+      val census0 = dataCensus()
       val appendId = java.util.UUID.randomUUID().toString
       java.nio.file.Files.createDirectories(statsDir)
       java.nio.file.Files.write(statsDir.resolve(s"intent_$appendId.txt"),
@@ -1139,7 +1151,39 @@ object Retrieval {
         // Delta landed — the append is complete; retire the intent.
         java.nio.file.Files.delete(statsDir.resolve(s"intent_$appendId.txt"))
         mark("fwd+stats", t); ()
+      } catch {
+        case e: Throwable =>
+          if (dataCensus() == census0)
+            java.nio.file.Files.delete(
+              statsDir.resolve(s"intent_$appendId.txt"))
+          throw e
       } finally { tf.unpersist(); () }
+    }
+
+    /** Sorted (relative path, size) census of the COMMITTED parquet data
+      * files under the three data dirs — the "did any data land" witness
+      * for the in-process transient-failure recovery above. Committer
+      * scratch (`_temporary`) is excluded: a failed job may leave scratch
+      * behind, which is not committed data; any COMMITTED file appearing
+      * or changing keeps the torn-intent marker in place. File-count
+      * scale (bounded by the bucketed appends + compaction), no Spark
+      * job. */
+    private def dataCensus(): Seq[String] = {
+      val b = Seq.newBuilder[String]
+      Seq(postingsDir, fwdDir, dfdDir).foreach { d =>
+        val p = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.isDirectory(p)) {
+          val st = java.nio.file.Files.walk(p)
+          try st.forEach { q =>
+            val rel = p.relativize(q).toString
+            if (q.toString.endsWith(".parquet") &&
+                !rel.contains("_temporary") &&
+                java.nio.file.Files.isRegularFile(q))
+              b += s"$d/$rel:${java.nio.file.Files.size(q)}"
+          } finally st.close()
+        }
+      }
+      b.result().sorted
     }
 
     /** Compact the append-only state: postings rewritten to one file per
@@ -1164,6 +1208,10 @@ object Retrieval {
       * one tiny text file per append is never the bottleneck. */
     def compact(): Unit = {
       import java.nio.file.{Files, Paths}
+      // A corpus-scale rewrite over a dir holding a torn append's partial
+      // rows would fold the inconsistency into the rolled-up deltas of a
+      // dir that must be delete-and-reseeded anyway — refuse first.
+      requireNoTornAppend()
       def swapIn(tmp: String, dir: String): Unit = {
         graft.Fs.deleteRec(Paths.get(dir))
         Files.move(Paths.get(tmp), Paths.get(dir)); ()

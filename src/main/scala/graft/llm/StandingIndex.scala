@@ -31,7 +31,13 @@ private[graft] object StandingIndex {
   /** Content signature of a source table (file or directory): md5 over
     * sorted (relative-name, length, mtime) of every regular file. File
     * metadata only — safe to evaluate on every serving call. */
-  def sourceSig(path: String): String = {
+  def sourceSig(path: String): String = treeSig(path, _ => true)
+
+  /** The one walk-and-digest implementation behind [[sourceSig]] and
+    * [[liveSig]] — a digest fix (mtime granularity, symlinks, sort
+    * locale) must land in both or the marker-restore check drifts from
+    * the staleness check. `keep` filters by path relative to the root. */
+  private def treeSig(path: String, keep: String => Boolean): String = {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) return "absent"
     val st = java.nio.file.Files.walk(p)
@@ -41,8 +47,10 @@ private[graft] object StandingIndex {
         st.filter(q => java.nio.file.Files.isRegularFile(q))
           .sorted()
           .forEach { q =>
-            b += s"${p.relativize(q)}:${java.nio.file.Files.size(q)}:" +
-              s"${java.nio.file.Files.getLastModifiedTime(q).toMillis}"
+            val rel = p.relativize(q).toString
+            if (keep(rel))
+              b += s"$rel:${java.nio.file.Files.size(q)}:" +
+                s"${java.nio.file.Files.getLastModifiedTime(q).toMillis}"
           }
         b.result()
       } finally st.close()
@@ -149,29 +157,11 @@ private[graft] object StandingIndex {
   /** Signature of the LIVE files under a standing-index dir: every
     * regular file except the marker itself and anything under a
     * `_compact_*` temp dir (maintenance scratch — a failed tmp write must
-    * not read as live-state divergence). Same (name, length, mtime)
-    * digest as [[sourceSig]]. */
-  private def liveSig(base: String): String = {
-    val p = java.nio.file.Paths.get(base)
-    val st = java.nio.file.Files.walk(p)
-    val parts =
-      try {
-        val b = Seq.newBuilder[String]
-        st.filter(q => java.nio.file.Files.isRegularFile(q))
-          .sorted()
-          .forEach { q =>
-            val rel = p.relativize(q).toString
-            val inTemp = rel.split('/').exists(_.startsWith("_compact_"))
-            if (rel != "_meta" && !inTemp)
-              b += s"$rel:${java.nio.file.Files.size(q)}:" +
-                s"${java.nio.file.Files.getLastModifiedTime(q).toMillis}"
-          }
-        b.result()
-      } finally st.close()
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(parts.mkString("\n").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-  }
+    * not read as live-state divergence). Same digest as [[sourceSig]] by
+    * construction (shared [[treeSig]]). */
+  private def liveSig(base: String): String =
+    treeSig(base, rel =>
+      rel != "_meta" && !rel.split('/').exists(_.startsWith("_compact_")))
 
   /** Compact one `part`-partitioned table of a standing index back to
     * one file per partition directory: appends accumulate a file per

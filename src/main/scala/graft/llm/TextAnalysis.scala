@@ -228,18 +228,25 @@ object TextAnalysis {
     * is bounded by document length. No windows, no driver state. */
   def boilerplateScrub(s: SparkSession, d: String): DataFrame = {
     val B = BoilerplateBlock
-    val w = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .withColumn("toks", size(col("ws")).cast(LongType))
-    val b = w
-      .select(col("doc_id"), col("ws"), col("toks"),
-        explode(sequence(lit(0L), expr(s"(toks - 1) div $B"))).as("block_id"))
-      .select(col("doc_id"), col("block_id"),
-        array_join(slice(col("ws"),
-            (col("block_id") * B + 1).cast(IntegerType),
-            least(lit(B.toLong), col("toks") - col("block_id") * B)
-              .cast(IntegerType)),
-          " ").as("bt"))
+    // The block frame fans out to THREE consumers (the df vocabulary, the
+    // keep-join, the per-doc block count) — cache it so the corpus scan
+    // and the per-row split/explode run once, and every doc appears in it
+    // (sequence(0, (toks-1) div B) is non-empty for toks >= 1, and split
+    // of even an empty text yields one element).
+    val b = graft.TrackedCaches.track(
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("toks", size(col("ws")).cast(LongType))
+        .select(col("doc_id"), col("ws"), col("toks"),
+          explode(sequence(lit(0L), expr(s"(toks - 1) div $B")))
+            .as("block_id"))
+        .select(col("doc_id"), col("block_id"),
+          array_join(slice(col("ws"),
+              (col("block_id") * B + 1).cast(IntegerType),
+              least(lit(B.toLong), col("toks") - col("block_id") * B)
+                .cast(IntegerType)),
+            " ").as("bt"))
+        .cache())
     val keepVocab = b.groupBy("bt")
       .agg(countDistinct("doc_id").as("bdf"))
       .filter(col("bdf") < BoilerplateMinDf).select("bt")
@@ -249,8 +256,8 @@ object TextAnalysis {
         expr("array_join(transform(array_sort(" +
           "collect_list(struct(block_id, bt))), x -> x.bt), ' ')")
           .as("clean_text"))
-    w.select(col("doc_id"),
-        expr(s"(toks + ${B - 1}) div $B").as("n_blocks"))
+    b.groupBy("doc_id")
+      .agg((max("block_id") + 1).as("n_blocks"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_blocks"),
         (col("n_blocks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
@@ -258,9 +265,16 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Oracle mirror. generate_series bound 15 covers the corpus's ≤100-word
-    * documents with headroom (the WHERE guard makes the bound slack-safe);
-    * the Spark side uses an exact per-row sequence instead. */
+  /** Oracle-side block enumeration ceiling: generate_series is a constant
+    * series (the WHERE guard trims per doc), so the bound only needs to
+    * EXCEED every oracle corpus's blocks-per-document. 64 blocks = 640
+    * words per doc against the generator's ≤100 — if a future corpus
+    * ever approaches it, the oracle silently truncating tails would read
+    * as a Spark bug, so keep the slack wide. The Spark side enumerates
+    * exactly per row and has no ceiling. */
+  val BoilerplateOracleMaxBlocks = 64
+
+  /** Oracle mirror of [[boilerplateScrub]]. */
   val boilerplateScrubSql: String = {
     val B = BoilerplateBlock
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
@@ -269,7 +283,8 @@ object TextAnalysis {
         b AS (SELECT doc_id, j AS block_id,
                 array_to_string(list_slice(ws, CAST(j * $B + 1 AS INT),
                   CAST(least((j + 1) * $B, toks) AS INT)), ' ') AS bt
-              FROM w CROSS JOIN generate_series(0, 15) g(j)
+              FROM w CROSS JOIN
+                generate_series(0, ${BoilerplateOracleMaxBlocks - 1}) g(j)
               WHERE j * $B < toks),
         bdf AS (SELECT bt, count(DISTINCT doc_id) AS bdf FROM b GROUP BY bt),
         kept AS (SELECT doc_id, count(*) AS n_kept,

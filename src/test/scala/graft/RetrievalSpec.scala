@@ -211,6 +211,37 @@ class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally graft.Fs.deleteRec(java.nio.file.Paths.get(base))
   }
 
+  test("a transient append failure that commits nothing retires its own " +
+      "intent — the index stays serviceable") {
+    // The cheap-recovery arm of the torn-append protocol: a job that
+    // fails BEFORE any parquet commits (task exception in the first
+    // write) must not brick the index into a delete-and-reseed — the
+    // catch verifies the committed-data census is unchanged and retires
+    // the intent it staked. Contrast with the torn-append spec above,
+    // where data DID land and the orphan must stay.
+    import org.apache.spark.sql.functions.{col, udf}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_evodist_clean_fail_").toString
+    try {
+      val all = Tables.documents(spark, Sf).select("doc_id", "text")
+      val ix = new Retrieval.EvolvingDistIndex(spark, base)
+      ix.append(all.filter(col("doc_id") % 5 =!= 0))
+      val boom = udf { (_: Long) =>
+        if (true) throw new RuntimeException("transient task failure")
+        "unreachable"
+      }
+      val bad = all.limit(2).select(col("doc_id"), boom(col("doc_id")).as("text"))
+      intercept[Exception] { ix.append(bad) }
+      // No orphaned intent: screening and reopening both still serve.
+      val batch = all.filter(col("doc_id") % 5 === 0).limit(3)
+      assert(ix.screen(batch).count() == 3,
+        "a commits-nothing failure must not poison the live instance")
+      assert(new Retrieval.EvolvingDistIndex(spark, base).n == ix.n,
+        "reopen must succeed after a clean transient failure")
+      graft.TrackedCaches.release()
+    } finally graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
+
   test("evolving-dist compaction crash (lost dir mid-swap) fails the next " +
       "screen loudly") {
     // compact()'s documented contract: the rewrite-and-swap is not
