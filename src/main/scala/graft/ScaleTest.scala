@@ -1159,7 +1159,20 @@ object ScaleTest {
         .localCheckpoint(),
       batch => AnnIndex.probe(spark, base, batch).collect()
         .map(_.toString).sorted.toSeq,
-      batch => AnnIndex.append(spark, base, batch),
+      batch => {
+        AnnIndex.append(spark, base, batch)
+        // Interleaved DELETE leg: purge a deterministic ~1/8 slice of
+        // this batch's arrivals right after they land, so every later
+        // probe runs the tombstone-anti-join regime and every
+        // file-pressure compaction fires with LIVE tombstones — the
+        // runSoak probe-identity require then proves the anti-join
+        // answer equals the physically-dropped answer at each firing,
+        // and the steady-state flatness bar prices the per-batch
+        // delete (a column-pruned (vec_id, cell) resolve + a
+        // tombstone append) alongside the append it rides with.
+        AnnIndex.delete(spark, base,
+          batch.filter(col("vec_id") % 8 === 1).select("vec_id"))
+      },
       () => AnnIndex.compact(spark, base))
   }
 }

@@ -107,6 +107,7 @@ object SparkEntry {
     "q_ann_ivf" -> (Similarity.annIvf _),
     "q_ann_ivf_standing" -> (graft.llm.AnnIndex.annIvfStanding _),
     "q_ann_ivf_append" -> (graft.llm.AnnIndex.annIvfAppendStanding _),
+    "q_ann_ivf_delete" -> (graft.llm.AnnIndex.annIvfDeleteStanding _),
     "q_ann_ivf_rescore" -> (Similarity.annIvfRescore _),
     "q_mmr_rerank" -> (Similarity.mmrRerank _),
     "q_bm25_topk" -> (Retrieval.bm25TopK _),
@@ -509,6 +510,7 @@ object SparkEntry {
     // parquet, probe-only queries), never the semantics — same oracle.
     "q_ann_ivf_standing" -> Similarity.annIvfSql,
     "q_ann_ivf_append" -> graft.llm.AnnIndex.annIvfAppendSql,
+    "q_ann_ivf_delete" -> graft.llm.AnnIndex.annIvfDeleteSql,
     "q_ann_ivf_rescore" -> Similarity.annIvfRescoreSql,
     "q_mmr_rerank" -> Similarity.mmrRerankSql,
     "q_bm25_topk" -> Retrieval.bm25Sql,

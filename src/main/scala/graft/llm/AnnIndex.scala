@@ -55,7 +55,20 @@ object AnnIndex {
 
   private def centroidsDir(base: String) = s"$base/centroids"
   private def cellsDir(base: String)     = s"$base/cells"
+  private def tombsDir(base: String)     = s"$base/tombstones"
   private def metaPath(base: String)     = s"$base/_meta"
+
+  /** True iff the tombstones table exists AND holds at least one cell
+    * partition — an empty delete (ids matching nothing) leaves only a
+    * `_SUCCESS` marker, which must read as "no tombstones" (a bare
+    * parquet read of a data-less dir cannot even infer a schema). */
+  private def hasTombstones(base: String): Boolean = {
+    val p = java.nio.file.Paths.get(tombsDir(base))
+    if (!java.nio.file.Files.isDirectory(p)) return false
+    val ds = java.nio.file.Files.list(p)
+    try ds.anyMatch(q => q.getFileName.toString.startsWith("cell="))
+    finally ds.close()
+  }
 
   /** Build the index at `base` unless `_meta` shows it was already built
     * from this corpus (same dir, same corpus-file content signature —
@@ -135,10 +148,55 @@ object AnnIndex {
       .write.mode("append").partitionBy("cell").parquet(cellsDir(base))
   }
 
+  /** Delete vectors from a standing index by id — the serving-lifecycle
+    * verb the family's build/probe/append/compact set lacked: a takedown
+    * or contamination purge against a 100 TB standing corpus cannot
+    * afford delete-and-reseed (a full retrain + corpus relayout for a
+    * handful of rows). Tombstone model (the LSM idiom): each deleted id
+    * lands as a (cell, vec_id) row under `tombstones/cell=<id>/`,
+    * written with [[append]]'s repartition-on-the-partition-column
+    * discipline (≤ one new file per touched cell per delete). [[probe]]
+    * anti-joins the tombstones path-pruned to the probed cells —
+    * exclusion costs O(tombstones in probed cells), broadcast, never a
+    * corpus pass — and [[compact]] physically drops tombstoned rows and
+    * retires the tombstones.
+    *
+    * Resolving ids to cells takes ONE column-pruned scan of the cells
+    * layout — (vec_id, cell) only, two dictionary-encoded integer
+    * columns, never the embedding bytes; the ids side broadcasts
+    * (takedown batches are small by nature, and anything too big to
+    * broadcast is a rebuild-sized event anyway).
+    *
+    * Contract:
+    *  - idempotent + re-runnable: tombstones are duplicate-tolerant and
+    *    carry no side stats, so a crashed or repeated delete is safely
+    *    re-run (no intent marker to orphan — contrast the BM25 append
+    *    protocol, whose stats deltas would double-count);
+    *  - ids absent from the index resolve to no cell → no tombstone;
+    *  - the probe budget (k, nprobe) is FROZEN index geometry and does
+    *    not shrink with deletes, exactly as [[append]] leaves it — the
+    *    marker's ` n=` stays the build-time corpus count;
+    *  - a tombstoned id stays excluded until [[compact]] retires the
+    *    tombstones, so re-appending a previously deleted id requires a
+    *    compact first (standard tombstone semantics);
+    *  - tombstones purge the INDEX: a rebuild from a source corpus that
+    *    still contains the rows resurrects them, so a durable takedown
+    *    must also purge the source table. */
+  def delete(s: SparkSession, base: String, ids: DataFrame): Unit = {
+    s.read.parquet(cellsDir(base))
+      .select(col("cell"), col("vec_id"))
+      .join(broadcast(ids.select("vec_id").distinct()), "vec_id")
+      .select(col("cell"), col("vec_id"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(tombsDir(base))
+  }
+
   /** Probe-only top-candidate query against a standing index: no
     * training, no corpus assignment — read k centroid rows, route each
     * query to its [[Similarity.probesFor]] nearest cells, and scan ONLY
-    * those cell partitions for exact-cosine scoring. `queries` is any
+    * those cell partitions for exact-cosine scoring; tombstoned rows
+    * (see [[delete]]) are excluded by a broadcast anti-join against the
+    * tombstone slice of the SAME probed cells. `queries` is any
     * (vec_id, embedding) frame; output matches [[Similarity.annIvf]]'s
     * (query_id, neighbor_id, cos) contract. */
   def probe(s: SparkSession, base: String, queries: DataFrame): DataFrame = {
@@ -165,7 +223,19 @@ object AnnIndex {
     // PartitionFilters witness.
     val probed = q.select("cell").distinct()
       .collect().map(_.getInt(0).toLong).sorted
-    StandingIndex.prunedRead(s, cellsDir(base), "cell", probed)
+    val candidates = {
+      val cells = StandingIndex.prunedRead(s, cellsDir(base), "cell", probed)
+      if (!hasTombstones(base)) cells
+      else {
+        // Path-pruned to the probed cells like the data itself, so the
+        // exclusion reads O(tombstones in probed cells); that slice is
+        // takedown-scale small — broadcast the anti-join side.
+        val tombs = StandingIndex.prunedRead(s, tombsDir(base), "cell", probed)
+          .select("cell", "vec_id")
+        cells.join(broadcast(tombs), Seq("cell", "vec_id"), "left_anti")
+      }
+    }
+    candidates
       .join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -176,14 +246,37 @@ object AnnIndex {
   /** Compact the cells layout back to one file per cell directory — the
     * maintenance pass a steady [[append]] stream needs (each append adds
     * a file per touched cell; the 100× ladder measured ~447 files per 1%
-    * arrival, and scan cost eventually tracks file count). Runs under the
-    * marker-suspend protocol: a crash mid-compaction leaves an unmarked
-    * (rebuildable) dir, never a fresh-marked partial one. Probe results
-    * are IDENTICAL before and after (AnnIndexSpec) — compaction moves
-    * bytes, never semantics. */
+    * arrival, and scan cost eventually tracks file count). When
+    * tombstones exist (see [[delete]]), the rewrite also PHYSICALLY
+    * drops the tombstoned rows (left_anti on (cell, vec_id) — the
+    * compaction is a full cells rewrite anyway, so the anti-join rides
+    * the pass it was already paying for) and then retires the tombstone
+    * table, restoring re-append eligibility for the deleted ids. Runs
+    * under the marker-suspend protocol: a crash mid-compaction — before
+    * the swap, between the swap and the tombstone retire, anywhere —
+    * leaves an unmarked (rebuildable) dir, never a fresh-marked partial
+    * one. Probe results are IDENTICAL before and after (AnnIndexSpec:
+    * with and without tombstones) — compaction moves bytes and drains
+    * tombstones whose exclusions probes already honored, never
+    * semantics. */
   def compact(s: SparkSession, base: String): Unit =
     StandingIndex.withMarkerSuspended(base) {
-      StandingIndex.compactTable(s, base, "cells", "cell")
+      if (!hasTombstones(base))
+        StandingIndex.compactTable(s, base, "cells", "cell")
+      else {
+        val dir = cellsDir(base)
+        val tmp = s"$base/_compact_cells"
+        graft.Fs.deleteRec(java.nio.file.Paths.get(tmp))
+        s.read.parquet(dir)
+          .join(s.read.parquet(tombsDir(base)).select("cell", "vec_id"),
+            Seq("cell", "vec_id"), "left_anti")
+          .repartition(col("cell"))
+          .write.partitionBy("cell").mode("overwrite").parquet(tmp)
+        graft.Fs.deleteRec(java.nio.file.Paths.get(dir))
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+          java.nio.file.Paths.get(dir))
+        graft.Fs.deleteRec(java.nio.file.Paths.get(tombsDir(base)))
+      }
     }
 
   /** The shipped query: same query set and semantics as `q_ann_ivf`, via
@@ -257,6 +350,57 @@ object AnnIndex {
             / (sqrt(sum(CAST(q.qe[i] * q.qe[i] AS DOUBLE)))
                * sqrt(sum(CAST(e.embedding[i] * e.embedding[i] AS DOUBLE)))), 4) AS cos
         FROM q JOIN allcells k ON k.cell = q.cell AND k.vec_id <> q.query_id
+        JOIN embeddings e ON e.vec_id = k.vec_id,
+             generate_series(1, 64) t(i)
+        GROUP BY 1, 2 ORDER BY query_id, neighbor_id"""
+  }
+
+  /** The shipped DELETE query (`q_ann_ivf_delete`): build the standing
+    * index over the FULL corpus, [[delete]] the vec_id % 7 = 3 slice,
+    * then probe the standard query set against the purged index —
+    * deleted vectors must never surface as neighbors, while query
+    * routing and the probe budget keep the build-time (full-corpus)
+    * frozen geometry, exactly as an IVF `remove_ids` leaves a served
+    * index (no retrain). Queries whose own vec_id was deleted still
+    * route and score — they probe BY their external embedding; only the
+    * candidate side is purged. The marker embeds the deleted phase, so
+    * reruns serve probe-only (the tombstone anti-join regime — the
+    * bench row prices exactly the serving cost a purge adds) and a
+    * crash mid-transition or a corpus rewrite rebuilds from source. */
+  def annIvfDeleteStanding(s: SparkSession, d: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_delete"
+    val sig = StandingIndex.sourceSig(s"$d/embeddings.parquet")
+    val emb = Tables.embeddings(s, d)
+    if (!StandingIndex.markerStartsWith(base,
+        s"dir=$d sig=$sig deleted=mod7eq3 n=")) {
+      val n = buildFrom(s, emb, base)
+      delete(s, base, emb.filter(col("vec_id") % 7 === 3).select("vec_id"))
+      StandingIndex.commit(base, s"dir=$d sig=$sig deleted=mod7eq3 n=$n")
+    }
+    probe(s, base, emb.filter(col("vec_id") < NumQueries))
+  }
+
+  /** Oracle for [[annIvfDeleteStanding]]: [[Similarity.annIvfSql]] with
+    * the candidate set minus the deleted slice — training, routing, and
+    * the probe budget all stay full-corpus (the frozen geometry the
+    * Spark side serves). */
+  val annIvfDeleteSql: String = {
+    import Similarity.{NumProbes, ProbePct}
+    s"""WITH ${Similarity.kmeansCellsSqlOver("embeddings")},
+        probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM (
+                     SELECT vec_id, cent_id,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rk
+                     FROM dfin WHERE vec_id < $NumQueries)
+                   WHERE rk <= (SELECT greatest($NumProbes,
+                                  ($ProbePct * k + 50) // 100) FROM kk)),
+        q AS (SELECT p.query_id, p.cell, e.embedding AS qe
+              FROM probes p JOIN embeddings e ON p.query_id = e.vec_id)
+        SELECT q.query_id, k.vec_id AS neighbor_id,
+          round(sum(CAST(q.qe[i] * e.embedding[i] AS DOUBLE))
+            / (sqrt(sum(CAST(q.qe[i] * q.qe[i] AS DOUBLE)))
+               * sqrt(sum(CAST(e.embedding[i] * e.embedding[i] AS DOUBLE)))), 4) AS cos
+        FROM q JOIN cells k ON k.cell = q.cell AND k.vec_id <> q.query_id
+          AND k.vec_id % 7 <> 3
         JOIN embeddings e ON e.vec_id = k.vec_id,
              generate_series(1, 64) t(i)
         GROUP BY 1, 2 ORDER BY query_id, neighbor_id"""

@@ -1110,10 +1110,7 @@ object Retrieval {
       // restore-iff-unchanged refinement withMarkerSuspended carries).
       val census0 = dataCensus()
       val appendId = java.util.UUID.randomUUID().toString
-      java.nio.file.Files.createDirectories(statsDir)
-      java.nio.file.Files.write(statsDir.resolve(s"intent_$appendId.txt"),
-        "pending".getBytes("UTF-8"))
-      val tf = postings(docs).cache()
+      val intentPath = statsDir.resolve(s"intent_$appendId.txt")
       // repartition ON the partition column before partitionBy: every
       // bucket lands entirely in one task, so an append adds <= NumBuckets
       // files — without it each of the write's input tasks opens a file
@@ -1128,7 +1125,18 @@ object Retrieval {
           s.conf.get("spark.sql.shuffle.partitions").toInt))
         bucketed(df).repartition(tasks, col("bucket"))
       }
+      var tf: DataFrame = null
       try {
+        java.nio.file.Files.createDirectories(statsDir)
+        java.nio.file.Files.write(intentPath, "pending".getBytes("UTF-8"))
+        // postings() analyzes the input frame EAGERLY at construction
+        // (Catalyst resolves columns when the Dataset is built), so a bad
+        // input — e.g. a missing text column — throws here. Construction
+        // therefore sits INSIDE the try: the failure reaches the
+        // clean-failure recovery below, which retires the intent it just
+        // staked (nothing was committed), instead of orphaning it and
+        // bricking the index into delete-and-reseed.
+        tf = postings(docs).cache()
         byBucket(tf).write.partitionBy("bucket").mode("append")
           .parquet(postingsDir)
         t = mark("postings", t)
@@ -1149,15 +1157,21 @@ object Retrieval {
           statsDir.resolve(s"delta_$appendId.txt"),
           s"$nd $sl".getBytes("UTF-8"))
         // Delta landed — the append is complete; retire the intent.
-        java.nio.file.Files.delete(statsDir.resolve(s"intent_$appendId.txt"))
+        java.nio.file.Files.delete(intentPath)
         mark("fwd+stats", t); ()
       } catch {
         case e: Throwable =>
-          if (dataCensus() == census0)
-            java.nio.file.Files.delete(
-              statsDir.resolve(s"intent_$appendId.txt"))
+          // The recovery itself may fail (a census walk racing executor
+          // cleanup, a filesystem error on the delete) — that must not
+          // REPLACE the original exception, which is the one that says
+          // what actually broke. Suppress secondary failures onto it;
+          // the intent stays staked, which is the safe (loud) state.
+          try {
+            if (dataCensus() == census0)
+              java.nio.file.Files.deleteIfExists(intentPath)
+          } catch { case e2: Throwable => e.addSuppressed(e2) }
           throw e
-      } finally { tf.unpersist(); () }
+      } finally { if (tf != null) { tf.unpersist(); () } }
     }
 
     /** Sorted (relative path, size) census of the COMMITTED parquet data

@@ -25,6 +25,34 @@ import org.apache.spark.sql.functions._
   *    full-table listing cost MORE than the probe's data (5.5 → 3.1 s
   *    after the fix). The residual isin filter stays as the in-plan
   *    partition predicate and the plan-shape witness.
+  *
+  * ==Concurrency contract: SINGLE WRITER, single process==
+  *
+  * These indexes have no lock service; the `_meta` marker is a
+  * staleness witness, not a mutex. The contract every owner
+  * ([[AnnIndex]], BM25, shingle) inherits:
+  *
+  *  - **One writer at a time.** Builds, appends, deletes, and
+  *    compactions must be serialized by the caller. Two concurrent
+  *    writers race their file writes into the same tree — undefined
+  *    result, no detection.
+  *  - **Probes during maintenance may trigger a redundant rebuild.**
+  *    [[withMarkerSuspended]] deletes the marker for the duration of a
+  *    compaction, so a build-if-stale probe from a SECOND session in
+  *    that window reads "stale" and starts a rebuild into the live tree
+  *    — i.e. becomes an unserialized second writer (the undefined case
+  *    above). Within ONE process, callers that serialize maintenance
+  *    against probes (everything in this repo does — queries, soaks,
+  *    and specs run their own index dirs single-threaded) are safe.
+  *  - **Probe-only readers** (calls that do not build on stale, e.g.
+  *    [[AnnIndex.probe]] directly) see the live tree mid-maintenance;
+  *    compactTable's rewrite-to-temp keeps the live table complete
+  *    until the swap, but the delete+move swap itself is a window where
+  *    a concurrent reader's directory listing can miss the table.
+  *    Cross-process serving during maintenance needs a transactional
+  *    table format — out of scope here, documented so nobody assumes
+  *    otherwise (StandingIndexSpec pins the marker-absent-during-
+  *    suspension behavior this contract rests on).
   */
 private[graft] object StandingIndex {
 
@@ -137,7 +165,17 @@ private[graft] object StandingIndex {
     * and iff it is byte-for-byte where it was before `body` ran, the
     * marker is restored before rethrowing. Any divergence — a deleted
     * live table, a completed swap mid-sequence — leaves the dir unmarked
-    * (rebuildable), exactly as a process crash would. */
+    * (rebuildable), exactly as a process crash would.
+    *
+    * CONSTRAINT on `body`: it must never rewrite a live file IN PLACE —
+    * only add, move, or delete whole files (write-to-`_compact_*`-temp
+    * then swap, as [[compactTable]] does). The restore-iff-unchanged
+    * check compares (name, size, mtime-millis) signatures, so an
+    * in-place rewrite that preserves size within a coarse-mtime
+    * filesystem's granularity would read as "unchanged" and restore the
+    * marker over silently-mutated live state. Every current body obeys
+    * this (add/move/delete only); a future body that can't must
+    * strengthen [[liveSig]] to content hashes first. */
   def withMarkerSuspended(base: String)(body: => Unit): Unit = {
     val mp = java.nio.file.Paths.get(s"$base/_meta")
     if (!java.nio.file.Files.exists(mp)) return

@@ -271,7 +271,10 @@ object TextAnalysis {
     * words per doc against the generator's ≤100 — if a future corpus
     * ever approaches it, the oracle silently truncating tails would read
     * as a Spark bug, so keep the slack wide. The Spark side enumerates
-    * exactly per row and has no ceiling. */
+    * exactly per row and has no ceiling. ENFORCED: CurationSpec's
+    * "boilerplate oracle ceiling" gate asserts max blocks/doc stays
+    * under this bound for every fixture SF, so a grown corpus fails
+    * loudly in CI instead of as a false cross-engine diff. */
   val BoilerplateOracleMaxBlocks = 64
 
   /** Oracle mirror of [[boilerplateScrub]]. */

@@ -135,6 +135,80 @@ class AnnIndexSpec extends SparkSpec {
     graft.Fs.deleteRec(java.nio.file.Paths.get(qbase))
   }
 
+  test("delete: probe equals the frozen-centroid reference minus the deleted " +
+      "rows, is idempotent, and compaction drains the tombstones") {
+    import graft.functions.VectorFunctions.floatCosine
+    // Wipe the query's standing dir so every run exercises the
+    // build + delete transition (the marker would otherwise serve
+    // probe-only forever).
+    val qbase = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_delete"
+    graft.Fs.deleteRec(java.nio.file.Paths.get(qbase))
+    val emb = Tables.embeddings(spark, Sf)
+    val got = graft.llm.AnnIndex.annIvfDeleteStanding(spark, Sf)
+    // Independent reference computed WITHOUT the standing dirs: the
+    // index's centroids (frozen at build over the FULL corpus), the
+    // UNDELETED slice assigned to its argmin cell, queries routed with
+    // the build-time probe budget, exact cosine over probed candidates —
+    // i.e. a rebuild-without-the-deleted-rows under the same geometry.
+    val cents = spark.read.parquet(s"$qbase/centroids")
+    val nprobe = Similarity.probesFor(Similarity.centroidsFor(emb.count()))
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueries)
+    val q = Similarity.probeCells(Similarity.scaledOf(queries), cents, nprobe)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe")), "query_id")
+    val kept = emb.filter(col("vec_id") % 7 =!= 3)
+    val expected = Similarity.assignCells(Similarity.scaledOf(kept), cents)
+      .join(kept.select("vec_id", "embedding"), "vec_id")
+      .join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(floatCosine(col("qe"), col("embedding")), 4).as("cos"))
+      .orderBy("query_id", "neighbor_id")
+    assert(rows(got).nonEmpty)
+    assert(rows(got) == rows(expected),
+      "post-delete probe diverged from the frozen-centroid purged reference")
+    assert(got.filter(col("neighbor_id") % 7 === 3).count() == 0,
+      "a deleted vector surfaced as a neighbor")
+    // The purge was not vacuous: tombstones landed, and the UNPURGED
+    // index would have answered differently (some deleted id was a
+    // candidate somewhere).
+    val tombs = spark.read.parquet(s"$qbase/tombstones")
+    assert(tombs.count() == emb.filter(col("vec_id") % 7 === 3).count(),
+      "tombstone rows must cover exactly the deleted slice")
+    // Idempotency: re-deleting the same slice changes nothing a probe
+    // can see (tombstones are duplicate-tolerant).
+    graft.llm.AnnIndex.delete(spark, qbase,
+      emb.filter(col("vec_id") % 7 === 3).select("vec_id"))
+    assert(rows(graft.llm.AnnIndex.annIvfDeleteStanding(spark, Sf)) ==
+      rows(expected), "re-delete of the same ids moved the probe answer")
+    // Compaction physically drops the tombstoned rows, retires the
+    // tombstone table, and must not move the probe answer.
+    graft.llm.AnnIndex.compact(spark, qbase)
+    assert(rows(graft.llm.AnnIndex.annIvfDeleteStanding(spark, Sf)) ==
+      rows(expected), "compaction moved the post-delete probe answer")
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$qbase/tombstones")),
+      "compaction must retire the tombstone table")
+    assert(spark.read.parquet(s"$qbase/cells")
+        .filter(col("vec_id") % 7 === 3).count() == 0,
+      "compaction left physically-deleted rows in the cells layout")
+    graft.Fs.deleteRec(java.nio.file.Paths.get(qbase))
+  }
+
+  test("delete of absent ids is a no-op and probes keep serving") {
+    val base = freshBase("delnoop")
+    AnnIndex.buildIfStale(spark, Sf, base)
+    val queries = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id") < Similarity.NumQueries)
+    val before = rows(AnnIndex.probe(spark, base, queries))
+    import spark.implicits._
+    AnnIndex.delete(spark, base, Seq(-1L, -2L).toDF("vec_id"))
+    assert(rows(AnnIndex.probe(spark, base, queries)) == before,
+      "deleting ids absent from the index moved the probe answer")
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
+
   test("append lands every arrival in its argmin cell") {
     val base = freshBase("appendcells")
     val emb = Tables.embeddings(spark, Sf)

@@ -20,12 +20,12 @@ class BenchSpec extends AnyFunSuite {
     val contended = Seq(("q_batch", 1.9, 5700L), ("q_stream_x", 3.8, 5700L))
     val afterBad = Bench.mergePrior(contended, clean, accept = false)
       .map { case (k, w, c) => k -> (w, c) }.toMap
-    // cpu held at the clean prior for both rows; streaming wall held too.
-    assert(afterBad("q_batch")._2 == 3000L, "batch cpu ratcheted under load")
+    // Wall AND cpu held at the clean prior for both rows — the baseline
+    // is uniformly the cleanest-host measurement, no latest-run column.
+    assert(afterBad("q_batch") == ((1.0, 3000L)),
+      "batch row ratcheted under load")
     assert(afterBad("q_stream_x") == ((2.0, 3000L)),
       "streaming row ratcheted under load")
-    // Batch wall is informational (not a drift signal) and stays fresh.
-    assert(afterBad("q_batch")._1 == 1.9)
     // Clean run on the (possibly load-written) baseline: values converge
     // back to clean — nothing was lost to the contended round.
     val clean2 = Seq(("q_batch", 1.0, 3000L), ("q_stream_x", 2.0, 3000L))
@@ -53,6 +53,22 @@ class BenchSpec extends AnyFunSuite {
 
   test("rows absent from the prior seed at their measured values") {
     val out = Bench.mergePrior(Seq(("q_new", 1.2, 1000L)), clean, accept = false)
-    assert(out == Seq(("q_new", 1.2, 1000L)))
+    assert(out.contains(("q_new", 1.2, 1000L)))
+  }
+
+  test("an errored round carries the absent query's prior row forward") {
+    // q_stream_x errored this round (absent from the run); its clean-host
+    // baseline must survive verbatim — dropping it would let the NEXT
+    // round re-seed it at contended values, the single-transient-failure
+    // ratchet vector the carry-forward closes.
+    val out = Bench.mergePrior(Seq(("q_batch", 1.1, 3100L)), clean,
+      accept = false)
+    assert(out.toSet == Set(("q_batch", 1.0, 3000L), ("q_stream_x", 2.0, 3000L)))
+    // accept re-seeds only MEASURED rows; absent rows still carry forward
+    // (there is nothing measured to accept for them).
+    val accepted = Bench.mergePrior(Seq(("q_batch", 3.0, 9000L)), clean,
+      accept = true)
+    assert(accepted.toSet ==
+      Set(("q_batch", 3.0, 9000L), ("q_stream_x", 2.0, 3000L)))
   }
 }

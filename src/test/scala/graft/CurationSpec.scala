@@ -266,6 +266,30 @@ class CurationSpec extends SparkSpec {
     graft.Fs.deleteRec(java.nio.file.Paths.get(dir))
   }
 
+  test("boilerplate oracle ceiling exceeds every fixture corpus's max blocks") {
+    // The DuckDB oracle enumerates blocks with a constant generate_series
+    // capped at BoilerplateOracleMaxBlocks; a corpus whose longest doc
+    // exceeds it would make the oracle silently truncate tail blocks and
+    // read as a spurious Spark-vs-oracle mismatch. This gate turns that
+    // documented hazard (TextAnalysis.BoilerplateOracleMaxBlocks scaladoc)
+    // into a loud CI failure against every fixture SF the gate runs on.
+    import graft.llm.TextAnalysis
+    val B = TextAnalysis.BoilerplateBlock.toLong
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val d = s"/root/testdata/$sf"
+      if (new java.io.File(s"$d/documents.parquet").exists) {
+        val maxBlocks = Tables.documents(spark, d)
+          .agg(max(expr(
+            s"cast((size(split(text, ' ')) + ${B - 1}) div $B as bigint)")))
+          .head().getLong(0)
+        assert(maxBlocks <= TextAnalysis.BoilerplateOracleMaxBlocks,
+          s"$sf documents reach $maxBlocks blocks/doc — raise " +
+            s"BoilerplateOracleMaxBlocks (${TextAnalysis.BoilerplateOracleMaxBlocks}) " +
+            "or the oracle will silently truncate")
+      }
+    }
+  }
+
   test("cluster profile partitions the corpus over the trained cells") {
     val emb = Tables.embeddings(spark, Sf)
     val n = emb.count()

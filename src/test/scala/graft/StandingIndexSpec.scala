@@ -64,6 +64,32 @@ class StandingIndexSpec extends AnyFunSuite {
     Fs.deleteRec(base)
   }
 
+  test("concurrency contract: the tree reads STALE while maintenance is " +
+      "suspended, and serves again after") {
+    // The single-writer contract (StandingIndex object scaladoc) rests on
+    // exactly this observable: withMarkerSuspended unmarks the tree for
+    // the duration of the body, so a build-if-stale probe from a second
+    // session inside that window would read "stale" and start a rebuild
+    // into the live tree — a second unserialized writer. This spec pins
+    // the window's boundaries: stale INSIDE the body (the documented
+    // hazard, not an accident a refactor may silently remove), served
+    // again immediately after.
+    val base = mkIndex()
+    var staleInside = false
+    StandingIndex.withMarkerSuspended(base.toString) {
+      staleInside = !StandingIndex.upToDate(base.toString, "sig v1") &&
+        !StandingIndex.markerStartsWith(base.toString, "sig")
+      ()
+    }
+    assert(staleInside,
+      "a concurrent prober inside the maintenance window must read the " +
+        "tree as stale — if this starts failing, the suspension protocol " +
+        "changed and the documented concurrency contract must be rewritten")
+    assert(StandingIndex.upToDate(base.toString, "sig v1"),
+      "the marker must be restored the moment maintenance completes")
+    Fs.deleteRec(base)
+  }
+
   test("linkRec byte-copies metadata files so a clone re-stamp cannot " +
       "corrupt the pristine marker") {
     val src = mkIndex()
