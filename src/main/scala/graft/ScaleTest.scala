@@ -1113,8 +1113,18 @@ object ScaleTest {
     // When a compaction intervenes the memo holds the post-compaction
     // probe's rows, which the identity require has already proven equal.
     var lastProbe: Array[org.apache.spark.sql.Row] = Array.empty
+    // Interleaved DELETE leg (round 15): each batch tombstones a
+    // deterministic ~1/4 slice of the PREVIOUS batch's committed
+    // survivors — steady commit+delete traffic, so compactions fire
+    // with live tombstones and runSoak's probe-identity require covers
+    // the tombstone-anti-join vs physically-dropped regimes. Survivors
+    // are the one population the delete contract admits: committed
+    // (live postings exist), never re-deleted (batches are disjoint),
+    // and this corpus sits far under the df cap (max df 21 vs 50), so
+    // the cap-resurrection guard cannot fire.
+    var prevSurvivors: org.apache.spark.sql.DataFrame = null
     runSoak(spark, nBatches, "dedup", base, s"$base/postings", 192L,
-      "probe", "commit",
+      "probe", "commit+del",
       b => pool
         .filter(pmod(xxhash64(col("doc_id")), lit(nBatches.toLong)) === b)
         .localCheckpoint(),
@@ -1124,8 +1134,13 @@ object ScaleTest {
       },
       batch => {
         val ids = lastProbe.filter(!_.getBoolean(1)).map(_.getLong(0)).toSeq
-        Dedup.shingleCommit(spark, base,
-          batch.filter(col("doc_id").isin(ids: _*)))
+        val accepted = batch.filter(col("doc_id").isin(ids: _*))
+          .localCheckpoint()
+        Dedup.shingleCommit(spark, base, accepted)
+        if (prevSurvivors != null)
+          Dedup.shingleDelete(spark, base,
+            prevSurvivors.filter(col("doc_id") % 4 === 2))
+        prevSurvivors = accepted
       },
       () => Dedup.shingleCompact(spark, base))
   }

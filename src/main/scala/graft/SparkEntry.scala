@@ -112,6 +112,7 @@ object SparkEntry {
     "q_mmr_rerank" -> (Similarity.mmrRerank _),
     "q_bm25_topk" -> (Retrieval.bm25TopK _),
     "q_bm25_standing" -> (Retrieval.bm25TopKStanding _),
+    "q_bm25_standing_delete" -> (Retrieval.bm25TopKStandingDelete _),
     "q_hybrid_rrf" -> (Retrieval.hybridRrf _),
     "q_tfidf_top" -> (TextAnalysis.tfidfTop _),
     "q_pii_scrub" -> (TextAnalysis.piiScrub _),
@@ -207,6 +208,7 @@ object SparkEntry {
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
     "q_dedup_standing" -> (Dedup.standingIngestDedup _),
     "q_dedup_standing_commit" -> (Dedup.standingCommitIngest _),
+    "q_dedup_standing_delete" -> (Dedup.standingDeleteIngest _),
     "q_dup_ngram_fraction" -> (Dedup.dupNgramFraction _),
     "q_curation_funnel" -> (TextAnalysis.curationFunnel _),
     // Product/event analytics over the event stream
@@ -517,6 +519,7 @@ object SparkEntry {
     // Standing index: persistence moves the cost regime (build-once
     // bucketed postings, partition-pruned probes), never the semantics.
     "q_bm25_standing" -> Retrieval.bm25Sql,
+    "q_bm25_standing_delete" -> Retrieval.bm25DeleteSql,
     "q_hybrid_rrf" -> Retrieval.hybridRrfSql,
     "q_tfidf_top" -> TextAnalysis.tfidfTopSql,
     "q_pii_scrub" -> TextAnalysis.piiScrubSql,
@@ -625,6 +628,7 @@ object SparkEntry {
     // the semantics.
     "q_dedup_standing" -> Dedup.incrementalDedupSql,
     "q_dedup_standing_commit" -> Dedup.standingCommitIngestSql,
+    "q_dedup_standing_delete" -> Dedup.standingDeleteSql,
     "q_dup_ngram_fraction" -> Dedup.dupNgramFractionSql,
     "q_curation_funnel" -> TextAnalysis.curationFunnelSql,
     "q_event_funnel" -> graft.ops.EventAnalytics.eventFunnelSql,

@@ -581,8 +581,11 @@ object Dedup {
     val na = bKept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // Two consumers (the pair join and the flip correction): one standing
     // read, not two — the probe's cost is dominated by this scan whenever
-    // the batch's vocabulary covers the bucket space.
-    val postings = graft.TrackedCaches.track(pruned("postings").cache())
+    // the batch's vocabulary covers the bucket space. Tombstoned docs
+    // ([[shingleDelete]]) are excluded here, the single postings
+    // entry point, so deleted corpus docs can never match an arrival.
+    val postings = graft.TrackedCaches.track(
+      livePostings(s, base, pruned("postings")).cache())
     val inter = bKept.as("a")
       .join(postings.as("b"), col("a.sh") === col("b.sh"), "inner")
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -690,8 +693,11 @@ object Dedup {
     // Negative size corrections FIRST, while postings/ still holds only
     // pre-commit rows (this commit never appends occurrences of crossed
     // shingles anyway — kept ∩ crossed = ∅ — but the ordering makes the
-    // read's correctness independent of that invariant).
-    pruned("postings").join(crossed, Seq("sh"))
+    // read's correctness independent of that invariant). Tombstoned docs
+    // take no corrections: their sizes are never read (excluded from
+    // every intersection), and a correction row for them would just be
+    // a dead row the compaction drops anyway.
+    livePostings(s, base, pruned("postings")).join(crossed, Seq("sh"))
       .groupBy("doc_id").agg((count(lit(1)) * -1).as("n0"))
       .write.mode("append").parquet(s"$base/n0")
     val keptRows = ash.join(keptSh, Seq("sh"))
@@ -703,22 +709,182 @@ object Dedup {
       .write.mode("append").parquet(s"$base/n0")
   }
 
-  /** Compact a standing shingle index that has taken commits: rewrite
-    * postings to one file per bucket, and ROLL UP the delta tables —
-    * dfc's per-commit df rows collapse to one row per shingle and n0's
-    * size rows (including the negative crossing corrections) to one row
-    * per doc, exactly because the probe reads both through sums, so the
-    * rollup is semantics-free by construction. Runs under the
-    * marker-suspend protocol (crash ⇒ unmarked, rebuildable dir).
-    * DedupSpec proves probe-after-compact stays row-identical to the
-    * union rebuild on the crafted crossing corpus. */
+  /** Postings with the tombstoned docs ([[shingleDelete]]) excluded — the
+    * single exclusion point every postings consumer (probe intersections,
+    * commit crossing corrections) reads through. The tombstone list is
+    * doc-arity tiny, so the anti-join side broadcasts; no tombs dir means
+    * no delete ever ran and the frame passes through untouched. */
+  private def livePostings(s: SparkSession, base: String,
+      postings: DataFrame): DataFrame = {
+    val td = s"$base/tombs"
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(td)))
+      postings
+    else postings.join(broadcast(s.read.parquet(td)), Seq("doc_id"),
+      "left_anti")
+  }
+
+  /** Delete documents from a standing shingle index — the takedown /
+    * contamination-purge verb completing this family's lifecycle
+    * (build → probe → commit → compact → DELETE), with the same
+    * append-only, vocabulary-bounded discipline commits use. `docs` is
+    * the deleted documents' (doc_id, text) — text REQUIRED and it must
+    * be the indexed content verbatim: the exact df corrections below
+    * re-shingle it (a takedown knows its content; an id-only delete
+    * could not decrement df for shingles the index dropped as over-cap,
+    * and the df error would silently mis-cap future screens).
+    *
+    * What a delete writes:
+    *  - `tombs/`: the deleted doc_ids (doc-arity tiny) — probes and
+    *    commits anti-join postings against it ([[livePostings]]), and
+    *    [[shingleCompact]] physically drops the rows and retires the
+    *    list;
+    *  - `dfc/`: NEGATIVE per-shingle df deltas for the deleted docs'
+    *    full shingle sets, so standing df stays the EXACT df of the
+    *    remaining population (df is read through sums everywhere — a
+    *    negative delta is just another commit).
+    *
+    * Exactness and the CAP-RESURRECTION guard: probe-after-delete is
+    * row-identical to a from-scratch screen against the remaining
+    * population (DedupSpec) — UNLESS the delete would bring a shingle's
+    * df back under [[ShingleDfCap]] from above. Postings are complete
+    * only for shingles that have never crossed the cap (build and
+    * commit drop over-cap occurrences as dead rows), so a resurrected
+    * shingle would rejoin the screen with silently-missing occurrences:
+    * wrong Jaccard intersections, no error anywhere. The delete
+    * therefore REFUSES loudly (nothing written) when any affected
+    * shingle would cross downward — the caller's options are
+    * delete-and-rebuild, or excluding the offending docs. The refusal
+    * preserves the invariant that makes everything else exact: a
+    * shingle ≤ cap has ALWAYS been ≤ cap (df only grows through
+    * build/commit and guarded deletes never un-cross it), hence its
+    * postings are complete and its df is exact; a shingle > cap stays
+    * > cap, hence inert in every screen on both the standing and the
+    * rebuild side. Same fail-loud philosophy as the torn-append
+    * protocol: no silent wrong answers.
+    *
+    * Two more loud refusals keep the delta arithmetic sound: ids
+    * already tombstoned (a re-delete would double-subtract df — the
+    * tombs list is the replay witness, so a crashed delete re-run is
+    * caught here and resolved by the caller's marker protocol), and ids
+    * with shingles but NO live posting rows (never indexed, or already
+    * deleted-and-compacted — subtracting df for a doc the index doesn't
+    * hold corrupts every affected shingle's count).
+    *
+    * Crash-safety is the caller's marker protocol, exactly as
+    * [[shingleCommit]]: re-stamp the index marker only after the whole
+    * delete succeeded; a marker mismatch rebuilds from source
+    * ([[standingDeleteIngest]] does exactly that).
+    *
+    * Cost: re-shingle |deleted| docs, one bucket-pruned dfc + postings
+    * read over their vocabulary, one doc-arity tombstone append, ≤ one
+    * new dfc file per touched bucket. Never a corpus pass. */
+  def shingleDelete(s: SparkSession, base: String, docs: DataFrame): Unit = {
+    val nBuckets = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/_stats")), "UTF-8").trim.toInt
+    val del = docs.select("doc_id", "text").localCheckpoint()
+    if (del.isEmpty) return
+    val tombsDir = s"$base/tombs"
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tombsDir)) &&
+        !s.read.parquet(tombsDir)
+          .join(del.select("doc_id"), Seq("doc_id"), "left_semi").isEmpty)
+      throw new IllegalStateException(
+        s"shingle index at $base: some of these doc_ids are already " +
+          "tombstoned — a re-delete would double-subtract their df " +
+          "deltas. If a previous delete crashed mid-write, the index " +
+          "marker protocol applies: rebuild from source.")
+    val dsh = shinglesOf(del)
+    val ddf = dsh.groupBy("sh").agg(count(lit(1)).as("ddel"))
+      .localCheckpoint()
+    val qb = ddf.select(StandingIndex.bucketOf(col("sh"), nBuckets)
+        .as("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (qb.nonEmpty) {
+      def pruned(dir: String): DataFrame =
+        StandingIndex.prunedRead(s, s"$base/$dir", "bucket", qb)
+          .drop("bucket")
+      // Unknown-id refusal: every deleted doc with a non-empty shingle
+      // set must hold at least one LIVE posting row (its rows live only
+      // in its own shingles' buckets, so this read is vocabulary-
+      // bounded). A doc whose every shingle was over-cap at index time
+      // has no posting rows and is refused as unprovable — the safe,
+      // loud failure.
+      val present = livePostings(s, base, pruned("postings"))
+        .join(del.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select("doc_id").distinct()
+      val missing = dsh.select("doc_id").distinct()
+        .join(present, Seq("doc_id"), "left_anti")
+      if (!missing.isEmpty)
+        throw new IllegalStateException(
+          s"shingle index at $base: some doc_ids have no live posting " +
+            "rows (never indexed, already deleted-and-compacted, or " +
+            "all-over-cap) — deleting them would corrupt the df deltas. " +
+            "Refusing; rebuild from source for this case.")
+      val df0 = pruned("dfc").groupBy("sh").agg(sum("dfc").as("df0"))
+      val crossing = ddf.join(df0, Seq("sh"))
+        .filter(col("df0") > ShingleDfCap &&
+          col("df0") - col("ddel") <= ShingleDfCap)
+      if (crossing.head(1).nonEmpty)
+        throw new IllegalStateException(
+          s"shingle index at $base: this delete would bring shingle(s) " +
+            s"back under the df cap ($ShingleDfCap) from above, but " +
+            "their postings are historically incomplete (over-cap " +
+            "occurrences are dropped at index time) — serving them " +
+            "would produce silently-wrong intersections. Refusing; " +
+            "delete-and-rebuild from source, or exclude the offending " +
+            "docs from the delete.")
+      // Tombstones FIRST: a crash between the two writes then leaves a
+      // state the re-delete refusal catches (ids tombstoned, deltas
+      // missing) instead of one it can't (deltas landed, ids free to
+      // double-subtract). Either torn state is a marker mismatch for
+      // the caller's protocol.
+      del.select("doc_id").write.mode("append").parquet(tombsDir)
+      StandingIndex.appendBucketed(
+        ddf.select(col("sh"), (-col("ddel")).as("dfc")),
+        col("sh"), nBuckets, s"$base/dfc")
+    } else {
+      // No shingles (every deleted doc is under 3 words): nothing to
+      // correct, but the ids still tombstone so the replay witness and
+      // compaction semantics stay uniform.
+      del.select("doc_id").write.mode("append").parquet(tombsDir)
+    }
+  }
+
+  /** Compact a standing shingle index that has taken commits and/or
+    * deletes: rewrite postings to one file per bucket with the
+    * tombstoned docs ([[shingleDelete]]) PHYSICALLY dropped, and ROLL UP
+    * the delta tables — dfc's per-commit/per-delete df rows collapse to
+    * one row per shingle (zero-sum rows, a fully-deleted shingle's
+    * remains, are dropped: an absent row reads as df 0 through the
+    * probes' coalesce anyway) and n0's size rows (including the negative
+    * crossing corrections) to one row per doc, minus the tombstoned
+    * docs' rows — exactly because the probe reads both through sums and
+    * exclusions, so the rewrite is semantics-free by construction. The
+    * tombstone list retires LAST (its exclusions are already baked into
+    * the rewritten tables). Runs under the marker-suspend protocol
+    * (crash ⇒ unmarked, rebuildable dir). DedupSpec proves
+    * probe-after-compact stays row-identical to the rebuild on both the
+    * crafted crossing corpus and the post-delete index. */
   def shingleCompact(s: SparkSession, base: String): Unit =
     StandingIndex.withMarkerSuspended(base) {
-      StandingIndex.compactTable(s, base, "postings", "bucket")
+      val tombsDir = s"$base/tombs"
+      val hasTombs =
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tombsDir))
+      if (!hasTombs) StandingIndex.compactTable(s, base, "postings", "bucket")
+      else {
+        val pTmp = s"$base/_compact_postings"
+        graft.Fs.deleteRec(java.nio.file.Paths.get(pTmp))
+        livePostings(s, base, s.read.parquet(s"$base/postings"))
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").mode("overwrite").parquet(pTmp)
+        graft.Fs.deleteRec(java.nio.file.Paths.get(s"$base/postings"))
+        java.nio.file.Files.move(java.nio.file.Paths.get(pTmp),
+          java.nio.file.Paths.get(s"$base/postings"))
+      }
       val dfcTmp = s"$base/_compact_dfc"
       graft.Fs.deleteRec(java.nio.file.Paths.get(dfcTmp))
       s.read.parquet(s"$base/dfc")
         .groupBy("bucket", "sh").agg(sum("dfc").as("dfc"))
+        .filter(col("dfc") =!= 0L)
         .repartition(col("bucket"))
         .write.partitionBy("bucket").mode("overwrite").parquet(dfcTmp)
       graft.Fs.deleteRec(java.nio.file.Paths.get(s"$base/dfc"))
@@ -726,12 +892,17 @@ object Dedup {
         java.nio.file.Paths.get(s"$base/dfc"))
       val n0Tmp = s"$base/_compact_n0"
       graft.Fs.deleteRec(java.nio.file.Paths.get(n0Tmp))
-      s.read.parquet(s"$base/n0")
+      val n0Rolled = s.read.parquet(s"$base/n0")
         .groupBy("doc_id").agg(sum("n0").as("n0"))
+      (if (!hasTombs) n0Rolled
+       else n0Rolled.join(broadcast(s.read.parquet(tombsDir)),
+         Seq("doc_id"), "left_anti"))
         .write.mode("overwrite").parquet(n0Tmp)
       graft.Fs.deleteRec(java.nio.file.Paths.get(s"$base/n0"))
       java.nio.file.Files.move(java.nio.file.Paths.get(n0Tmp),
         java.nio.file.Paths.get(s"$base/n0"))
+      if (hasTombs)
+        graft.Fs.deleteRec(java.nio.file.Paths.get(tombsDir))
       ()
     }
 
@@ -762,6 +933,64 @@ object Dedup {
       Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
         .select("doc_id", "text"))
   }
+
+  /** The shipped DELETE query (`q_dedup_standing_delete`): build the
+    * standing index from the corpus (doc_id % 5 ≠ 0),
+    * [[shingleDelete]] the doc_id % 10 = 1 slice (a takedown of ~1/4 of
+    * the corpus), then probe the standard arrival batch (doc_id % 5 = 0)
+    * against the purged index — deleted corpus docs must never match an
+    * arrival, and the df cap must re-settle on the remaining population
+    * (the negative deltas, not a rebuild). The oracle recomputes the
+    * screen from scratch over batch ∪ (corpus minus deleted). The marker
+    * embeds the deleted phase (the [[standingCommitIngest]] protocol):
+    * reruns serve probe-only from the tombstoned state, and a crash
+    * mid-transition or corpus rewrite rebuilds from source. */
+  def standingDeleteIngest(s: SparkSession, d: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_shingle_delete"
+    val sig = StandingIndex.sourceSig(s"$d/documents.parquet")
+    val wantFinal = s"dir=$d sig=$sig buckets=64 deleted=mod10eq1"
+    if (!StandingIndex.upToDate(base, wantFinal)) {
+      StandingIndex.reset(base)
+      shingleBuildIfStale(s, d, base)
+      shingleDelete(s, base,
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 1)
+          .select("doc_id", "text"))
+      StandingIndex.commit(base, wantFinal)
+    }
+    shingleProbe(s, base,
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+        .select("doc_id", "text"))
+  }
+
+  /** Oracle for [[standingDeleteIngest]]: [[incrementalDedupSql]] with
+    * the deleted slice removed from the POPULATION — the df cap, sizes,
+    * and intersections all recompute over batch ∪ remaining corpus,
+    * which is exactly what the standing index's negative df deltas +
+    * posting tombstones serve. (Batch ids are ≡ 0 mod 5, so ≡ {0,5}
+    * mod 10 — the population predicate `doc_id % 10 <> 1` keeps the
+    * whole batch and drops only the purged corpus slice.) */
+  val standingDeleteSql: String =
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents WHERE doc_id % 10 <> 1),
+        sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+               FROM words, generate_series(1, $MaxWords) t(i) WHERE i <= len(ws) - 2),
+        hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > $ShingleDfCap),
+        capped AS (SELECT doc_id, sh FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                  FROM capped a JOIN capped b ON a.sh = b.sh
+                  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+                  GROUP BY 1, 2),
+        m AS (SELECT da, min(db) AS dup_src
+              FROM inter JOIN sizes na ON da = na.doc_id
+                         JOIN sizes nb ON db = nb.doc_id
+              WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= $JaccardThreshold
+              GROUP BY da)
+        SELECT d.doc_id, (m.dup_src IS NOT NULL) AS is_dup,
+               coalesce(m.dup_src, -1) AS dup_of
+        FROM documents d LEFT JOIN m ON d.doc_id = m.da
+        WHERE d.doc_id % 5 = 0
+        ORDER BY d.doc_id"""
 
   /** Parameterized two-phase commit-ingest oracle: phase 1's joint-capped
     * screen of batch 1 against the corpus (doc_id % 5 ≠ 0) picks the

@@ -149,7 +149,7 @@ object Retrieval {
     * stopword-class term is dropped without its corpus-scale posting list
     * ever entering a join. The query side keeps only (term, query_id) so
     * the joined rows carry the INDEX's df/len/imp unambiguously. */
-  private def candidates(ix: Bm25Index, queryTerms: DataFrame): DataFrame = {
+  private[graft] def candidates(ix: Bm25Index, queryTerms: DataFrame): DataFrame = {
     val qt = queryTerms.join(ix.dft, "term")
       .filter(col("df") * 100 <= lit(ix.n) * MaxDfPct)
       .select("term", "query_id")
@@ -1730,7 +1730,12 @@ object Retrieval {
     maxScoreTopK(s, ix, qt, TopK).result.orderBy("query_id", "rk")
   }
 
-  val bm25Sql: String =
+  /** The BM25 oracle parameterized over a candidate predicate (on the
+    * posting alias `f`): `TRUE` is the full-corpus top-k; the standing
+    * DELETE query passes the live-docs mask while every statistic (n,
+    * avglen, df) deliberately stays full-corpus — the frozen-stats
+    * serving semantics [[bm25Delete]] documents. */
+  private def bm25SqlOver(candPred: String): String =
     s"""WITH toks AS (SELECT doc_id, u.t AS term
                       FROM documents, unnest(string_split(text, ' ')) u(t)),
         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -1748,7 +1753,8 @@ object Retrieval {
                JOIN dft d USING (term)
                JOIN tf f USING (term)
                JOIN dl l ON l.doc_id = f.doc_id, stats s
-               WHERE f.doc_id <> q.query_id AND d.df * 100 <= s.n * $MaxDfPct),
+               WHERE f.doc_id <> q.query_id AND d.df * 100 <= s.n * $MaxDfPct
+                 AND ($candPred)),
         agg AS (SELECT query_id, doc_id,
                   round(CAST(sum(ts) AS DOUBLE), 6) AS score
                 FROM sc GROUP BY 1, 2)
@@ -1758,6 +1764,8 @@ object Retrieval {
               ORDER BY score DESC, doc_id) AS INT) AS rk
           FROM agg) WHERE rk <= $TopK
         ORDER BY query_id, rk"""
+
+  val bm25Sql: String = bm25SqlOver("TRUE")
 
   // ── Standing BM25 impact index: the serving regime ──────────────────
   //
@@ -1829,8 +1837,11 @@ object Retrieval {
     def pruned(dir: String): DataFrame =
       StandingIndex.prunedRead(s, s"$base/$dir", "bucket", qb)
         .drop("bucket")
-    val ix = Bm25Index(pruned("postings"), pruned("dft"),
-      nS.toLong, java.lang.Double.parseDouble(alS))
+    // Tombstoned docs ([[bm25Delete]]) are masked here, the index's one
+    // postings entry point; dft and the frozen stats pass through
+    // untouched — the live-docs serving semantics.
+    val ix = Bm25Index(liveBm25Postings(s, base, pruned("postings")),
+      pruned("dft"), nS.toLong, java.lang.Double.parseDouble(alS))
     graft.plans.TopKPerKey.ensureRegistered(s)
     val scores = candidates(ix, qt)
       .groupBy("query_id", "doc_id").agg(sum("imp").as("smicro"))
@@ -1854,6 +1865,98 @@ object Retrieval {
       Tables.documents(s, d).select("doc_id", "text")
         .filter(col("doc_id") < NumQueries))
   }
+
+  /** Postings with the tombstoned docs ([[bm25Delete]]) masked — the one
+    * exclusion point [[bm25Probe]] reads through. Doc-arity tiny, so the
+    * anti-join side broadcasts; no tombs dir means no delete ever ran. */
+  private def liveBm25Postings(s: SparkSession, base: String,
+      p: DataFrame): DataFrame = {
+    val td = s"$base/tombs"
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(td))) p
+    else p.join(broadcast(s.read.parquet(td)), Seq("doc_id"), "left_anti")
+  }
+
+  /** Delete documents from a standing BM25 impact index — the live-docs
+    * model every static inverted index serves deletes with (Lucene's:
+    * deleted docs are masked from results IMMEDIATELY; the scoring
+    * statistics keep their build-time values until the next merge):
+    * masking is exact for the candidate set — a deleted doc can never
+    * rank — while df, N, and avgLen stay FROZEN, so surviving docs'
+    * scores do not move. Frozen stats are the only coherent choice for
+    * an impact-ordered index: the per-posting impacts bake df in, so a
+    * stats correction would invalidate every posting of every shared
+    * term — that is a rebuild, not a delete. The oracle
+    * ([[bm25DeleteSql]]) encodes exactly this: full-corpus statistics,
+    * candidates minus the deleted slice.
+    *
+    * Mechanics: the ids append to a doc-arity `tombs/` list that probes
+    * anti-join (broadcast — [[liveBm25Postings]]); [[bm25Compact]]
+    * physically drops the posting rows and retires the list. No deltas,
+    * no resolve pass (the postings are term-bucketed; a doc mask needs
+    * no cell lookup), so the delete is pure-mask: IDEMPOTENT,
+    * re-runnable after a crash, and a no-op for ids the index never
+    * held. */
+  def bm25Delete(s: SparkSession, base: String, ids: DataFrame): Unit =
+    ids.select("doc_id").distinct()
+      .write.mode("append").parquet(s"$base/tombs")
+
+  /** Physically drop the tombstoned docs' posting rows (per-bucket
+    * rewrite) and retire the tombstone list. This index takes no appends
+    * (frozen impacts — its growth regime is [[EvolvingDistIndex]]), so
+    * draining deletes is compaction's ONLY job here. Impacts and stats
+    * are untouched: the frozen-stats semantics survive the rewrite,
+    * and probe answers are identical before and after (RetrievalSpec).
+    * Runs under the marker-suspend protocol (crash ⇒ unmarked,
+    * rebuildable dir). */
+  def bm25Compact(s: SparkSession, base: String): Unit =
+    StandingIndex.withMarkerSuspended(base) {
+      val tombsDir = s"$base/tombs"
+      if (!java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(tombsDir))) ()
+      else {
+        val tmp = s"$base/_compact_postings"
+        graft.Fs.deleteRec(java.nio.file.Paths.get(tmp))
+        liveBm25Postings(s, base, s.read.parquet(s"$base/postings"))
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+        graft.Fs.deleteRec(java.nio.file.Paths.get(s"$base/postings"))
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+          java.nio.file.Paths.get(s"$base/postings"))
+        graft.Fs.deleteRec(java.nio.file.Paths.get(tombsDir))
+      }
+    }
+
+  /** The shipped DELETE query (`q_bm25_standing_delete`): build the
+    * standing impact index over the full corpus, [[bm25Delete]] the
+    * doc_id % 9 = 4 slice, probe the standard query set — deleted docs
+    * must never rank (the top-k refills from survivors) while every
+    * score keeps its build-time value (frozen stats). Query doc 4 is
+    * itself deleted and still queries: probes rank BY external text,
+    * masking only the candidate side. The marker embeds the deleted
+    * phase; reruns serve probe-only and a crash mid-transition or a
+    * corpus rewrite rebuilds from source. */
+  def bm25TopKStandingDelete(s: SparkSession, d: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_delete"
+    val sig = StandingIndex.sourceSig(s"$d/documents.parquet")
+    val want = s"dir=$d sig=$sig buckets=${EvolvingDistIndex.NumBuckets} " +
+      "deleted=mod9eq4"
+    if (!StandingIndex.upToDate(base, want)) {
+      StandingIndex.reset(base)
+      bm25BuildIfStale(s, d, base)
+      bm25Delete(s, base,
+        Tables.documents(s, d).filter(col("doc_id") % 9 === 4)
+          .select("doc_id"))
+      StandingIndex.commit(base, want)
+    }
+    bm25Probe(s, base,
+      Tables.documents(s, d).select("doc_id", "text")
+        .filter(col("doc_id") < NumQueries))
+  }
+
+  /** Oracle for [[bm25TopKStandingDelete]]: [[bm25Sql]] with the
+    * live-docs mask on the candidate side only — statistics stay
+    * full-corpus (the frozen-stats contract [[bm25Delete]] documents). */
+  val bm25DeleteSql: String = bm25SqlOver("f.doc_id % 9 <> 4")
 
   /** Hybrid retrieval by reciprocal-rank fusion: each query's BM25 ranking
     * and its token-set Jaccard ranking (two genuinely different signals —

@@ -396,6 +396,107 @@ class DedupSpec extends SparkSpec {
     graft.Fs.deleteRec(java.nio.file.Paths.get(base))
   }
 
+  // ── Standing shingle index: the DELETE path (takedown / purge) ──
+  // Deletion is negative df deltas + posting tombstones; exactness rests
+  // on the cap-resurrection guard (shingleDelete scaladoc). These specs
+  // pin the rebuild equivalence, the compaction drain, and all three
+  // loud refusals.
+
+  test("delete: probe equals the purged rebuild; compaction drains the " +
+      "tombstones; replays and unknown ids are refused") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_shingle_delete_spec").toString
+    Dedup.shingleBuildIfStale(spark, Sf, base)
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val deleted = docs.filter(col("doc_id") % 10 === 1)
+    val remaining = corpus.filter(col("doc_id") % 10 =!= 1)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    Dedup.shingleDelete(spark, base, deleted)
+    val after = Dedup.shingleProbe(spark, base, batch)
+      .collect().map(_.toString).toSeq
+    val rebuild = Dedup.incrementalDedupOf(remaining, batch)
+      .collect().map(_.toString).toSeq
+    assert(after.nonEmpty)
+    assert(after == rebuild,
+      "probe after delete diverged from the corpus-minus-deleted rebuild")
+    // The purge must be DECISIVE on this corpus (some arrival's verdict
+    // changes), or the equality above proves nothing about exclusion.
+    val full = Dedup.incrementalDedupOf(corpus, batch)
+      .collect().map(_.toString).toSeq
+    assert(full != rebuild,
+      "fixture corpus makes the delete vacuous — pick a different slice")
+    // Replay refusal: tombstoned ids must not double-subtract df.
+    intercept[IllegalStateException] {
+      Dedup.shingleDelete(spark, base, deleted)
+    }
+    // Compaction physically drops the rows, retires the tombstone list,
+    // and must not move the answer.
+    Dedup.shingleCompact(spark, base)
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$base/tombs")),
+      "compaction must retire the tombstone list")
+    assert(spark.read.parquet(s"$base/postings")
+        .filter(col("doc_id") % 10 === 1).count() == 0,
+      "compaction left physically-deleted posting rows")
+    assert(spark.read.parquet(s"$base/n0")
+        .filter(col("doc_id") % 10 === 1).count() == 0,
+      "compaction left physically-deleted size rows")
+    assert(Dedup.shingleProbe(spark, base, batch)
+        .collect().map(_.toString).toSeq == rebuild,
+      "compaction moved the post-delete answer")
+    // Unknown-id refusal: the compacted-away docs are no longer provable
+    // members — deleting them again would corrupt the df deltas.
+    intercept[IllegalStateException] {
+      Dedup.shingleDelete(spark, base, deleted.limit(1))
+    }
+    graft.TrackedCaches.release()
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
+
+  test("delete refuses a cap resurrection and writes nothing (crafted " +
+      "over-cap shingle)") {
+    // ShingleDfCap + 1 corpus docs (ids ≡ 1 mod 5, so the %5≠0 build
+    // keeps them all) share the trigram "h0 h1 h2" — df = cap+1 > cap,
+    // so its occurrences were dropped at build time as dead rows.
+    // Deleting one owner would bring df back to the cap exactly: the
+    // shingle would rejoin the screen with 50 silently-missing
+    // occurrences. The delete must refuse loudly and leave the index
+    // byte-identical (no tombstones, no deltas).
+    import spark.implicits._
+    val cap = Dedup.ShingleDfCap
+    val docs = ((0 to cap).map { i =>
+      val id = 5L * i + 1
+      (id, s"h0 h1 h2 u${i}a u${i}b u${i}c u${i}d")
+    } :+ ((5L * (cap + 1) + 1, "q0 q1 q2 q3 q4"))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shingle_resurrect").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_shingle_resurrect_idx").toString
+    Dedup.shingleBuildIfStale(spark, dir, base)
+    val dfcRows = spark.read.parquet(s"$base/dfc").count()
+    val boom = intercept[IllegalStateException] {
+      Dedup.shingleDelete(spark, base, docs.filter(col("doc_id") === 1L))
+    }
+    assert(boom.getMessage.contains("under the df cap"),
+      s"wrong refusal fired: ${boom.getMessage}")
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$base/tombs")),
+      "a refused delete must not tombstone")
+    assert(spark.read.parquet(s"$base/dfc").count() == dfcRows,
+      "a refused delete must not write df deltas")
+    // The boundary the other way: deleting the NON-owner doc (its
+    // shingles all sit at df 1) succeeds on the same index — the guard
+    // fires only on a downward crossing from ABOVE the cap, never on
+    // ordinary sub-cap deletions.
+    Dedup.shingleDelete(spark, base,
+      docs.filter(col("doc_id") === (5L * (cap + 1) + 1)))
+    graft.TrackedCaches.release()
+    graft.Fs.deleteRec(java.nio.file.Paths.get(dir))
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
+
   test("canonical keep prefers the higher-quality cluster member over the min id") {
     // Cluster {10, 11}: doc 10 (the SMALLER id — dedupClusters' arbitrary
     // keeper) is doc 11 plus a repeated-word tail, so its TTR is lower;

@@ -620,6 +620,67 @@ class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     graft.Fs.deleteRec(java.nio.file.Paths.get(base))
   }
 
+  test("standing BM25 delete: live-docs mask with frozen stats, identical " +
+      "across compaction, idempotent") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{lit, round, row_number, sum}
+    // Wipe the shipped query's standing dir so every run exercises the
+    // build + delete transition.
+    val qbase = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_delete"
+    graft.Fs.deleteRec(java.nio.file.Paths.get(qbase))
+    val got = Retrieval.bm25TopKStandingDelete(spark, Sf)
+      .collect().map(_.toString).toSeq
+    // Independent frozen-stats reference WITHOUT the standing dirs: the
+    // full-corpus index's candidates (full-corpus df/N/avgLen baked into
+    // the impacts), MASKED to the live docs, ranked by the same top-k —
+    // i.e. Lucene's deleted-doc semantics computed from first principles.
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+    val ix = Retrieval.buildIndex(docs)
+    val queries = docs.filter(col("doc_id") < Retrieval.NumQueries)
+    val qt = Retrieval.postings(queries)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("smicro").desc, col("doc_id"))
+    val expected = Retrieval.candidates(ix, qt)
+      .filter(col("doc_id") % 9 =!= 4)
+      .groupBy("query_id", "doc_id").agg(sum("imp").as("smicro"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= Retrieval.TopK)
+      .select(col("query_id"), col("rk"), col("doc_id"),
+        round(col("smicro").cast("double") / lit(1000000.0), 6).as("score"))
+      .orderBy("query_id", "rk")
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty)
+    assert(got == expected,
+      "post-delete probe diverged from the masked frozen-stats reference")
+    // The mask is decisive: the undeleted top-k differs (some deleted doc
+    // ranked before the purge).
+    val undeleted = Retrieval.bm25TopKStanding(spark, Sf)
+      .collect().map(_.toString).toSeq
+    assert(undeleted != got,
+      "fixture corpus makes the delete vacuous — pick a different slice")
+    // Idempotency: re-deleting the same slice is a pure-mask no-op.
+    Retrieval.bm25Delete(spark, qbase,
+      docs.filter(col("doc_id") % 9 === 4).select("doc_id"))
+    assert(Retrieval.bm25TopKStandingDelete(spark, Sf)
+      .collect().map(_.toString).toSeq == got,
+      "re-delete moved the probe answer")
+    // Compaction drops the rows physically, retires the tombstones, and
+    // must not move the answer (frozen impacts survive the rewrite).
+    Retrieval.bm25Compact(spark, qbase)
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$qbase/tombs")),
+      "compaction must retire the tombstone list")
+    assert(spark.read.parquet(s"$qbase/postings")
+        .filter(col("doc_id") % 9 === 4).count() == 0,
+      "compaction left physically-deleted posting rows")
+    assert(Retrieval.bm25TopKStandingDelete(spark, Sf)
+      .collect().map(_.toString).toSeq == got,
+      "compaction moved the post-delete answer")
+    graft.TrackedCaches.release()
+    graft.Fs.deleteRec(java.nio.file.Paths.get(qbase))
+  }
+
   test("standing BM25 probe partition-prunes both scans to the query buckets") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_bm25_prune").toString
