@@ -573,6 +573,31 @@ object ScaleTest {
         .write.format("noop").mode("overwrite").save()
       val tp4 = (System.nanoTime() - tp40) / 1e9
       settle(spark)
+      // Delete leg (round 15): purge a 1% corpus slice by id — the
+      // resolve is one column-pruned (vec_id, cell) scan, so the leg's
+      // ratio measures exactly the term that grows with the corpus —
+      // then probe the tombstone-anti-join regime, drain via compaction,
+      // and probe the physically-purged layout.
+      val doomed = emb.filter(col("vec_id") % 100 === 13)
+        .select("vec_id").localCheckpoint()
+      val td0 = System.nanoTime()
+      graft.llm.AnnIndex.delete(spark, base, doomed)
+      val tdel = (System.nanoTime() - td0) / 1e9
+      settle(spark)
+      val tp50 = System.nanoTime()
+      graft.llm.AnnIndex.probe(spark, base, q)
+        .write.format("noop").mode("overwrite").save()
+      val tp5 = (System.nanoTime() - tp50) / 1e9
+      settle(spark)
+      val tc20 = System.nanoTime()
+      graft.llm.AnnIndex.compact(spark, base)
+      val tc2 = (System.nanoTime() - tc20) / 1e9
+      settle(spark)
+      val tp60 = System.nanoTime()
+      graft.llm.AnnIndex.probe(spark, base, q)
+        .write.format("noop").mode("overwrite").save()
+      val tp6 = (System.nanoTime() - tp60) / 1e9
+      settle(spark)
       val t2 = System.nanoTime()
       SparkEntry.queries("q_ann_ivf")(spark, dir)
         .write.format("noop").mode("overwrite").save()
@@ -580,11 +605,15 @@ object ScaleTest {
       settle(spark)
       println(f"standing,$tag,build=$tb%.2f,probe=$tp%.2f," +
         f"append=$ta%.2f,probe2=$tp2%.2f,probe_5appends=$tp3%.2f," +
-        f"compact=$tc%.2f,probe_compacted=$tp4%.2f,rebuild=$tr%.2f")
+        f"compact=$tc%.2f,probe_compacted=$tp4%.2f," +
+        f"delete=$tdel%.2f,probe_deleted=$tp5%.2f,compact2=$tc2%.2f," +
+        f"probe_drained=$tp6%.2f,rebuild=$tr%.2f")
     }
     run("warm", src) // warm code paths; discard
     println("standing,scale,build_s,probe_s,append_1pct_s,probe2_s," +
-      "probe_5appends_s,compact_s,probe_compacted_s,rebuild_annivf_s")
+      "probe_5appends_s,compact_s,probe_compacted_s," +
+      "delete_1pct_s,probe_deleted_s,compact2_s,probe_drained_s," +
+      "rebuild_annivf_s")
     run("vecs1x", src)
     run(s"vecs${copies}x", dst)
     spark.stop()

@@ -564,6 +564,62 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"top-100 must be a TakeOrdered, not a global sort + limit:\n$plan")
   }
 
+  test("standing-index delete probes: tombstone exclusion broadcasts, " +
+      "partition pruning survives") {
+    // The delete feature must not cost the probes their 100 TB plan: the
+    // tombstone anti-join has a doc/takedown-arity build side and must be
+    // a BROADCAST LeftAnti (a shuffled anti-join would re-shuffle the
+    // corpus-scale probe rows for a tiny exclusion list), and the
+    // standing scans must keep their partition-column pruning filters.
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def gate(df: org.apache.spark.sql.DataFrame, part: String,
+        tag: String): Unit = {
+      df.collect()
+      // The shingle probe CACHES its postings frame, so its anti-join
+      // lives inside the InMemoryRelation's cached plan — descend into
+      // cached plans (to a fixpoint: caches can nest) so the gate sees
+      // the whole physical story, not just the outermost fragment.
+      var roots = Seq(df.queryExecution.executedPlan)
+      var grown = true
+      while (grown) {
+        val more = roots.flatMap(r => collectWithSubqueries(r) {
+          case im: InMemoryTableScanExec => im.relation.cachedPlan
+        }).filterNot(p => roots.exists(_ eq p))
+        grown = more.nonEmpty
+        roots ++= more
+      }
+      val antiB = roots.flatMap(r => collectWithSubqueries(r) {
+        case j: BroadcastHashJoinExec if j.joinType == LeftAnti => j
+      })
+      assert(antiB.nonEmpty,
+        s"$tag: tombstone exclusion must be a broadcast anti-join:\n" +
+          roots.mkString("\n---\n"))
+      val antiS = roots.flatMap(r => collectWithSubqueries(r) {
+        case j: SortMergeJoinExec if j.joinType == LeftAnti => j
+      })
+      assert(antiS.isEmpty,
+        s"$tag: tombstone exclusion must never shuffle the probe side")
+      assert(roots.exists(_.toString.contains(s"PartitionFilters: [$part")),
+        s"$tag: standing scan lost its $part partition filter")
+    }
+    // Fresh standing state for all three (the shipped bases may have been
+    // compacted — tombstones drained — by an earlier spec).
+    Seq("graft_ivf_delete", "graft_shingle_delete", "graft_bm25_delete")
+      .foreach(dir => graft.Fs.deleteRec(java.nio.file.Paths.get(
+        s"${System.getProperty("java.io.tmpdir")}/$dir")))
+    gate(graft.llm.AnnIndex.annIvfDeleteStanding(spark, Sf), "cell",
+      "ivf")
+    gate(graft.llm.Dedup.standingDeleteIngest(spark, Sf), "bucket",
+      "shingle")
+    gate(graft.llm.Retrieval.bm25TopKStandingDelete(spark, Sf), "bucket",
+      "bm25")
+    graft.TrackedCaches.release()
+    Seq("graft_ivf_delete", "graft_shingle_delete", "graft_bm25_delete")
+      .foreach(dir => graft.Fs.deleteRec(java.nio.file.Paths.get(
+        s"${System.getProperty("java.io.tmpdir")}/$dir")))
+  }
+
   test("incremental MV: both aggregate sides scan with the cutoff pushed down") {
     val df = graft.ops.Quality.incrAgg(spark, Sf)
     df.collect()
