@@ -1109,13 +1109,27 @@ object ScaleTest {
     println(f"soak seed: ${seed.count()} docs, " +
       f"${(System.nanoTime() - t0) / 1e9}%.2f s")
     graft.plans.TopKPerKey.ensureRegistered(spark)
+    // Interleaved DELETE leg (round 15): each batch appends its arrivals
+    // then deletes a deterministic ~1/8 slice of the PREVIOUS batch's
+    // (appended, never re-deleted — batches are disjoint), so every later
+    // screen runs the tombstone-anti-join + negative-delta regime and
+    // every file-pressure compaction fires with live tombstones; the
+    // runSoak screen-identity require then covers masked vs
+    // physically-drained at each firing.
+    var prevBatch: org.apache.spark.sql.DataFrame = null
     runSoak(spark, nBatches, "evodist", base, s"$base/postings", 192L,
-      "screen", "append",
+      "screen", "append+del",
       b => arrivals
         .filter(pmod(xxhash64(col("doc_id")), lit(nBatches.toLong)) === b)
         .localCheckpoint(),
       batch => inc.screen(batch).collect().map(_.toString).sorted.toSeq,
-      batch => inc.append(batch),
+      batch => {
+        inc.append(batch)
+        if (prevBatch != null)
+          inc.delete(prevBatch.filter(col("doc_id") % 8 === 3)
+            .select("doc_id"))
+        prevBatch = batch
+      },
       () => inc.compact())
   }
 

@@ -177,6 +177,7 @@ object SparkEntry {
     "q_stream_decontam" -> (graft.streaming.DocStreams.streamDecontam _),
     "q_stream_decontam_evolving" -> (graft.streaming.DocStreams.streamDecontamEvolving _),
     "q_stream_decontam_evolving_dist" -> (graft.streaming.DocStreams.streamDecontamEvolvingDist _),
+    "q_decontam_evolving_dist_delete" -> (graft.streaming.DocStreams.decontamEvolvingDistDelete _),
     "q_stream_vec_ingest" -> (graft.streaming.VecStreams.streamVecIngest _),
     "q_stream_anomaly_gate" -> (graft.streaming.EventStreams.streamAnomalyGate _),
     "q_range_join" -> (Advanced.rangeJoin _),
@@ -590,6 +591,7 @@ object SparkEntry {
     // Same oracle as the broadcast twin — the gate moves the REGIME
     // (bucketed-posting-append distributed index), not the semantics.
     "q_stream_decontam_evolving_dist" -> graft.streaming.DocStreams.streamDecontamEvolvingSql,
+    "q_decontam_evolving_dist_delete" -> graft.streaming.DocStreams.decontamEvolvingDistDeleteSql,
     "q_stream_vec_ingest" -> graft.streaming.VecStreams.streamVecIngestSql,
     "q_stream_anomaly_gate" -> graft.streaming.EventStreams.streamAnomalyGateSql,
     "q_range_join" -> Advanced.rangeJoinSql,

@@ -1071,16 +1071,45 @@ object Retrieval {
         } finally ds.close()
       if (torn.nonEmpty)
         throw new IllegalStateException(
-          s"evolving index at $base has ${torn.size} interrupted append(s) " +
-            s"(${torn.take(3).mkString(", ")}): on-disk postings may hold a " +
-            "partial batch the corpus stats do not count. Refusing to serve " +
+          s"evolving index at $base has ${torn.size} interrupted " +
+            s"append/delete mutation(s) (${torn.take(3).mkString(", ")}): " +
+            "on-disk postings may hold partial rows the corpus stats do " +
+            "not count (or masks the stats still count). Refusing to serve " +
             "inconsistent BM25 constants — delete-and-reseed the index dir " +
-            "(appends are not atomic; see the stats scaladoc).")
+            "(mutations are not atomic; see the stats scaladoc).")
     }
 
     private def bucketed(df: DataFrame): DataFrame =
       df.withColumn("bucket",
         pmod(xxhash64(col("term")), lit(NumBuckets.toLong)))
+
+    // repartition ON the partition column before partitionBy: every
+    // bucket lands entirely in one task, so a mutation adds <= NumBuckets
+    // files — without it each of the write's input tasks opens a file
+    // per bucket it sees (tasks x buckets tiny files per write, and
+    // every later screen pays the file-open storm back with interest).
+    // Task count is the SESSION's shuffle parallelism capped at
+    // NumBuckets (the by-bucket file bound holds at any task count):
+    // a small batch under the stream's 8 shuffle partitions launches
+    // 8 tasks, not 64 near-empty ones.
+    private def byBucket(df: DataFrame): DataFrame = {
+      val tasks = math.max(1, math.min(NumBuckets,
+        s.conf.get("spark.sql.shuffle.partitions").toInt))
+      bucketed(df).repartition(tasks, col("bucket"))
+    }
+
+    private val tombsDir = s"$base/tombs"
+
+    /** Postings with the tombstoned docs ([[delete]]) masked — the one
+      * exclusion point every screen reads through. Doc-arity tiny, so
+      * the anti-join side broadcasts; fwd reads are candidate-driven
+      * (a masked doc can never become a candidate), so masking the
+      * postings entry point covers the whole screen. */
+    private def liveView(p: DataFrame): DataFrame =
+      if (!java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(tombsDir))) p
+      else p.join(broadcast(s.read.parquet(tombsDir)), Seq("doc_id"),
+        "left_anti")
 
     /** Ingest a (doc_id, text) frame: batch-scale tokenize, three appends
       * — cost is |batch|, never |corpus|. Corpus stats ride the fwd write
@@ -1116,15 +1145,6 @@ object Retrieval {
       // files — without it each of the write's input tasks opens a file
       // per bucket it sees (tasks x buckets tiny files per append, and
       // every later screen pays the file-open storm back with interest).
-      // Task count is the SESSION's shuffle parallelism capped at
-      // NumBuckets (the by-bucket file bound holds at any task count):
-      // a small batch append under the stream's 8 shuffle partitions
-      // launches 8 tasks, not 64 near-empty ones.
-      def byBucket(df: DataFrame): DataFrame = {
-        val tasks = math.max(1, math.min(NumBuckets,
-          s.conf.get("spark.sql.shuffle.partitions").toInt))
-        bucketed(df).repartition(tasks, col("bucket"))
-      }
       var tf: DataFrame = null
       try {
         java.nio.file.Files.createDirectories(statsDir)
@@ -1174,8 +1194,95 @@ object Retrieval {
       } finally { if (tf != null) { tf.unpersist(); () } }
     }
 
+    /** Delete documents from the evolving index by id — EXACT, unlike
+      * the frozen-impact standing BM25 index's live-docs mask: every
+      * statistic here is read through sums at screen time (df via dfd
+      * deltas, n/avgLen via stats deltas), so deletion is just more
+      * deltas — negative ones — and a screen after a delete is
+      * row-identical to a screen against an index that never held the
+      * docs (RetrievalSpec; the shipped query's oracle recomputes the
+      * screen over the purged population). Id-only by design: `fwd/`
+      * stores every indexed doc's full (term, tf) vector, so the
+      * negative df deltas and the stats delta derive from the index
+      * itself — no text needed (contrast [[Dedup.shingleDelete]], whose
+      * over-cap posting drops force a text re-shingle and a resurrection
+      * guard; here nothing is ever dropped, so no guard is needed).
+      *
+      * Writes, under the SAME intent-marker protocol as [[append]] (a
+      * delete is a multi-write mutation; a crash mid-way must be loud,
+      * never silently half-applied — and `tombs/` is part of
+      * [[dataCensus]], so the clean-failure recovery only retires the
+      * intent when truly nothing landed):
+      *  - `tombs/`: the deleted ids; screens anti-join the postings
+      *    entry point ([[liveView]]), [[compact]] drops rows physically
+      *    and retires the list;
+      *  - `dfd/`: −1 per (term, deleted doc holding it), from fwd;
+      *  - `stats/delta_<id>`: negative (nd, sl).
+      *
+      * Refusals (loud, nothing written): ids already tombstoned (a
+      * re-delete would double-subtract the deltas — the tombs list is
+      * the replay witness) and ids with no live fwd row (never indexed,
+      * or already deleted-and-drained — subtracting their stats would
+      * corrupt the corpus constants). An empty delete is a hard no-op. */
+    def delete(ids: DataFrame): Unit = {
+      requireNoTornAppend()
+      val del = ids.select("doc_id").distinct().localCheckpoint()
+      if (del.isEmpty) return
+      if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(tombsDir)) &&
+          !s.read.parquet(tombsDir)
+            .join(del, Seq("doc_id"), "left_semi").isEmpty)
+        throw new IllegalStateException(
+          s"evolving index at $base: some of these doc_ids are already " +
+            "tombstoned — a re-delete would double-subtract their df/" +
+            "stats deltas. If a previous delete crashed mid-write, the " +
+            "torn-intent protocol already marked the index; " +
+            "delete-and-reseed.")
+      // The deleted docs' term vectors, from the index's own forward
+      // table. localCheckpoint: multi-consumer (membership count, stats
+      // aggregate, df deltas) AND the writes below mutate dirs its
+      // lineage reads.
+      val fw = s.read.parquet(fwdDir)
+        .join(broadcast(del), Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      if (fw.count() < del.count())
+        throw new IllegalStateException(
+          s"evolving index at $base: some doc_ids have no forward-index " +
+            "row (never appended, or already deleted-and-drained) — " +
+            "deleting them would corrupt the corpus stats. Refusing.")
+      val agg = fw.agg(count(lit(1)).as("nd"), sum("len").as("sl")).head()
+      val (nd, sl) = (agg.getLong(0), agg.getLong(1))
+      val census0 = dataCensus()
+      val deleteId = java.util.UUID.randomUUID().toString
+      val intentPath = statsDir.resolve(s"intent_$deleteId.txt")
+      try {
+        java.nio.file.Files.createDirectories(statsDir)
+        java.nio.file.Files.write(intentPath, "pending".getBytes("UTF-8"))
+        del.write.mode("append").parquet(tombsDir)
+        byBucket(fw.select(explode(col("terms")).as("t"))
+            .groupBy(col("t.term").as("term"))
+            .agg((-count(lit(1))).as("df")))
+          .write.partitionBy("bucket").mode("append").parquet(dfdDir)
+        nDocs -= nd; lenSum -= sl
+        java.nio.file.Files.write(
+          statsDir.resolve(s"delta_$deleteId.txt"),
+          s"${-nd} ${-sl}".getBytes("UTF-8"))
+        java.nio.file.Files.delete(intentPath)
+        ()
+      } catch {
+        case e: Throwable =>
+          try {
+            if (dataCensus() == census0)
+              java.nio.file.Files.deleteIfExists(intentPath)
+          } catch { case e2: Throwable => e.addSuppressed(e2) }
+          throw e
+      }
+    }
+
     /** Sorted (relative path, size) census of the COMMITTED parquet data
-      * files under the three data dirs — the "did any data land" witness
+      * files under the data dirs (including `tombs/` — a half-landed
+      * DELETE must keep its torn intent exactly as a half-landed append
+      * does) — the "did any data land" witness
       * for the in-process transient-failure recovery above. Committer
       * scratch (`_temporary`) is excluded: a failed job may leave scratch
       * behind, which is not committed data; any COMMITTED file appearing
@@ -1184,7 +1291,7 @@ object Retrieval {
       * job. */
     private def dataCensus(): Seq[String] = {
       val b = Seq.newBuilder[String]
-      Seq(postingsDir, fwdDir, dfdDir).foreach { d =>
+      Seq(postingsDir, fwdDir, dfdDir, tombsDir).foreach { d =>
         val p = java.nio.file.Paths.get(d)
         if (java.nio.file.Files.isDirectory(p)) {
           val st = java.nio.file.Files.walk(p)
@@ -1234,22 +1341,34 @@ object Retrieval {
         s.conf.get("spark.sql.shuffle.partitions").toInt))
       val pTmp = s"$base/_compact_postings"
       graft.Fs.deleteRec(Paths.get(pTmp))
-      s.read.parquet(postingsDir)
+      // liveView: tombstoned docs' rows ([[delete]]) drop physically here;
+      // their df/stats deltas were already applied at delete time, so the
+      // drop is purely the mask becoming material.
+      liveView(s.read.parquet(postingsDir))
         .repartition(tasks, col("bucket"))
         .write.partitionBy("bucket").mode("overwrite").parquet(pTmp)
       swapIn(pTmp, postingsDir)
       val dTmp = s"$base/_compact_dfd"
       graft.Fs.deleteRec(Paths.get(dTmp))
+      // df = 0 rows (fully-deleted terms) drop: the screen's dftV already
+      // reads them as absent, so the rollup filter is semantics-free.
       s.read.parquet(dfdDir)
         .groupBy("bucket", "term").agg(sum("df").as("df"))
+        .filter(col("df") =!= 0L)
         .repartition(tasks, col("bucket"))
         .write.partitionBy("bucket").mode("overwrite").parquet(dTmp)
       swapIn(dTmp, dfdDir)
       val fTmp = s"$base/_compact_fwd"
       graft.Fs.deleteRec(Paths.get(fTmp))
-      s.read.parquet(fwdDir).repartition(tasks)
+      liveView(s.read.parquet(fwdDir)).repartition(tasks)
         .write.mode("overwrite").parquet(fTmp)
       swapIn(fTmp, fwdDir)
+      // The tombstone list retires LAST — its exclusions are baked into
+      // the rewritten tables above. (Before any swap, compaction refuses
+      // on a torn intent; a crash between the fwd swap and this delete
+      // leaves surviving tombstones whose anti-joins are now no-ops —
+      // harmless, drained by the next compaction.)
+      graft.Fs.deleteRec(Paths.get(tombsDir))
     }
 
     /** (doc_id, top_match, top_score) of each arrival against the standing
@@ -1277,13 +1396,19 @@ object Retrieval {
       // the bucket slice and re-aggregate the df deltas from parquet —
       // the exact role ix.tf/ix.dft's caches play in the static gate.
       // Batch-scoped: the gate releases TrackedCaches after each write.
-      val tfV = graft.TrackedCaches.track(
+      val tfV = graft.TrackedCaches.track(liveView(
         s.read.parquet(postingsDir)
-          .filter(col("bucket").isin(qb: _*)).drop("bucket").cache())
+          .filter(col("bucket").isin(qb: _*)).drop("bucket")).cache())
+      // df > 0: a fully-deleted term's rolled-up df is zero, and a
+      // zero-df row must read as ABSENT (exactly as a rebuild without
+      // the deleted docs would have it) — kept, it would enter qd with
+      // df 0 and win a rare-term slot (rare sorts df ASCENDING) that a
+      // term with live postings should hold, silently moving verdicts.
       val dftV = graft.TrackedCaches.track(
         s.read.parquet(dfdDir)
           .filter(col("bucket").isin(qb: _*))
-          .groupBy("term").agg(sum("df").as("df")).cache())
+          .groupBy("term").agg(sum("df").as("df"))
+          .filter(col("df") > 0L).cache())
       val bix = Bm25Index(tfV, dftV, nDocs, avgLen)
       // qd is multi-consumer (stage 1's collects + stage 2's qmaps) so it
       // caches, but NOT eagerly — stage 1's first driver action fills it.
@@ -1895,10 +2020,13 @@ object Retrieval {
     * no resolve pass (the postings are term-bucketed; a doc mask needs
     * no cell lookup), so the delete is pure-mask: IDEMPOTENT,
     * re-runnable after a crash, and a no-op for ids the index never
-    * held. */
-  def bm25Delete(s: SparkSession, base: String, ids: DataFrame): Unit =
-    ids.select("doc_id").distinct()
-      .write.mode("append").parquet(s"$base/tombs")
+    * held. An EMPTY delete is a hard no-op: writing zero rows could
+    * leave a data-less tombs dir (just `_SUCCESS`) that the mask's
+    * parquet read cannot even infer a schema from. */
+  def bm25Delete(s: SparkSession, base: String, ids: DataFrame): Unit = {
+    val d = ids.select("doc_id").distinct().localCheckpoint()
+    if (!d.isEmpty) d.write.mode("append").parquet(s"$base/tombs")
+  }
 
   /** Physically drop the tombstoned docs' posting rows (per-bucket
     * rewrite) and retire the tombstone list. This index takes no appends

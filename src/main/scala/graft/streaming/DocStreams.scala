@@ -1130,4 +1130,49 @@ object DocStreams {
         arr AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
         ${evolvingScreenBlock("", "corpus", "arr")}
         SELECT * FROM out ORDER BY doc_id"""
+
+  /** The shipped EVOLVING-DELETE query (`q_decontam_evolving_dist_delete`):
+    * seed the distributed evolving index with the corpus (doc_id % 5 ≠ 0),
+    * DELETE the doc_id % 10 = 7 slice by id (an eval-set retraction — the
+    * takedown case a decontamination gate actually meets: a benchmark is
+    * withdrawn and the screen must stop matching against it), then screen
+    * the arrival set against the purged index. EXACTNESS is the point of
+    * this index's delete: everything is read through sums, so the
+    * negative deltas re-settle df, n, and avgLen on the remaining
+    * population and the oracle simply recomputes the whole screen over
+    * corpus-minus-deleted — no frozen-stats caveat (contrast
+    * `q_bm25_standing_delete`) and no resurrection guard (contrast
+    * `q_dedup_standing_delete`): the fwd table lets an id-only delete
+    * derive its own corrections. Fresh rebuild per run (the evolving
+    * gates' convention — the seed → delete → screen transition IS the
+    * measured feature). */
+  def decontamEvolvingDistDelete(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file._
+    import graft.llm.Retrieval
+    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_evodist_delete")
+    if (Files.exists(base)) graft.Fs.deleteRec(base)
+    Files.createDirectories(base)
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val inc = new Retrieval.EvolvingDistIndex(s, base.toString)
+    inc.append(docs.filter(col("doc_id") % 5 =!= 0))
+    inc.delete(docs.filter(col("doc_id") % 10 === 7).select("doc_id"))
+    graft.plans.TopKPerKey.ensureRegistered(s)
+    inc.screen(docs.filter(col("doc_id") % 5 === 0))
+      .select(col("doc_id"), col("top_match"), col("top_score"),
+        (col("top_score") <= lit(Bm25AdmitMax)).as("admit"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[decontamEvolvingDistDelete]]: the one-phase screen
+    * block over the PURGED population — df, n, avgLen all recomputed
+    * over corpus-minus-deleted, which is exactly what the negative
+    * deltas serve. (Arrival ids are ≡ 0 mod 5, never ≡ 7 mod 10, so the
+    * corpus predicate drops only the purged slice.) */
+  val decontamEvolvingDistDeleteSql: String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents
+              WHERE doc_id % 5 <> 0 AND doc_id % 10 <> 7),
+        arr AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        ${evolvingScreenBlock("", "corpus", "arr")}
+        SELECT * FROM out ORDER BY doc_id"""
 }

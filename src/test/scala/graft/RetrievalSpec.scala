@@ -659,9 +659,12 @@ class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .collect().map(_.toString).toSeq
     assert(undeleted != got,
       "fixture corpus makes the delete vacuous — pick a different slice")
-    // Idempotency: re-deleting the same slice is a pure-mask no-op.
+    // Idempotency: re-deleting the same slice is a pure-mask no-op, and
+    // an EMPTY delete is a hard no-op (a zero-row write could strand a
+    // data-less tombs dir the mask's read can't infer a schema from).
     Retrieval.bm25Delete(spark, qbase,
       docs.filter(col("doc_id") % 9 === 4).select("doc_id"))
+    Retrieval.bm25Delete(spark, qbase, docs.filter(lit(false)).select("doc_id"))
     assert(Retrieval.bm25TopKStandingDelete(spark, Sf)
       .collect().map(_.toString).toSeq == got,
       "re-delete moved the probe answer")
@@ -695,6 +698,79 @@ class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"standing scans lost their bucket partition filter:\n$plan")
     graft.TrackedCaches.release()
     graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
+
+  test("evolving-dist delete: screen equals the purged rebuild, a " +
+      "fully-deleted term vanishes from the rare cut, refusals fire, " +
+      "compaction drains") {
+    import spark.implicits._
+    def mk() = java.nio.file.Files
+      .createTempDirectory("graft_evodel_spec").toString
+    // Crafted so the ZERO-DF hazard is decisive, not latent (the sf0.01
+    // oracle passes with or without the dftV `df > 0` filter — verified
+    // by A/B — so this spec is the gate): doc 200 is the ONLY owner of
+    // "zzz", which the arrival also holds. After deleting doc 200, a
+    // kept zero-df "zzz" row would win the FIRST rare-term slot (rare
+    // sorts df ASCENDING) and evict "link" — the arrival's only path to
+    // doc 204, its true best match (tf(link)=3 beats every single-term
+    // df-1 score) — flipping top_match 204 → 201. A rebuild never sees
+    // the term; the delete must not either.
+    val corpus = Seq(
+      (200L, "zzz z1 z2 z3"),
+      (201L, "a p1 p2 p3"),
+      (202L, "b q1 q2 q3"),
+      (203L, "c r1 r2 r3"),
+      (204L, "link link link s1")
+    ).toDF("doc_id", "text")
+    val arrivals = Seq((9L, "zzz a b c link w1 w2")).toDF("doc_id", "text")
+    def screened(ix: Retrieval.EvolvingDistIndex): Seq[String] = {
+      val v = ix.screen(arrivals).collect().map(_.toString).sorted.toSeq
+      graft.TrackedCaches.release(); spark.catalog.clearCache()
+      v
+    }
+    val b1 = mk()
+    val ix1 = new Retrieval.EvolvingDistIndex(spark, b1)
+    ix1.append(corpus)
+    val before = screened(ix1)
+    ix1.delete(Seq(200L).toDF("doc_id"))
+    val got = screened(ix1)
+    // The purged-rebuild reference: a fresh index that never held doc 200.
+    val b2 = mk()
+    val ix2 = new Retrieval.EvolvingDistIndex(spark, b2)
+    ix2.append(corpus.filter(col("doc_id") =!= 200L))
+    val want = screened(ix2)
+    assert(got == want,
+      s"post-delete screen diverged from the purged rebuild:\n$got\n$want")
+    assert(got != before, "the crafted delete must be decisive")
+    assert(got.head.contains("204"),
+      s"arrival must reach doc 204 through 'link' — the rare slot the " +
+        s"zero-df hazard would steal: $got")
+    // Refusals: re-delete (double-subtraction) and unknown id (stats
+    // corruption) — loud, nothing written.
+    intercept[IllegalStateException] { ix1.delete(Seq(200L).toDF("doc_id")) }
+    intercept[IllegalStateException] { ix1.delete(Seq(999L).toDF("doc_id")) }
+    // An orphaned intent (torn append OR delete) blocks deletes too.
+    val intent = java.nio.file.Paths.get(b1, "stats", "intent_spec.txt")
+    java.nio.file.Files.write(intent, "pending".getBytes("UTF-8"))
+    intercept[IllegalStateException] { ix1.delete(Seq(201L).toDF("doc_id")) }
+    java.nio.file.Files.delete(intent)
+    // Compaction drops the masked rows physically, retires the tombstone
+    // list, and must not move the screen.
+    ix1.compact()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$b1/tombs")),
+      "compaction must retire the tombstone list")
+    assert(spark.read.parquet(s"$b1/postings")
+        .filter(col("doc_id") === 200L).count() == 0,
+      "compaction left physically-deleted posting rows")
+    assert(spark.read.parquet(s"$b1/fwd")
+        .filter(col("doc_id") === 200L).count() == 0,
+      "compaction left physically-deleted forward rows")
+    assert(screened(ix1) == want, "compaction moved the post-delete screen")
+    // Drained ids are no longer provable members — a re-delete refuses
+    // through the forward-index check now that the tombs witness is gone.
+    intercept[IllegalStateException] { ix1.delete(Seq(200L).toDF("doc_id")) }
+    graft.Fs.deleteRec(java.nio.file.Paths.get(b1))
+    graft.Fs.deleteRec(java.nio.file.Paths.get(b2))
   }
 
   test("evolving dist index: compaction is screen-identical and shrinks the file census") {
