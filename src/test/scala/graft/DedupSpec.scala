@@ -454,6 +454,35 @@ class DedupSpec extends SparkSpec {
     graft.Fs.deleteRec(java.nio.file.Paths.get(base))
   }
 
+  test("a torn shingle delete (tombs landed, deltas missing) heals " +
+      "through the marker protocol") {
+    // shingleDelete is a two-write mutation under the CALLER's marker
+    // protocol (its scaladoc): a crash between the tombstone append and
+    // the df deltas leaves an index that masks docs whose df the stats
+    // still count — silently wrong if served. The shipped query's marker
+    // never reached its deleted=... form, so the next call must detect
+    // the mismatch, reset, and rebuild to the exact purged answer. This
+    // spec simulates exactly that torn state by hand and proves the
+    // healing end-to-end.
+    val qbase =
+      s"${System.getProperty("java.io.tmpdir")}/graft_shingle_delete"
+    graft.Fs.deleteRec(java.nio.file.Paths.get(qbase))
+    val expected = Dedup.standingDeleteIngest(spark, Sf)
+      .collect().map(_.toString).toSeq
+    // Rebuild fresh to the PRE-delete state (marker = the build marker),
+    // then land only the tombstones — the torn-crash fossil.
+    graft.Fs.deleteRec(java.nio.file.Paths.get(qbase))
+    Dedup.shingleBuildIfStale(spark, Sf, qbase)
+    Tables.documents(spark, Sf).filter(col("doc_id") % 10 === 1)
+      .select("doc_id").write.mode("append").parquet(s"$qbase/tombs")
+    assert(Dedup.standingDeleteIngest(spark, Sf)
+        .collect().map(_.toString).toSeq == expected,
+      "the marker protocol must heal a torn delete into the exact " +
+        "purged answer, never serve the masked-but-uncorrected state")
+    graft.TrackedCaches.release()
+    graft.Fs.deleteRec(java.nio.file.Paths.get(qbase))
+  }
+
   test("delete refuses a cap resurrection and writes nothing (crafted " +
       "over-cap shingle)") {
     // ShingleDfCap + 1 corpus docs (ids ≡ 1 mod 5, so the %5≠0 build
