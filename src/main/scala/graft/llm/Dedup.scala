@@ -550,6 +550,15 @@ object Dedup {
     * serving path. Per-probe cost is |batch| + the batch-vocabulary
     * posting lists, never |corpus|. */
   def shingleProbe(s: SparkSession, base: String,
+      batchDocs: DataFrame): DataFrame =
+    shingleProbeUnordered(s, base, batchDocs).orderBy("doc_id")
+
+  /** [[shingleProbe]] without the final total order — for callers that
+    * persist per-micro-batch verdicts and sort once on the combined
+    * read-back ([[graft.streaming.DocStreams.streamDedupEvolving]]): a
+    * global sort per batch is a range-partitioning sample job plus a
+    * sort per write, all discarded by the final orderBy. */
+  private[graft] def shingleProbeUnordered(s: SparkSession, base: String,
       batchDocs: DataFrame): DataFrame = {
     val nBuckets = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$base/_stats")), "UTF-8").trim.toInt
@@ -610,7 +619,6 @@ object Dedup {
       .join(matches, col("doc_id") === col("da"), "left")
       .select(col("doc_id"), col("dup_src").isNotNull.as("is_dup"),
         coalesce(col("dup_src"), lit(-1L)).as("dup_of"))
-      .orderBy("doc_id")
   }
 
   /** The shipped query: same batch, corpus, and output contract as
@@ -662,12 +670,15 @@ object Dedup {
       accepted: DataFrame): Unit = {
     val nBuckets = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$base/_stats")), "UTF-8").trim.toInt
-    // localCheckpoint (eager) rather than cache: the frames below are
-    // re-evaluated across several write actions that MUTATE the very
-    // directories their lineage reads — a dropped cache would silently
-    // recompute against post-append state. Checkpointing cuts the lineage.
-    val acc = accepted.select("doc_id", "text").localCheckpoint()
-    val ash = shinglesOf(acc)
+    // One eager localCheckpoint of the batch's SHINGLES (not the raw
+    // docs): every downstream term — df deltas, kept rows, size rows —
+    // reads the same materialized shingle set, so the batch is shingled
+    // once per commit instead of once per consuming action. Checkpoint
+    // rather than cache because the write actions below MUTATE the very
+    // directories later lineage would re-read — a dropped cache would
+    // silently recompute against post-append state.
+    val ash = shinglesOf(accepted.select("doc_id", "text"))
+      .localCheckpoint()
     val adf = ash.groupBy("sh").agg(count(lit(1)).as("dfa"))
     val qb = adf.select(StandingIndex.bucketOf(col("sh"), nBuckets)
         .as("bucket")).distinct()
@@ -688,25 +699,56 @@ object Dedup {
       .withColumn("dfNew", col("dfa") + col("df0"))
       .localCheckpoint()
     val keptSh = v.filter(col("dfNew") <= ShingleDfCap).select("sh")
-    val crossed = v.filter(col("df0") <= ShingleDfCap &&
-      col("dfNew") > ShingleDfCap).select("sh")
-    // Negative size corrections FIRST, while postings/ still holds only
-    // pre-commit rows (this commit never appends occurrences of crossed
-    // shingles anyway — kept ∩ crossed = ∅ — but the ordering makes the
-    // read's correctness independent of that invariant). Tombstoned docs
-    // take no corrections: their sizes are never read (excluded from
-    // every intersection), and a correction row for them would just be
-    // a dead row the compaction drops anyway.
-    livePostings(s, base, pruned("postings")).join(crossed, Seq("sh"))
-      .groupBy("doc_id").agg((count(lit(1)) * -1).as("n0"))
-      .write.mode("append").parquet(s"$base/n0")
+    val crossedCond = col("df0") <= ShingleDfCap &&
+      col("dfNew") > ShingleDfCap
+    // Crossing (a standing shingle pushed past the cap by this commit) is
+    // the RARE case — most commits move no shingle across — and its
+    // correction term is the only reason to touch postings/ at all on the
+    // commit path. Decide it with one head(1) over the checkpointed v
+    // (batch-vocabulary-arity, sub-task-cost) and skip the whole pruned
+    // postings read + join when nothing crossed.
+    val anyCrossed = v.filter(crossedCond).head(1).nonEmpty
     val keptRows = ash.join(keptSh, Seq("sh"))
-    StandingIndex.appendBucketed(keptRows, col("sh"), nBuckets,
-      s"$base/postings")
-    StandingIndex.appendBucketed(adf.select(col("sh"),
-      col("dfa").as("dfc")), col("sh"), nBuckets, s"$base/dfc")
-    keptRows.groupBy("doc_id").agg(count(lit(1)).as("n0"))
-      .write.mode("append").parquet(s"$base/n0")
+    val sizes = keptRows.groupBy("doc_id").agg(count(lit(1)).as("n0"))
+    // The accepted docs' kept sizes and the NEGATIVE corrections for
+    // standing owners of crossed shingles land as ONE n0 append (they
+    // were two separate write jobs): the corrections' postings read runs
+    // strictly BEFORE the postings append below, so it sees only
+    // pre-commit rows — same discipline as the old corrections-first
+    // ordering (this commit never appends occurrences of crossed
+    // shingles anyway — kept ∩ crossed = ∅ on the same checkpointed v —
+    // but the ordering keeps the read's correctness independent of that
+    // invariant). Tombstoned docs take no corrections: their sizes are
+    // never read (excluded from every intersection), and a correction
+    // row for them would just be a dead row the compaction drops anyway.
+    val n0Rows =
+      if (!anyCrossed) sizes
+      else sizes.unionByName(
+        livePostings(s, base, pruned("postings"))
+          .join(v.filter(crossedCond).select("sh"), Seq("sh"))
+          .groupBy("doc_id").agg((count(lit(1)) * -1).as("n0")))
+    def writeN0(): Unit =
+      n0Rows.write.mode("append").parquet(s"$base/n0")
+    // When the commit carries corrections, their postings read must
+    // complete before the postings append below begins (pre-commit rows
+    // only); without crossings all three appends are independent — run
+    // them as CONCURRENT jobs (every input is checkpointed, every target
+    // dir distinct), overlapping three tiny jobs' fixed scheduling and
+    // file-commit overhead. All three are awaited — a failure in any
+    // still surfaces after the others settle, and a torn commit is the
+    // caller's marker protocol either way.
+    if (anyCrossed) writeN0()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val jobs = Seq(
+      Future(StandingIndex.appendBucketed(keptRows, col("sh"), nBuckets,
+        s"$base/postings")),
+      Future(StandingIndex.appendBucketed(adf.select(col("sh"),
+        col("dfa").as("dfc")), col("sh"), nBuckets, s"$base/dfc"))) ++
+      (if (anyCrossed) Nil else Seq(Future(writeN0())))
+    val results = jobs.map(f => scala.util.Try(
+      Await.result(f, scala.concurrent.duration.Duration.Inf)))
+    results.foreach(_.get)
   }
 
   /** Postings with the tombstoned docs ([[shingleDelete]]) excluded — the
@@ -924,7 +966,7 @@ object Dedup {
       shingleBuildIfStale(s, d, base)
       val b1 = Tables.documents(s, d).filter(col("doc_id") % 10 === 5)
         .select("doc_id", "text")
-      val survivors = shingleProbe(s, base, b1)
+      val survivors = shingleProbeUnordered(s, base, b1)
         .filter(!col("is_dup")).select("doc_id")
       shingleCommit(s, base, b1.join(survivors, Seq("doc_id"), "left_semi"))
       StandingIndex.commit(base, wantFinal)

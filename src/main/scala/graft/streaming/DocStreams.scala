@@ -478,7 +478,9 @@ object DocStreams {
         val b = batch.toDF().select(col("doc_id"), col("text"))
         val out = outBase.resolve(s"v$batchId").toString
         var tb = System.nanoTime()
-        Dedup.shingleProbe(s, base.toString, b)
+        // Unordered per-batch verdicts: the combined read-back below is
+        // the one place this query sorts.
+        Dedup.shingleProbeUnordered(s, base.toString, b)
           .write.mode("overwrite").parquet(out)
         tb = mark(s"probe_b$batchId", tb)
         val survivors = s.read.parquet(out)
