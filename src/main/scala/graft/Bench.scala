@@ -61,20 +61,40 @@ object Bench {
     * whatever contended values it happens to measure, the exact ratchet
     * vector the min() exists to close. `accept` (the
     * SPARK_GRAFT_PRIOR_ACCEPT escape hatch) re-seeds measured rows after
-    * an intentional plan change; absent rows still carry forward (there
-    * is nothing measured to accept for them). */
+    * an intentional plan change; absent rows still carry forward when
+    * `registry` knows them (there is nothing measured to accept for a
+    * transiently-errored query) — but an accept run PURGES prior rows
+    * whose names left the suite's query registry entirely (renamed or
+    * retired queries), so dead rows can't accumulate in the baseline
+    * forever with no escape hatch. `registry` defaults to
+    * everything-known, keeping the transient-error carry conservative. */
   def mergePrior(run: Seq[(String, Double, Long)],
       prior: Map[String, (Double, Long)],
-      accept: Boolean): Seq[(String, Double, Long)] = {
+      accept: Boolean,
+      registry: String => Boolean = _ => true): Seq[(String, Double, Long)] = {
     val measured = run.map { case (k, w, c) =>
       val (pw, pc) = prior.getOrElse(k, (w, c))
       if (accept) (k, w, c) else (k, math.min(w, pw), math.min(c, pc))
     }
     val ran = run.map(_._1).toSet
     measured ++ prior.collect {
-      case (k, (pw, pc)) if !ran.contains(k) => (k, pw, pc)
+      case (k, (pw, pc)) if !ran.contains(k) &&
+        (!accept || registry(k)) => (k, pw, pc)
     }.toSeq.sortBy(_._1)
   }
+
+  /** Short git HEAD of the working tree the measurement ran from — every
+    * published perf band must carry the commit it was measured AT (the
+    * round-13 "15.5 s" retraction and the round-15 evolving-dedup band
+    * were both claims whose measuring commit could no longer be
+    * identified). Best-effort: "unknown" outside a git checkout. */
+  private[graft] def gitHead(): String =
+    try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
+    } catch { case _: Exception => "unknown" }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -371,7 +391,8 @@ object Bench {
     val gcMs = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .stream().mapToLong(_.getCollectionTime).sum()
     val env = s""""env":{"availableProcessors":${Runtime.getRuntime.availableProcessors},""" +
-      s""""systemLoadAverage":${osBean.getSystemLoadAverage},"gcTimeMs":$gcMs}"""
+      s""""systemLoadAverage":${osBean.getSystemLoadAverage},"gcTimeMs":$gcMs,""" +
+      s""""commit":"${gitHead()}"}"""
     // The driver captures a BOUNDED 2000-char stdout tail and json-parses
     // what it finds there. The full contract line (125 query names alone
     // are >2.2 KB) CANNOT fit — six rounds of artifacts show it truncated
@@ -462,7 +483,7 @@ object Bench {
       val merged = mergePrior(
         results.filter { case (k, _, _, _, _) => !errors.contains(k) }
           .map { case (k, w, _, c, _) => (k, w, c) },
-        priorRows, accept)
+        priorRows, accept, SparkEntry.queries.keySet)
       val prior = merged.map { case (k, w, c) =>
         "\"" + k + "\":[" + num(w, 2) + "," + c + "]"
       }.mkString("{", ",", "}")

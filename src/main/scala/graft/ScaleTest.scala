@@ -85,6 +85,12 @@ object ScaleTest {
   }
 
   def main(args: Array[String]): Unit = {
+    // Every ladder/soak report leads with the commit it measured — a
+    // published SCALING.md band without its measuring commit is the
+    // claim-vs-HEAD gap class behind the r13 and r15 adjudications.
+    println(s"[scale] measured-at commit=${Bench.gitHead()} " +
+      f"load=${java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage}%.1f")
     if (args.headOption.contains("docs"))
       // Optional third arg: comma-separated query names — a targeted
       // subset for deep-scale probes (e.g. `docs 100 q_ngram_novelty,...`

@@ -58,17 +58,12 @@ object AnnIndex {
   private def tombsDir(base: String)     = s"$base/tombstones"
   private def metaPath(base: String)     = s"$base/_meta"
 
-  /** True iff the tombstones table exists AND holds at least one cell
-    * partition — an empty delete (ids matching nothing) leaves only a
-    * `_SUCCESS` marker, which must read as "no tombstones" (a bare
-    * parquet read of a data-less dir cannot even infer a schema). */
-  private def hasTombstones(base: String): Boolean = {
-    val p = java.nio.file.Paths.get(tombsDir(base))
-    if (!java.nio.file.Files.isDirectory(p)) return false
-    val ds = java.nio.file.Files.list(p)
-    try ds.anyMatch(q => q.getFileName.toString.startsWith("cell="))
-    finally ds.close()
-  }
+  /** True iff the tombstones table holds at least one data file — an
+    * empty delete (ids matching nothing) leaves only a `_SUCCESS`
+    * marker, which must read as "no tombstones". The shared
+    * [[StandingIndex.hasParquetData]] witness. */
+  private def hasTombstones(base: String): Boolean =
+    StandingIndex.hasParquetData(tombsDir(base))
 
   /** Build the index at `base` unless `_meta` shows it was already built
     * from this corpus (same dir, same corpus-file content signature —
@@ -223,18 +218,13 @@ object AnnIndex {
     // PartitionFilters witness.
     val probed = q.select("cell").distinct()
       .collect().map(_.getInt(0).toLong).sorted
-    val candidates = {
-      val cells = StandingIndex.prunedRead(s, cellsDir(base), "cell", probed)
-      if (!hasTombstones(base)) cells
-      else {
-        // Path-pruned to the probed cells like the data itself, so the
-        // exclusion reads O(tombstones in probed cells); that slice is
-        // takedown-scale small — broadcast the anti-join side.
-        val tombs = StandingIndex.prunedRead(s, tombsDir(base), "cell", probed)
-          .select("cell", "vec_id")
-        cells.join(broadcast(tombs), Seq("cell", "vec_id"), "left_anti")
-      }
-    }
+    // Tombstone exclusion through the shared mask, with the tombs side
+    // path-pruned to the probed cells like the data itself — the
+    // exclusion reads O(tombstones in probed cells), broadcast.
+    val candidates = StandingIndex.liveRows(s, tombsDir(base),
+      StandingIndex.prunedRead(s, cellsDir(base), "cell", probed),
+      Seq("cell", "vec_id"),
+      Some(StandingIndex.prunedRead(s, tombsDir(base), "cell", probed)))
     candidates
       .join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -261,22 +251,9 @@ object AnnIndex {
     * semantics. */
   def compact(s: SparkSession, base: String): Unit =
     StandingIndex.withMarkerSuspended(base) {
-      if (!hasTombstones(base))
-        StandingIndex.compactTable(s, base, "cells", "cell")
-      else {
-        val dir = cellsDir(base)
-        val tmp = s"$base/_compact_cells"
-        graft.Fs.deleteRec(java.nio.file.Paths.get(tmp))
-        s.read.parquet(dir)
-          .join(s.read.parquet(tombsDir(base)).select("cell", "vec_id"),
-            Seq("cell", "vec_id"), "left_anti")
-          .repartition(col("cell"))
-          .write.partitionBy("cell").mode("overwrite").parquet(tmp)
-        graft.Fs.deleteRec(java.nio.file.Paths.get(dir))
-        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-          java.nio.file.Paths.get(dir))
-        graft.Fs.deleteRec(java.nio.file.Paths.get(tombsDir(base)))
-      }
+      StandingIndex.compactTable(s, base, "cells", "cell",
+        StandingIndex.liveRows(s, tombsDir(base), _, Seq("cell", "vec_id")))
+      graft.Fs.deleteRec(java.nio.file.Paths.get(tombsDir(base)))
     }
 
   /** The shipped query: same query set and semantics as `q_ann_ivf`, via

@@ -753,17 +753,12 @@ object Dedup {
 
   /** Postings with the tombstoned docs ([[shingleDelete]]) excluded — the
     * single exclusion point every postings consumer (probe intersections,
-    * commit crossing corrections) reads through. The tombstone list is
-    * doc-arity tiny, so the anti-join side broadcasts; no tombs dir means
-    * no delete ever ran and the frame passes through untouched. */
+    * commit crossing corrections) reads through. The shared
+    * [[StandingIndex.liveRows]] mask: broadcast anti-join, pass-through
+    * when no delete ever ran. */
   private def livePostings(s: SparkSession, base: String,
-      postings: DataFrame): DataFrame = {
-    val td = s"$base/tombs"
-    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(td)))
-      postings
-    else postings.join(broadcast(s.read.parquet(td)), Seq("doc_id"),
-      "left_anti")
-  }
+      postings: DataFrame): DataFrame =
+    StandingIndex.liveRows(s, s"$base/tombs", postings, Seq("doc_id"))
 
   /** Delete documents from a standing shingle index — the takedown /
     * contamination-purge verb completing this family's lifecycle
@@ -821,19 +816,17 @@ object Dedup {
     * read over their vocabulary, one doc-arity tombstone append, ≤ one
     * new dfc file per touched bucket. Never a corpus pass. */
   def shingleDelete(s: SparkSession, base: String, docs: DataFrame): Unit = {
+    val del = docs.select("doc_id", "text").localCheckpoint()
+    // Empty delete is the documented no-op — decided BEFORE touching
+    // $base/_stats, so it holds against a not-yet-built base too.
+    if (del.isEmpty) return
     val nBuckets = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$base/_stats")), "UTF-8").trim.toInt
-    val del = docs.select("doc_id", "text").localCheckpoint()
-    if (del.isEmpty) return
     val tombsDir = s"$base/tombs"
-    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tombsDir)) &&
-        !s.read.parquet(tombsDir)
-          .join(del.select("doc_id"), Seq("doc_id"), "left_semi").isEmpty)
-      throw new IllegalStateException(
-        s"shingle index at $base: some of these doc_ids are already " +
-          "tombstoned — a re-delete would double-subtract their df " +
-          "deltas. If a previous delete crashed mid-write, the index " +
-          "marker protocol applies: rebuild from source.")
+    StandingIndex.refuseRedelete(s, tombsDir, del, "doc_id",
+      s"shingle index at $base",
+      "If a previous delete crashed mid-write, the index marker " +
+        "protocol applies: rebuild from source.")
     val dsh = shinglesOf(del)
     val ddf = dsh.groupBy("sh").agg(count(lit(1)).as("ddel"))
       .localCheckpoint()
@@ -909,43 +902,15 @@ object Dedup {
   def shingleCompact(s: SparkSession, base: String): Unit =
     StandingIndex.withMarkerSuspended(base) {
       val tombsDir = s"$base/tombs"
-      val hasTombs =
-        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tombsDir))
-      if (!hasTombs) StandingIndex.compactTable(s, base, "postings", "bucket")
-      else {
-        val pTmp = s"$base/_compact_postings"
-        graft.Fs.deleteRec(java.nio.file.Paths.get(pTmp))
-        livePostings(s, base, s.read.parquet(s"$base/postings"))
-          .repartition(col("bucket"))
-          .write.partitionBy("bucket").mode("overwrite").parquet(pTmp)
-        graft.Fs.deleteRec(java.nio.file.Paths.get(s"$base/postings"))
-        java.nio.file.Files.move(java.nio.file.Paths.get(pTmp),
-          java.nio.file.Paths.get(s"$base/postings"))
-      }
-      val dfcTmp = s"$base/_compact_dfc"
-      graft.Fs.deleteRec(java.nio.file.Paths.get(dfcTmp))
-      s.read.parquet(s"$base/dfc")
-        .groupBy("bucket", "sh").agg(sum("dfc").as("dfc"))
-        .filter(col("dfc") =!= 0L)
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").mode("overwrite").parquet(dfcTmp)
-      graft.Fs.deleteRec(java.nio.file.Paths.get(s"$base/dfc"))
-      java.nio.file.Files.move(java.nio.file.Paths.get(dfcTmp),
-        java.nio.file.Paths.get(s"$base/dfc"))
-      val n0Tmp = s"$base/_compact_n0"
-      graft.Fs.deleteRec(java.nio.file.Paths.get(n0Tmp))
-      val n0Rolled = s.read.parquet(s"$base/n0")
-        .groupBy("doc_id").agg(sum("n0").as("n0"))
-      (if (!hasTombs) n0Rolled
-       else n0Rolled.join(broadcast(s.read.parquet(tombsDir)),
-         Seq("doc_id"), "left_anti"))
-        .write.mode("overwrite").parquet(n0Tmp)
-      graft.Fs.deleteRec(java.nio.file.Paths.get(s"$base/n0"))
-      java.nio.file.Files.move(java.nio.file.Paths.get(n0Tmp),
-        java.nio.file.Paths.get(s"$base/n0"))
-      if (hasTombs)
-        graft.Fs.deleteRec(java.nio.file.Paths.get(tombsDir))
-      ()
+      StandingIndex.compactTable(s, base, "postings", "bucket",
+        livePostings(s, base, _))
+      StandingIndex.compactTable(s, base, "dfc", "bucket",
+        _.groupBy("bucket", "sh").agg(sum("dfc").as("dfc"))
+          .filter(col("dfc") =!= 0L))
+      StandingIndex.compactFlat(s, base, "n0",
+        n0 => StandingIndex.liveRows(s, tombsDir,
+          n0.groupBy("doc_id").agg(sum("n0").as("n0")), Seq("doc_id")))
+      graft.Fs.deleteRec(java.nio.file.Paths.get(tombsDir))
     }
 
   /** The shipped two-phase ingest query (`q_dedup_standing_commit`):

@@ -1101,15 +1101,12 @@ object Retrieval {
     private val tombsDir = s"$base/tombs"
 
     /** Postings with the tombstoned docs ([[delete]]) masked — the one
-      * exclusion point every screen reads through. Doc-arity tiny, so
-      * the anti-join side broadcasts; fwd reads are candidate-driven
+      * exclusion point every screen reads through (the shared
+      * [[StandingIndex.liveRows]] mask). fwd reads are candidate-driven
       * (a masked doc can never become a candidate), so masking the
       * postings entry point covers the whole screen. */
     private def liveView(p: DataFrame): DataFrame =
-      if (!java.nio.file.Files.isDirectory(
-          java.nio.file.Paths.get(tombsDir))) p
-      else p.join(broadcast(s.read.parquet(tombsDir)), Seq("doc_id"),
-        "left_anti")
+      StandingIndex.liveRows(s, tombsDir, p, Seq("doc_id"))
 
     /** Ingest a (doc_id, text) frame: batch-scale tokenize, three appends
       * — cost is |batch|, never |corpus|. Corpus stats ride the fwd write
@@ -1228,16 +1225,10 @@ object Retrieval {
       requireNoTornAppend()
       val del = ids.select("doc_id").distinct().localCheckpoint()
       if (del.isEmpty) return
-      if (java.nio.file.Files.isDirectory(
-            java.nio.file.Paths.get(tombsDir)) &&
-          !s.read.parquet(tombsDir)
-            .join(del, Seq("doc_id"), "left_semi").isEmpty)
-        throw new IllegalStateException(
-          s"evolving index at $base: some of these doc_ids are already " +
-            "tombstoned — a re-delete would double-subtract their df/" +
-            "stats deltas. If a previous delete crashed mid-write, the " +
-            "torn-intent protocol already marked the index; " +
-            "delete-and-reseed.")
+      StandingIndex.refuseRedelete(s, tombsDir, del, "doc_id",
+        s"evolving index at $base",
+        "If a previous delete crashed mid-write, the torn-intent " +
+          "protocol already marked the index; delete-and-reseed.")
       // The deleted docs' term vectors, from the index's own forward
       // table. localCheckpoint: multi-consumer (membership count, stats
       // aggregate, df deltas) AND the writes below mutate dirs its
@@ -1245,7 +1236,13 @@ object Retrieval {
       val fw = s.read.parquet(fwdDir)
         .join(broadcast(del), Seq("doc_id"), "left_semi")
         .localCheckpoint()
-      if (fw.count() < del.count())
+      // Membership by anti-join, not by count comparison: a doc_id that
+      // was ever appended twice holds two fwd rows, and a count check
+      // would let a never-indexed id in the same delete batch hide
+      // behind the duplicate — leaving a stale tombstone that masks a
+      // later legitimate append of that id.
+      if (!del.join(fw.select("doc_id"), Seq("doc_id"), "left_anti")
+            .isEmpty)
         throw new IllegalStateException(
           s"evolving index at $base: some doc_ids have no forward-index " +
             "row (never appended, or already deleted-and-drained) — " +
@@ -1343,25 +1340,32 @@ object Retrieval {
       graft.Fs.deleteRec(Paths.get(pTmp))
       // liveView: tombstoned docs' rows ([[delete]]) drop physically here;
       // their df/stats deltas were already applied at delete time, so the
-      // drop is purely the mask becoming material.
-      liveView(s.read.parquet(postingsDir))
-        .repartition(tasks, col("bucket"))
+      // drop is purely the mask becoming material. Each rewrite passes
+      // the [[StandingIndex.ensureReadable]] guard before its swap: a
+      // purge of the whole population must leave a schemaed-empty table,
+      // not a data-less dir the next screen can't read.
+      val pOut = liveView(s.read.parquet(postingsDir))
+      pOut.repartition(tasks, col("bucket"))
         .write.partitionBy("bucket").mode("overwrite").parquet(pTmp)
+      StandingIndex.ensureReadable(s, pTmp, pOut.schema, Some("bucket"))
       swapIn(pTmp, postingsDir)
       val dTmp = s"$base/_compact_dfd"
       graft.Fs.deleteRec(Paths.get(dTmp))
       // df = 0 rows (fully-deleted terms) drop: the screen's dftV already
       // reads them as absent, so the rollup filter is semantics-free.
-      s.read.parquet(dfdDir)
+      val dOut = s.read.parquet(dfdDir)
         .groupBy("bucket", "term").agg(sum("df").as("df"))
         .filter(col("df") =!= 0L)
-        .repartition(tasks, col("bucket"))
+      dOut.repartition(tasks, col("bucket"))
         .write.partitionBy("bucket").mode("overwrite").parquet(dTmp)
+      StandingIndex.ensureReadable(s, dTmp, dOut.schema, Some("bucket"))
       swapIn(dTmp, dfdDir)
       val fTmp = s"$base/_compact_fwd"
       graft.Fs.deleteRec(Paths.get(fTmp))
-      liveView(s.read.parquet(fwdDir)).repartition(tasks)
+      val fOut = liveView(s.read.parquet(fwdDir))
+      fOut.repartition(tasks)
         .write.mode("overwrite").parquet(fTmp)
+      StandingIndex.ensureReadable(s, fTmp, fOut.schema, None)
       swapIn(fTmp, fwdDir)
       // The tombstone list retires LAST — its exclusions are baked into
       // the rewritten tables above. (Before any swap, compaction refuses
@@ -1992,14 +1996,12 @@ object Retrieval {
   }
 
   /** Postings with the tombstoned docs ([[bm25Delete]]) masked — the one
-    * exclusion point [[bm25Probe]] reads through. Doc-arity tiny, so the
-    * anti-join side broadcasts; no tombs dir means no delete ever ran. */
+    * exclusion point [[bm25Probe]] reads through. The shared
+    * [[StandingIndex.liveRows]] mask: broadcast anti-join, pass-through
+    * when no delete ever ran. */
   private def liveBm25Postings(s: SparkSession, base: String,
-      p: DataFrame): DataFrame = {
-    val td = s"$base/tombs"
-    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(td))) p
-    else p.join(broadcast(s.read.parquet(td)), Seq("doc_id"), "left_anti")
-  }
+      p: DataFrame): DataFrame =
+    StandingIndex.liveRows(s, s"$base/tombs", p, Seq("doc_id"))
 
   /** Delete documents from a standing BM25 impact index — the live-docs
     * model every static inverted index serves deletes with (Lucene's:
@@ -2039,17 +2041,9 @@ object Retrieval {
   def bm25Compact(s: SparkSession, base: String): Unit =
     StandingIndex.withMarkerSuspended(base) {
       val tombsDir = s"$base/tombs"
-      if (!java.nio.file.Files.isDirectory(
-          java.nio.file.Paths.get(tombsDir))) ()
-      else {
-        val tmp = s"$base/_compact_postings"
-        graft.Fs.deleteRec(java.nio.file.Paths.get(tmp))
-        liveBm25Postings(s, base, s.read.parquet(s"$base/postings"))
-          .repartition(col("bucket"))
-          .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
-        graft.Fs.deleteRec(java.nio.file.Paths.get(s"$base/postings"))
-        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-          java.nio.file.Paths.get(s"$base/postings"))
+      if (StandingIndex.hasParquetData(tombsDir)) {
+        StandingIndex.compactTable(s, base, "postings", "bucket",
+          liveBm25Postings(s, base, _))
         graft.Fs.deleteRec(java.nio.file.Paths.get(tombsDir))
       }
     }

@@ -208,18 +208,121 @@ private[graft] object StandingIndex {
     * file count, not bytes. Rewrite-to-temp, swap, called under
     * [[withMarkerSuspended]] by the owners. */
   def compactTable(s: SparkSession, base: String, table: String,
-      part: String): Unit = {
+      part: String, xform: DataFrame => DataFrame = identity): Unit = {
     val dir = s"$base/$table"
     val tmp = s"$base/_compact_$table"
     graft.Fs.deleteRec(java.nio.file.Paths.get(tmp))
-    s.read.parquet(dir)
-      .repartition(col(part))
+    val out = xform(s.read.parquet(dir))
+    out.repartition(col(part))
       .write.partitionBy(part).mode("overwrite").parquet(tmp)
+    // Dropping every row (a full purge) or compacting an already-empty
+    // table must not swap in a data-less dir — see [[ensureReadable]].
+    ensureReadable(s, tmp, out.schema, Some(part))
     graft.Fs.deleteRec(java.nio.file.Paths.get(dir))
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
       java.nio.file.Paths.get(dir))
     ()
   }
+
+  /** Flat (non-partitioned) sibling of [[compactTable]] for delta tables
+    * with no routing column (the shingle index's n0): rewrite through
+    * `xform`, guard the all-rows-dropped case, swap. */
+  def compactFlat(s: SparkSession, base: String, table: String,
+      xform: DataFrame => DataFrame = identity): Unit = {
+    val dir = s"$base/$table"
+    val tmp = s"$base/_compact_$table"
+    graft.Fs.deleteRec(java.nio.file.Paths.get(tmp))
+    val out = xform(s.read.parquet(dir))
+    out.write.mode("overwrite").parquet(tmp)
+    ensureReadable(s, tmp, out.schema, None)
+    graft.Fs.deleteRec(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(dir))
+    ()
+  }
+
+  // ── Tombstone protocol ─────────────────────────────────────────────
+  //
+  // One implementation of the delete idiom all four standing structures
+  // (shingle, BM25 impact, evolving decontam, IVF) serve deletes with: a
+  // takedown-arity tombstone table under the index dir, a broadcast
+  // anti-join at each structure's ONE postings entry point, the generic
+  // loud re-delete refusal, and a compaction guard that physically
+  // dropping every row can't brick the table. Family-specific delta
+  // arithmetic (shingle df re-shingle, evolving fwd-derived deltas,
+  // BM25's frozen-stats mask, IVF's per-cell slices) stays with the
+  // owners — this is the machinery they were hand-rolling four times,
+  // where the next fix to one copy would have missed the other three.
+
+  /** True iff `dir` holds at least one parquet DATA file (recursive) —
+    * distinguishes "this table has rows on disk" from an absent dir AND
+    * from a data-less write (`_SUCCESS` only), which a parquet read
+    * cannot even infer a schema from. File metadata only — safe on
+    * every serving call. */
+  def hasParquetData(dir: String): Boolean = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) return false
+    val st = java.nio.file.Files.walk(p)
+    try st.anyMatch(q => q.toString.endsWith(".parquet") &&
+      java.nio.file.Files.isRegularFile(q))
+    finally st.close()
+  }
+
+  /** The tombstone mask: `rows` anti-joined against the tombstone table
+    * at `tombsDir` on `keys` — the single exclusion point every postings
+    * consumer of a deleted-from index reads through. The list is
+    * takedown-arity tiny, so the anti-join side BROADCASTS (never a
+    * shuffle on the corpus side); pass-through when no delete ever ran
+    * (no dir, or a data-less one). Owners with a partitioned tombstone
+    * layout pass their own path-pruned slice as `tombs` (IVF probes
+    * prune to the probed cells) — the existence gate and join shape
+    * still come from here. */
+  def liveRows(s: SparkSession, tombsDir: String, rows: DataFrame,
+      keys: Seq[String], tombs: => Option[DataFrame] = None): DataFrame =
+    if (!hasParquetData(tombsDir)) rows
+    else rows.join(
+      broadcast(tombs.getOrElse(s.read.parquet(tombsDir))
+        .select(keys.map(col): _*)),
+      keys, "left_anti")
+
+  /** Loud re-delete refusal shared by the delta-bearing deletes (shingle
+    * df deltas, evolving df/stats deltas): ids already tombstoned must
+    * refuse — re-applying their deltas would double-subtract. The tombs
+    * list is the replay witness; `recovery` names the owner's protocol
+    * for the torn case. Pure-mask deletes (BM25, IVF) are idempotent and
+    * never call this. */
+  def refuseRedelete(s: SparkSession, tombsDir: String, del: DataFrame,
+      key: String, what: String, recovery: String): Unit =
+    if (hasParquetData(tombsDir) &&
+        !s.read.parquet(tombsDir)
+          .join(del.select(key), Seq(key), "left_semi").isEmpty)
+      throw new IllegalStateException(
+        s"$what: some of these ${key}s are already tombstoned — a " +
+          "re-delete would double-subtract their deltas. " + recovery)
+
+  /** Post-rewrite guard for compactions that physically drop rows: when
+    * EVERY row was deleted (a legally-reached state — a purge of the
+    * whole population), a partitionBy write of the empty frame lands NO
+    * data file at all (only `_SUCCESS` — measured on Spark 4.1; flat
+    * writes DO emit a schema file) and the next read of the table dies
+    * on parquet schema inference, bricking the index with a confusing
+    * error instead of serving empty results. Keep one explicit empty
+    * but SCHEMAED file: inside a `part=0` partition dir for partitioned
+    * tables — the layout stays uniform, so partition discovery, pruned
+    * reads, and later partitioned appends all keep working (spec-pinned)
+    * — or flat for flat tables. No-op whenever any data file landed. */
+  def ensureReadable(s: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      part: Option[String]): Unit =
+    if (!hasParquetData(dir)) {
+      val (target, fields) = part match {
+        case Some(p) => (s"$dir/$p=0", schema.fields.filterNot(_.name == p))
+        case None    => (dir, schema.fields)
+      }
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(fields))
+        .coalesce(1).write.mode("append").parquet(target)
+    }
 
   /** Path-level pruned read of a `part`-partitioned table: only the
     * probed `part=value` directories are listed and read; the isin

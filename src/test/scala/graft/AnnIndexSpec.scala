@@ -241,4 +241,28 @@ class AnnIndexSpec extends SparkSpec {
       "cells layout diverged from the frozen-centroid assignment")
     graft.Fs.deleteRec(java.nio.file.Paths.get(base))
   }
+
+  test("full purge: deleting every vector, compacting to empty, and " +
+      "re-appending stays readable and exact") {
+    val base = freshBase("purgeall")
+    assert(AnnIndex.buildIfStale(spark, Sf, base))
+    val emb = Tables.embeddings(spark, Sf)
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueries)
+    val want = rows(AnnIndex.probe(spark, base, queries))
+    AnnIndex.delete(spark, base, emb.select("vec_id"))
+    assert(AnnIndex.probe(spark, base, queries).count() == 0,
+      "every candidate is tombstoned — the probe must serve empty")
+    // Compaction physically drops ALL rows: without the ensureReadable
+    // guard the cells table becomes a data-less dir the probe can't read.
+    AnnIndex.compact(spark, base)
+    assert(AnnIndex.probe(spark, base, queries).count() == 0,
+      "the drained-empty index must serve empty, not error")
+    // The empty state stays append-compatible, and re-adding the corpus
+    // under the frozen centroids restores the exact original answers
+    // (assignment is deterministic against the same centroids).
+    AnnIndex.append(spark, base, emb)
+    assert(rows(AnnIndex.probe(spark, base, queries)) == want,
+      "probe after purge-then-reappend diverged from the original")
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
 }

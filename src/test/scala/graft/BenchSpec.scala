@@ -71,4 +71,27 @@ class BenchSpec extends AnyFunSuite {
     assert(accepted.toSet ==
       Set(("q_batch", 3.0, 9000L), ("q_stream_x", 2.0, 3000L)))
   }
+
+  test("accept purges prior rows whose queries left the registry, and " +
+      "only those") {
+    // q_stream_x was renamed/retired (not in the registry). A plain run
+    // still carries it (a transient error must not erase clean-host
+    // memory), but the accept escape hatch — the one intentional-change
+    // mechanism — is where a dead row can finally leave the baseline.
+    val registry = Set("q_batch")
+    val plain = Bench.mergePrior(Seq(("q_batch", 1.1, 3100L)), clean,
+      accept = false, registry)
+    assert(plain.toSet ==
+      Set(("q_batch", 1.0, 3000L), ("q_stream_x", 2.0, 3000L)),
+      "a non-accept run must keep carrying the retired row")
+    val accepted = Bench.mergePrior(Seq(("q_batch", 1.1, 3100L)), clean,
+      accept = true, registry)
+    assert(accepted.toSet == Set(("q_batch", 1.1, 3100L)),
+      "accept must purge rows that left the registry")
+    // An in-registry row absent from an accept run (transient error
+    // during the accept round) still carries forward.
+    val acceptedErr = Bench.mergePrior(Seq.empty, clean, accept = true,
+      Set("q_batch", "q_stream_x"))
+    assert(acceptedErr.toSet == clean.map { case (k, (w, c)) => (k, w, c) }.toSet)
+  }
 }

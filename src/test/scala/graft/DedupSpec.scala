@@ -745,4 +745,15 @@ class DedupSpec extends SparkSpec {
     graft.Fs.deleteRec(java.nio.file.Paths.get(dir))
     graft.Fs.deleteRec(java.nio.file.Paths.get(base))
   }
+
+  test("empty shingle delete against a not-yet-built base is the " +
+      "documented no-op") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_shingle_nobase").toString + "/nothere"
+    // Decided before any index file is touched — must not throw on the
+    // missing _stats of a base that was never built.
+    Dedup.shingleDelete(spark, base,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+  }
 }

@@ -808,4 +808,27 @@ class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     graft.TrackedCaches.release()
     graft.Fs.deleteRec(java.nio.file.Paths.get(base))
   }
+
+  test("evolving-dist delete: a never-indexed id refuses even when another " +
+      "id's duplicate fwd rows match the batch size") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_evodel_dup").toString
+    val ix = new Retrieval.EvolvingDistIndex(spark, base)
+    val doc = Seq((1L, "a b c")).toDF("doc_id", "text")
+    ix.append(doc)
+    ix.append(doc) // duplicate append: doc 1 now holds TWO fwd rows
+    // A count-based membership check (fw rows >= deleted ids) is blind
+    // here: 2 fwd rows vs 2 deleted ids, one of which was never indexed
+    // — the stale tombstone it would write permanently masks a later
+    // legitimate append of id 999. The anti-join refusal is not.
+    val ex = intercept[IllegalStateException] {
+      ix.delete(Seq(1L, 999L).toDF("doc_id"))
+    }
+    assert(ex.getMessage.contains("no forward-index row"))
+    // The refusal wrote nothing: deleting the genuinely-held id alone
+    // still succeeds (a leaked tombstone would trip the re-delete guard).
+    ix.delete(Seq(1L).toDF("doc_id"))
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
 }

@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * that the per-index suites (AnnIndexSpec, RetrievalSpec, DedupSpec)
   * exercise only on the happy path: the marker-suspend exception
   * contract, and linkRec's metadata-vs-data cloning split. */
-class StandingIndexSpec extends AnyFunSuite {
+class StandingIndexSpec extends SparkSpec {
 
   private def mkIndex(): java.nio.file.Path = {
     val base = Files.createTempDirectory("graft_standing_spec")
@@ -110,5 +110,50 @@ class StandingIndexSpec extends AnyFunSuite {
       "re-stamping the clone corrupted the pristine marker")
     assert(StandingIndex.upToDate(dst.toString, "sig v2 (clone)"))
     Fs.deleteRec(src); Fs.deleteRec(dst)
+  }
+
+  test("full purge through compactTable leaves a readable, " +
+      "append-compatible table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = Files.createTempDirectory("graft_standing_purge").toString
+    val rows = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("doc_id", "v")
+    StandingIndex.writeBucketed(rows, col("doc_id"), 4, s"$base/t")
+    // The all-rows-deleted rewrite (a purge of the whole population):
+    // without the ensureReadable guard this swaps in a data-less dir
+    // (only _SUCCESS) that the next read can't infer a schema from.
+    StandingIndex.compactTable(spark, base, "t", "bucket",
+      _.filter(lit(false)))
+    val empty = spark.read.parquet(s"$base/t")
+    assert(empty.count() == 0, "the purged table must serve empty")
+    assert(empty.columns.toSet == Set("doc_id", "v", "bucket"),
+      s"schema lost: ${empty.columns.toList}")
+    // prunedRead's full-read fallback path must serve too.
+    assert(StandingIndex.prunedRead(spark, s"$base/t", "bucket", Seq(9L))
+      .count() == 0)
+    // Later partitioned appends must land in the same (uniform) layout.
+    StandingIndex.appendBucketed(rows, col("doc_id"), 4, s"$base/t")
+    assert(spark.read.parquet(s"$base/t").count() == 3,
+      "the schemaed-empty state must stay append-compatible")
+    // A plain re-compaction of the refilled table keeps every row.
+    StandingIndex.compactTable(spark, base, "t", "bucket")
+    assert(spark.read.parquet(s"$base/t").count() == 3)
+    Fs.deleteRec(Paths.get(base))
+  }
+
+  test("compactFlat of an all-deleted delta table keeps the schema readable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    val base = Files.createTempDirectory("graft_standing_flat").toString
+    // Delta rows that sum to zero everywhere — the rollup drops them all.
+    Seq((1L, 5L), (1L, -5L)).toDF("doc_id", "n0")
+      .write.parquet(s"$base/n0")
+    StandingIndex.compactFlat(spark, base, "n0",
+      _.groupBy("doc_id").agg(sum("n0").as("n0"))
+        .filter(col("n0") =!= 0L))
+    val e = spark.read.parquet(s"$base/n0")
+    assert(e.count() == 0 && e.columns.toSet == Set("doc_id", "n0"),
+      s"all-zero-sum rollup bricked the flat table: ${e.columns.toList}")
+    Fs.deleteRec(Paths.get(base))
   }
 }
