@@ -107,6 +107,8 @@ object ScaleTest {
       return bm25StandingMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
     if (args.headOption.contains("dedupstanding"))
       return dedupStandingMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
+    if (args.headOption.contains("evostanding"))
+      return evoStandingMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
     if (args.headOption.contains("events"))
       return eventsMain(args.drop(1).headOption.map(_.toInt).getOrElse(10))
     if (args.headOption.contains("soak"))
@@ -673,16 +675,46 @@ object ScaleTest {
         .write.format("noop").mode("overwrite").save()
       val tps = (System.nanoTime() - t1s) / 1e9
       settle(spark)
+      // Delete leg (round 16): a ~1% takedown by id — the BM25 delete
+      // is a pure doc-arity live-docs mask (no resolve pass, no deltas:
+      // frozen stats), so the delete itself must be takedown-scale flat
+      // across the ladder; the corpus-scale terms are the undrained
+      // probes' broadcast anti-join over their pruned posting slices
+      // and the compaction's full per-bucket rewrite.
+      val doomedIds = graft.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 100 === 1).select("doc_id")
+        .localCheckpoint()
+      val td0 = System.nanoTime()
+      graft.llm.Retrieval.bm25Delete(spark, base, doomedIds)
+      val tdel = (System.nanoTime() - td0) / 1e9
+      settle(spark)
+      val tp50 = System.nanoTime()
+      graft.llm.Retrieval.bm25Probe(spark, base, shortQuery(dir))
+        .write.format("noop").mode("overwrite").save()
+      val tp5 = (System.nanoTime() - tp50) / 1e9
+      settle(spark)
+      val tc20 = System.nanoTime()
+      graft.llm.Retrieval.bm25Compact(spark, base)
+      val tc2 = (System.nanoTime() - tc20) / 1e9
+      settle(spark)
+      val tp60 = System.nanoTime()
+      graft.llm.Retrieval.bm25Probe(spark, base, shortQuery(dir))
+        .write.format("noop").mode("overwrite").save()
+      val tp6 = (System.nanoTime() - tp60) / 1e9
+      settle(spark)
       val t2 = System.nanoTime()
       SparkEntry.queries("q_bm25_topk")(spark, dir)
         .write.format("noop").mode("overwrite").save()
       val tr = (System.nanoTime() - t2) / 1e9
       settle(spark)
       println(f"standing,$tag,b$nBuckets,build=$tb%.2f,probe5full=$tp%.2f," +
-        f"probeshort=$tps%.2f,rebuild=$tr%.2f")
+        f"probeshort=$tps%.2f,delete=$tdel%.2f,probeshort_deleted=$tp5%.2f," +
+        f"compact=$tc2%.2f,probeshort_drained=$tp6%.2f,rebuild=$tr%.2f")
     }
     run("warm", src, 64) // warm code paths; discard
-    println("standing,scale,buckets,build_s,probe_5full_s,probe_short_s,rebuild_bm25topk_s")
+    println("standing,scale,buckets,build_s,probe_5full_s,probe_short_s," +
+      "delete_1pct_s,probe_short_deleted_s,compact_drain_s," +
+      "probe_short_drained_s,rebuild_bm25topk_s")
     run("docs1x", src, 64)
     run(s"docs${copies}x", dst, 64)
     // The layout knob: same corpus, 1024 buckets — the short query's
@@ -746,6 +778,59 @@ object ScaleTest {
         .write.format("noop").mode("overwrite").save()
       val tp2 = (System.nanoTime() - t1p2) / 1e9
       settle(spark)
+      // Delete leg (round 16): a takedown of a ~1% corpus slice,
+      // restricted OUTSIDE the timed window to the population the
+      // delete contract admits — docs with live postings (an
+      // all-over-cap doc is refused as unprovable) and docs whose
+      // removal would not bring any shingle back under the df cap
+      // (the cap-resurrection refusal; exclusion is one monotone pass:
+      // removing docs only lowers per-shingle delete counts, so no new
+      // crossing can appear). The exclusions are LOGGED — a ladder leg
+      // that silently shrank its takedown would overstate nothing but
+      // still misreport coverage. The shingle delete itself carries no
+      // corpus-linear resolve term (it re-shingles only the handed
+      // text); the corpus term this leg watches is the vocabulary-
+      // bucket-pruned dfc/postings reads, which degenerate toward full
+      // scans as the takedown's vocabulary covers all buckets.
+      val cand0 = graft.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 100 === 1)
+        .select("doc_id", "text")
+      val provable = cand0.join(
+        spark.read.parquet(s"$base/n0").select("doc_id").distinct(),
+        Seq("doc_id"), "left_semi").localCheckpoint()
+      val candSh = graft.llm.Dedup.shinglesOf(provable).localCheckpoint()
+      val ddel = candSh.groupBy("sh").agg(count(lit(1)).as("ddel"))
+      val df0 = spark.read.parquet(s"$base/dfc")
+        .groupBy("sh").agg(sum("dfc").as("df0"))
+      val crossingSh = ddel.join(df0, Seq("sh"))
+        .filter(col("df0") > graft.llm.Dedup.ShingleDfCap &&
+          col("df0") - col("ddel") <= graft.llm.Dedup.ShingleDfCap)
+        .select("sh")
+      val doomed = provable.join(
+        candSh.join(crossingSh, Seq("sh"), "left_semi")
+          .select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti").localCheckpoint()
+      println(s"standing,$tag,delete_slice: candidates=${cand0.count()} " +
+        s"provable=${provable.count()} kept=${doomed.count()}")
+      settle(spark)
+      val td0 = System.nanoTime()
+      graft.llm.Dedup.shingleDelete(spark, base, doomed)
+      val tdel = (System.nanoTime() - td0) / 1e9
+      settle(spark)
+      val tp50 = System.nanoTime()
+      graft.llm.Dedup.shingleProbe(spark, base, smallBatch)
+        .write.format("noop").mode("overwrite").save()
+      val tp5 = (System.nanoTime() - tp50) / 1e9
+      settle(spark)
+      val tc20 = System.nanoTime()
+      graft.llm.Dedup.shingleCompact(spark, base)
+      val tc2 = (System.nanoTime() - tc20) / 1e9
+      settle(spark)
+      val tp60 = System.nanoTime()
+      graft.llm.Dedup.shingleProbe(spark, base, smallBatch)
+        .write.format("noop").mode("overwrite").save()
+      val tp6 = (System.nanoTime() - tp60) / 1e9
+      settle(spark)
       val t2 = System.nanoTime()
       SparkEntry.queries("q_dedup_incremental")(spark, dir)
         .write.format("noop").mode("overwrite").save()
@@ -753,11 +838,83 @@ object ScaleTest {
       settle(spark)
       println(f"standing,$tag,build=$tb%.2f,probefull=$tp%.2f," +
         f"probesmall=$tps%.2f,commit=$tc%.2f,probe2=$tp2%.2f," +
-        f"rebuild=$tr%.2f")
+        f"delete=$tdel%.2f,probe_deleted=$tp5%.2f,compact=$tc2%.2f," +
+        f"probe_drained=$tp6%.2f,rebuild=$tr%.2f")
     }
     run("warm", src) // warm code paths; discard
     println("standing,scale,build_s,probe_fullbatch_s,probe_1pct_s," +
-      "commit_1pct_s,probe2_1pct_s,rebuild_incremental_s")
+      "commit_1pct_s,probe2_1pct_s,delete_1pct_s,probe_deleted_s," +
+      "compact_drain_s,probe_drained_s,rebuild_incremental_s")
+    run("docs1x", src)
+    run(s"docs${copies}x", dst)
+    spark.stop()
+  }
+
+  /** Evolving-decontam-index delete-lifecycle ladder — the distributed
+    * evolving index's sibling of [[vecStandingMain]]'s delete legs, on
+    * the docs ladder's staged corpus: seed-append (this index's build),
+    * screen a fixed small arrival batch, DELETE a ~1% seed slice BY ID
+    * (the negative df/stats deltas derive from the index's own forward
+    * rows — no text handed, no corpus resolve term), screen the
+    * tombstone+delta regime, drain via compaction, screen the purged
+    * layout. The corpus-scale terms to watch: the screen's pruned
+    * posting reads (batch-vocabulary buckets, whose per-bucket size
+    * grows with the corpus) and the compaction rewrite. */
+  private def evoStandingMain(copies: Int): Unit = {
+    val spark = ladderSession(ext = true)
+    val src = "/root/testdata/sf0.1"
+    val dst = stagedDir(s"graft_docs${copies}x_c${copies}_m5_d1000000_", src)
+    if (!new java.io.File(s"$dst/_built").exists()) {
+      buildDocs(spark, src, dst, copies)
+      new java.io.File(s"$dst/_built").createNewFile()
+    }
+    graft.plans.TopKPerKey.ensureRegistered(spark)
+    def run(tag: String, dir: String): Unit = {
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_evodist_ladder"
+      deleteRec(new java.io.File(base))
+      val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+      val seed = docs.filter(col("doc_id") % 3 === 0)
+      // Fixed serving-shape arrival batch (~0.3% of the held-out pool) —
+      // the same screen kernel the streaming twin pays per micro-batch.
+      val batch = docs.filter(col("doc_id") % 3 =!= 0 &&
+        pmod(xxhash64(col("doc_id")), lit(300L)) === 0L).localCheckpoint()
+      val inc = new graft.llm.Retrieval.EvolvingDistIndex(spark, base)
+      val t0 = System.nanoTime()
+      inc.append(seed)
+      val tb = (System.nanoTime() - t0) / 1e9
+      settle(spark)
+      val t1 = System.nanoTime()
+      inc.screen(batch).write.format("noop").mode("overwrite").save()
+      val ts1 = (System.nanoTime() - t1) / 1e9
+      settle(spark)
+      // ids ≡ 0 (mod 3) ∧ ≡ 1 (mod 100) — a ~1% slice of the seed, by
+      // CRT one residue class mod 300. Derived outside the timed window.
+      val doomed = seed.filter(col("doc_id") % 100 === 1)
+        .select("doc_id").localCheckpoint()
+      val td0 = System.nanoTime()
+      inc.delete(doomed)
+      val tdel = (System.nanoTime() - td0) / 1e9
+      settle(spark)
+      val t2 = System.nanoTime()
+      inc.screen(batch).write.format("noop").mode("overwrite").save()
+      val ts2 = (System.nanoTime() - t2) / 1e9
+      settle(spark)
+      val tc0 = System.nanoTime()
+      inc.compact()
+      val tc = (System.nanoTime() - tc0) / 1e9
+      settle(spark)
+      val t3 = System.nanoTime()
+      inc.screen(batch).write.format("noop").mode("overwrite").save()
+      val ts3 = (System.nanoTime() - t3) / 1e9
+      settle(spark)
+      println(f"standing,$tag,seed=$tb%.2f,screen=$ts1%.2f," +
+        f"delete=$tdel%.2f,screen_deleted=$ts2%.2f,compact=$tc%.2f," +
+        f"screen_drained=$ts3%.2f")
+    }
+    run("warm", src) // warm code paths; discard
+    println("standing,scale,seed_append_s,screen_s,delete_1pct_s," +
+      "screen_deleted_s,compact_drain_s,screen_drained_s")
     run("docs1x", src)
     run(s"docs${copies}x", dst)
     spark.stop()

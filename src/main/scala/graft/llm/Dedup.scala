@@ -520,7 +520,7 @@ object Dedup {
   def shingleBuildIfStale(s: SparkSession, d: String, base: String,
       nBuckets: Int = 64): Boolean = {
     val sig = StandingIndex.sourceSig(s"$d/documents.parquet")
-    val want = s"dir=$d sig=$sig buckets=$nBuckets"
+    val want = s"dir=$d sig=$sig buckets=$nBuckets dig=1"
     if (StandingIndex.upToDate(base, want)) return false
     StandingIndex.reset(base)
     val corpus = Tables.documents(s, d)
@@ -536,6 +536,15 @@ object Dedup {
     s.read.parquet(s"$base/postings")
       .groupBy("doc_id").agg(count(lit(1)).as("n0"))
       .write.mode("overwrite").parquet(s"$base/n0")
+    // Content digests (doc-arity, 2 narrow columns): the witness
+    // [[shingleDelete]] checks its handed text against — see the dig/
+    // note there. FLAT, not bucketed: commits append to this table on
+    // the streaming hot path (one tiny file, no shuffle), while only
+    // rare takedowns read it — the witness scan is the delete's own
+    // corpus term, the same accepted class as the IVF delete's
+    // (vec_id, cell) resolve scan.
+    corpus.select(col("doc_id"), md5(col("text")).as("dig"))
+      .write.mode("overwrite").parquet(s"$base/dig")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/_stats"),
       s"$nBuckets".getBytes("UTF-8"))
     StandingIndex.commit(base, want)
@@ -744,7 +753,14 @@ object Dedup {
       Future(StandingIndex.appendBucketed(keptRows, col("sh"), nBuckets,
         s"$base/postings")),
       Future(StandingIndex.appendBucketed(adf.select(col("sh"),
-        col("dfa").as("dfc")), col("sh"), nBuckets, s"$base/dfc"))) ++
+        col("dfa").as("dfc")), col("sh"), nBuckets, s"$base/dfc")),
+      // Content digests for the accepted docs — [[shingleDelete]]'s
+      // verbatim-text witness. `accepted` is re-evaluated here (its
+      // lineage never reads the index dirs these jobs mutate — the
+      // caller contract; every shipped caller feeds it from arrival
+      // frames and written verdict parquet).
+      Future(accepted.select(col("doc_id"), md5(col("text")).as("dig"))
+        .coalesce(1).write.mode("append").parquet(s"$base/dig"))) ++
       (if (anyCrossed) Nil else Seq(Future(writeN0())))
     val results = jobs.map(f => scala.util.Try(
       Await.result(f, scala.concurrent.duration.Duration.Inf)))
@@ -769,6 +785,10 @@ object Dedup {
     * re-shingle it (a takedown knows its content; an id-only delete
     * could not decrement df for shingles the index dropped as over-cap,
     * and the df error would silently mis-cap future screens).
+    * "Verbatim" is CHECKED, not trusted: build and commit persist
+    * md5(text) per doc (`dig/`, flat doc-arity), and the delete
+    * refuses loudly when any handed text mismatches its recorded
+    * digest — see the witness block below.
     *
     * What a delete writes:
     *  - `tombs/`: the deleted doc_ids (doc-arity tiny) — probes and
@@ -827,6 +847,32 @@ object Dedup {
       s"shingle index at $base",
       "If a previous delete crashed mid-write, the index marker " +
         "protocol applies: rebuild from source.")
+    // Verbatim-text witness: the df corrections below re-shingle the
+    // HANDED text, and a caller passing the right ids with the wrong
+    // text (a re-normalized copy, a stale revision) would corrupt the
+    // affected shingles' df counts SILENTLY — every later screen
+    // mis-caps with no error anywhere. Build and commit persist
+    // md5(text) per doc (dig/, doc-arity); the delete refuses loud on
+    // any mismatch, upgrading "must be the indexed content verbatim"
+    // from a scaladoc plea to a checked precondition.
+    val digDir = s"$base/dig"
+    if (!StandingIndex.hasParquetData(digDir))
+      throw new IllegalStateException(
+        s"shingle index at $base carries no content digests (dig/) — " +
+          "it predates the digest witness; rebuild from source before " +
+          "deleting.")
+    val digOk = s.read.parquet(digDir)
+      .join(broadcast(del.select(col("doc_id"),
+        md5(col("text")).as("dig"))), Seq("doc_id", "dig"), "left_semi")
+      .select("doc_id").distinct()
+    val digMismatch = del.select("doc_id")
+      .join(digOk, Seq("doc_id"), "left_anti")
+    if (!digMismatch.isEmpty)
+      throw new IllegalStateException(
+        s"shingle index at $base: the text handed for some doc_ids does " +
+          "not match the content digest recorded at index time — " +
+          "re-shingling it would corrupt the df deltas silently. " +
+          "Refusing; pass the indexed content verbatim.")
     val dsh = shinglesOf(del)
     val ddf = dsh.groupBy("sh").agg(count(lit(1)).as("ddel"))
       .localCheckpoint()
@@ -910,6 +956,14 @@ object Dedup {
       StandingIndex.compactFlat(s, base, "n0",
         n0 => StandingIndex.liveRows(s, tombsDir,
           n0.groupBy("doc_id").agg(sum("n0").as("n0")), Seq("doc_id")))
+      // The drained docs' content digests go with their rows: a stale
+      // dig row surviving the drain would let a later delete of a
+      // RE-COMMITTED doc pass the verbatim-text witness with the OLD
+      // text — exactly the silent df corruption the witness exists to
+      // refuse. Must run before the tombstone list retires below.
+      StandingIndex.compactFlat(s, base, "dig",
+        d => StandingIndex.liveRows(s, tombsDir, d, Seq("doc_id"))
+          .dropDuplicates("doc_id", "dig"))
       graft.Fs.deleteRec(java.nio.file.Paths.get(tombsDir))
     }
 
@@ -925,7 +979,7 @@ object Dedup {
   def standingCommitIngest(s: SparkSession, d: String): DataFrame = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_shingle_commit"
     val sig = StandingIndex.sourceSig(s"$d/documents.parquet")
-    val wantFinal = s"dir=$d sig=$sig buckets=64 committed=b1"
+    val wantFinal = s"dir=$d sig=$sig buckets=64 dig=1 committed=b1"
     if (!StandingIndex.upToDate(base, wantFinal)) {
       StandingIndex.reset(base)
       shingleBuildIfStale(s, d, base)
@@ -955,7 +1009,7 @@ object Dedup {
   def standingDeleteIngest(s: SparkSession, d: String): DataFrame = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_shingle_delete"
     val sig = StandingIndex.sourceSig(s"$d/documents.parquet")
-    val wantFinal = s"dir=$d sig=$sig buckets=64 deleted=mod10eq1"
+    val wantFinal = s"dir=$d sig=$sig buckets=64 dig=1 deleted=mod10eq1"
     if (!StandingIndex.upToDate(base, wantFinal)) {
       StandingIndex.reset(base)
       shingleBuildIfStale(s, d, base)

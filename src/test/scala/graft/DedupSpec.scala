@@ -454,6 +454,45 @@ class DedupSpec extends SparkSpec {
     graft.Fs.deleteRec(java.nio.file.Paths.get(base))
   }
 
+  test("delete: the verbatim-text witness refuses non-indexed text, and " +
+      "compaction purges drained digests so a re-committed doc's OLD " +
+      "text cannot pass") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_shingle_dig_spec").toString
+    Dedup.shingleBuildIfStale(spark, Sf, base)
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+    val victim = docs.filter(col("doc_id") % 10 === 1)
+    // Right ids, wrong text (a re-normalized copy): re-shingling it
+    // would corrupt df deltas silently — the witness must refuse loud
+    // and write NOTHING.
+    intercept[IllegalStateException] {
+      Dedup.shingleDelete(spark, base,
+        victim.withColumn("text", concat(col("text"), lit(" edited"))))
+    }
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$base/tombs")),
+      "a refused delete must leave no tombstones")
+    // The verbatim text still deletes cleanly after the refusal.
+    Dedup.shingleDelete(spark, base, victim)
+    // Drain, then RE-COMMIT one drained doc with revised text. The
+    // compaction must have purged the drained digests — otherwise the
+    // stale row would let a delete with the OLD text pass the witness
+    // against an index that now holds the NEW text's shingles.
+    Dedup.shingleCompact(spark, base)
+    val one = victim.orderBy("doc_id").limit(1)
+    val revised = one
+      .withColumn("text", concat(lit("revised edition "), col("text")))
+      .localCheckpoint()
+    Dedup.shingleCommit(spark, base, revised)
+    intercept[IllegalStateException] {
+      Dedup.shingleDelete(spark, base, one)
+    }
+    // The currently-indexed text is the one the witness admits.
+    Dedup.shingleDelete(spark, base, revised)
+    graft.TrackedCaches.release()
+    graft.Fs.deleteRec(java.nio.file.Paths.get(base))
+  }
+
   test("a torn shingle delete (tombs landed, deltas missing) heals " +
       "through the marker protocol") {
     // shingleDelete is a two-write mutation under the CALLER's marker
