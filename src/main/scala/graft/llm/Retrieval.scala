@@ -1330,10 +1330,10 @@ object Retrieval {
       // rows would fold the inconsistency into the rolled-up deltas of a
       // dir that must be delete-and-reseeded anyway — refuse first.
       requireNoTornAppend()
-      def swapIn(tmp: String, dir: String): Unit = {
-        graft.Fs.deleteRec(Paths.get(dir))
-        Files.move(Paths.get(tmp), Paths.get(dir)); ()
-      }
+      // Rename-only swap ([[StandingIndex.swapDirs]]): same reader-
+      // window hardening as the shared compactions.
+      def swapIn(tmp: String, dir: String): Unit =
+        StandingIndex.swapDirs(tmp, dir)
       val tasks = math.max(1, math.min(NumBuckets,
         s.conf.get("spark.sql.shuffle.partitions").toInt))
       val pTmp = s"$base/_compact_postings"

@@ -47,8 +47,10 @@ import org.apache.spark.sql.functions._
   *  - **Probe-only readers** (calls that do not build on stale, e.g.
   *    [[AnnIndex.probe]] directly) see the live tree mid-maintenance;
   *    compactTable's rewrite-to-temp keeps the live table complete
-  *    until the swap, but the delete+move swap itself is a window where
-  *    a concurrent reader's directory listing can miss the table.
+  *    until the swap, and the swap itself is rename-only (live → aside,
+  *    tmp → live — [[swapDirs]]), so the missing-table window is one
+  *    rename gap rather than a recursive delete; a reader can still
+  *    list exactly inside that gap.
   *    Cross-process serving during maintenance needs a transactional
   *    table format — out of scope here, documented so nobody assumes
   *    otherwise (StandingIndexSpec pins the marker-absent-during-
@@ -218,10 +220,7 @@ private[graft] object StandingIndex {
     // Dropping every row (a full purge) or compacting an already-empty
     // table must not swap in a data-less dir — see [[ensureReadable]].
     ensureReadable(s, tmp, out.schema, Some(part))
-    graft.Fs.deleteRec(java.nio.file.Paths.get(dir))
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-      java.nio.file.Paths.get(dir))
-    ()
+    swapDirs(tmp, dir)
   }
 
   /** Flat (non-partitioned) sibling of [[compactTable]] for delta tables
@@ -235,10 +234,29 @@ private[graft] object StandingIndex {
     val out = xform(s.read.parquet(dir))
     out.write.mode("overwrite").parquet(tmp)
     ensureReadable(s, tmp, out.schema, None)
-    graft.Fs.deleteRec(java.nio.file.Paths.get(dir))
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-      java.nio.file.Paths.get(dir))
-    ()
+    swapDirs(tmp, dir)
+  }
+
+  /** Swap a fully-written temp table into the live path by RENAMES
+    * only: live → aside, tmp → live, then delete the aside copy. The
+    * old swap deleted the live tree in place before the move, leaving
+    * a concurrent probe-only reader a missing-table window as long as
+    * an O(files) recursive delete; two metadata-cost renames shrink
+    * that window to a single rename gap. This is HARDENING, not a
+    * cross-process guarantee — a reader listing exactly between the
+    * two renames still misses the table (the single-writer contract
+    * above stands; true concurrent serving during maintenance needs a
+    * manifest-pinned file set or a transactional table format). A
+    * crash between the renames leaves `_old_<table>` beside a missing
+    * live dir — inside [[withMarkerSuspended]] that is an unmarked,
+    * rebuildable tree, exactly like any other torn compaction. */
+  private[llm] def swapDirs(tmp: String, dir: String): Unit = {
+    val live = java.nio.file.Paths.get(dir)
+    val aside = live.resolveSibling("_old_" + live.getFileName.toString)
+    graft.Fs.deleteRec(aside)
+    java.nio.file.Files.move(live, aside)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live)
+    graft.Fs.deleteRec(aside)
   }
 
   // ── Tombstone protocol ─────────────────────────────────────────────

@@ -156,4 +156,29 @@ class StandingIndexSpec extends SparkSpec {
       s"all-zero-sum rollup bricked the flat table: ${e.columns.toList}")
     Fs.deleteRec(Paths.get(base))
   }
+
+  test("compaction swap is rename-only and reaps a stale aside dir " +
+      "from a previous crash") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft_standing_swap").toString
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "v")
+      .write.parquet(s"$base/t")
+    // A crash between swapDirs' two renames leaves the old live tree
+    // under _old_<table>; the next compaction must reap it, not trip
+    // over it.
+    Files.createDirectories(Paths.get(s"$base/_old_t/junk"))
+    Files.write(Paths.get(s"$base/_old_t/junk/stale.txt"),
+      "stale".getBytes("UTF-8"))
+    StandingIndex.compactFlat(spark, base, "t",
+      _.filter(col("doc_id") === 1L))
+    val t = spark.read.parquet(s"$base/t")
+    assert(t.count() == 1 && t.columns.toSet == Set("doc_id", "v"))
+    // Swap hygiene: neither the temp nor the aside dir survives.
+    assert(!Files.exists(Paths.get(s"$base/_compact_t")),
+      "temp dir must not survive the swap")
+    assert(!Files.exists(Paths.get(s"$base/_old_t")),
+      "aside dir must be deleted after the rename swap")
+    Fs.deleteRec(Paths.get(base))
+  }
 }
