@@ -340,12 +340,36 @@ object Retrieval {
     val wr = Window.partitionBy("query_id").orderBy(col("df"), col("term"))
     val rare = qd.withColumn("rrk", row_number().over(wr))
       .filter(col("rrk") <= RareTerms).select("query_id", "term", "df")
+    // Rare-SET-deduplicated exact scatter: nmatch(query, doc) depends only
+    // on the query's rare-term SET (and ties break on doc_id), so queries
+    // sharing an identical set share one candidate ranking — the
+    // corpus-side scatter and its (key, doc) aggregate run once per
+    // DISTINCT set, and each query joins its set's list back afterwards.
+    // On screening batches the dedup is large (the sf0.1 evolving screens
+    // measure 103-174 distinct sets over 500-1000 arrivals — a 5-6x cut
+    // of the scatter rows and aggregate groups, the stage-1 cost owner);
+    // at worst every set is unique and the plan degenerates to the old
+    // shape plus a batch-arity join. Per-set top-(CandCap + 1) is enough:
+    // the only row the per-query re-key removes is the query's OWN doc
+    // (the self-pair the old scatter filtered before aggregating), so the
+    // surviving prefix always still holds the query's true top-CandCap.
+    // Terms cannot contain ' ' (the tokenizer splits on it), so the
+    // sorted space-join is a bijective set key — no hash-collision risk.
     def scatter(rareSel: DataFrame): DataFrame = {
+      val q2k = rareSel.groupBy("query_id")
+        .agg(concat_ws(" ", sort_array(collect_list(col("term")))).as("rkey"))
+      val keyTerms = q2k
+        .select(col("rkey"), explode(split(col("rkey"), " ")).as("term"))
+        .distinct()
       val hits = ix.tf.select("doc_id", "term")
-        .join(broadcast(rareSel.select("query_id", "term")), "term")
+        .join(broadcast(keyTerms), "term")
+        .groupBy("rkey", "doc_id").agg(count(lit(1)).as("nmatch"))
+      val perKey = graft.plans.TopKPerKey.topKPerKey(hits, CandCap + 1,
+        Seq("rkey"), Seq("nmatch" -> false, "doc_id" -> true))
+      val perQuery = perKey.join(broadcast(q2k), "rkey")
         .filter(col("doc_id") =!= col("query_id"))
-        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("nmatch"))
-      graft.plans.TopKPerKey.topKPerKey(hits, CandCap, Seq("query_id"),
+        .select("query_id", "doc_id", "nmatch")
+      graft.plans.TopKPerKey.topKPerKey(perQuery, CandCap, Seq("query_id"),
         Seq("nmatch" -> false, "doc_id" -> true))
     }
     val sess = qd.sparkSession
@@ -1157,15 +1181,38 @@ object Retrieval {
         byBucket(tf).write.partitionBy("bucket").mode("append")
           .parquet(postingsDir)
         t = mark("postings", t)
-        byBucket(tf.groupBy("term").agg(count(lit(1)).as("df")))
-          .write.partitionBy("bucket").mode("append").parquet(dfdDir)
-        t = mark("dfd", t)
+        // The dfd and fwd appends both derive from the now-cached tf and
+        // land in different dirs — run them as concurrent jobs (the
+        // shingleCommit idiom, guide-§2.6 back-fill: the second job's
+        // tasks fill the cores the first job's tail frees). The postings
+        // write stays FIRST and alone: it materializes the tf cache once,
+        // so the concurrent pair reads cached blocks instead of racing
+        // the aggregate. Both complete before the stats delta lands, so
+        // the torn-append protocol is unchanged.
         val obs = org.apache.spark.sql.Observation()
-        tf.groupBy("doc_id").agg(sum("tf").as("len"),
-            sort_array(collect_list(struct(col("term"), col("tf"))))
-              .as("terms"))
-          .observe(obs, count(lit(1)).as("nd"), sum(col("len")).as("sl"))
-          .write.mode("append").parquet(fwdDir)
+        locally {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val fDfd = Future(
+            byBucket(tf.groupBy("term").agg(count(lit(1)).as("df")))
+              .write.partitionBy("bucket").mode("append").parquet(dfdDir))
+          val fFwd = Future(
+            tf.groupBy("doc_id").agg(sum("tf").as("len"),
+                sort_array(collect_list(struct(col("term"), col("tf"))))
+                  .as("terms"))
+              .observe(obs, count(lit(1)).as("nd"), sum(col("len")).as("sl"))
+              .write.mode("append").parquet(fwdDir))
+          // Await BOTH to settlement before rethrowing a failure: the
+          // clean-failure recovery below runs a data census, and a still
+          // in-flight sibling write committing after that census would
+          // retire the intent with data landed — the exact torn state
+          // the protocol exists to catch.
+          val done = Seq(fDfd, fFwd).map(f => scala.util.Try(
+            Await.result(f, scala.concurrent.duration.Duration.Inf)))
+          done.collectFirst { case scala.util.Failure(e) => e }
+            .foreach(e => throw e)
+        }
+        t = mark("dfd", t)
         val m = obs.get
         val nd = m("nd").asInstanceOf[Long]
         val sl = m("sl") match { case l: Long => l; case _ => 0L }
