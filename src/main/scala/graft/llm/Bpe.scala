@@ -79,10 +79,22 @@ object Bpe {
     * [[bpeApplyWith]]'s single pass everywhere else. */
   def bpeApply(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val merges = trainOn(s, docs)._1.collect()
-      .map(r => (r.getAs[String]("left_unit"), r.getAs[String]("right_unit")))
-      .toSeq
-    bpeApplyWith(docs, merges)
+    // The trainer's own final rewritten corpus IS the applied corpus —
+    // report per-doc unit counts from it directly instead of collecting
+    // the merge table and replaying the whole replace chain over the raw
+    // text a second time (one in-memory join vs a full re-tokenize pass;
+    // the replay path stays exercised end-to-end by q_bpe_standing, and
+    // BpeSpec still proves bpeApplyWith ≡ this output under the corpus's
+    // own trained table, which is now a genuine replay-vs-trainer check).
+    val fin = trainOn(s, docs)._2
+    docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("units_before"))
+      .join(fin.select(col("doc_id"), size(unitsOfU).as("units_after")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("units_before"), col("units_after"),
+        round(lit(100.0) * (col("units_before") - col("units_after"))
+          .cast("double") / col("units_before"), 4).as("saved_pct"))
+      .orderBy("doc_id")
   }
 
   /** PRODUCTION apply: tokenize a corpus under an ALREADY-TRAINED,
@@ -266,24 +278,32 @@ object Bpe {
     var exhausted = false
     while (r < rounds && !exhausted) {
       r += 1
-      val pc = pairRows(cur)
+      // ONE aggregate job per round yields BOTH the winner — min over
+      // (-cnt, p) IS "max count, ties to the ascending pair", the
+      // orderBy(cnt desc, p).limit(1) ordering struct-compared field by
+      // field — and the total pair count that prices the PREVIOUS
+      // round's units_after. The old shape ran the winner collect and
+      // the sum as two separate jobs over a cached pair table (plus the
+      // cache fill/unpersist); the trainer is serial-job-latency-bound
+      // at 3 jobs x rounds, so halving the aggregate jobs is wall time.
+      val st = pairRows(cur)
         .groupBy("p").agg(count(lit(1)).as("cnt"))
-        .cache()
-      val top = pc.orderBy(col("cnt").desc, col("p")).limit(1).collect()
+        .agg(min(struct((-col("cnt")).as("nc"), col("p"))).as("w"),
+          sum(col("cnt")).as("tot"))
+        .head()
       pending.foreach { case (pr, t1, t2, cnt) =>
-        val pairSum = pc.agg(sum("cnt")).head()
-        val unitsNow = (if (pairSum.isNullAt(0)) 0L else pairSum.getLong(0)) + nDocs
+        val unitsNow = (if (st.isNullAt(1)) 0L else st.getLong(1)) + nDocs
         out += ((pr, t1, t2, cnt, unitsNow))
         pending = None
       }
-      pc.unpersist(blocking = false)
-      if (top.isEmpty) {
+      if (st.isNullAt(0)) {
         // Every document is a single unit — nothing left to merge. The
         // merge table simply ends early (a corpus property, not an error).
         exhausted = true
       } else {
-        val p = top(0).getString(0)
-        val cnt = top(0).getLong(1)
+        val w = st.getStruct(0)
+        val p = w.getString(1)
+        val cnt = -w.getLong(0)
         val Array(t1, t2) = p.split(" ", 2)
         // Eager checkpoint: lazy (eager=false) was measured SLOWER here
         // (9.0 vs 8.2 s for the query pair) — deferring materialization

@@ -355,12 +355,7 @@ object Retrieval {
     // surviving prefix always still holds the query's true top-CandCap.
     // Terms cannot contain ' ' (the tokenizer splits on it), so the
     // sorted space-join is a bijective set key — no hash-collision risk.
-    def scatter(rareSel: DataFrame): DataFrame = {
-      val q2k = rareSel.groupBy("query_id")
-        .agg(concat_ws(" ", sort_array(collect_list(col("term")))).as("rkey"))
-      val keyTerms = q2k
-        .select(col("rkey"), explode(split(col("rkey"), " ")).as("term"))
-        .distinct()
+    def scatterKeyed(q2k: DataFrame, keyTerms: DataFrame): DataFrame = {
       val hits = ix.tf.select("doc_id", "term")
         .join(broadcast(keyTerms), "term")
         .groupBy("rkey", "doc_id").agg(count(lit(1)).as("nmatch"))
@@ -371,6 +366,14 @@ object Retrieval {
         .select("query_id", "doc_id", "nmatch")
       graft.plans.TopKPerKey.topKPerKey(perQuery, CandCap, Seq("query_id"),
         Seq("nmatch" -> false, "doc_id" -> true))
+    }
+    def scatter(rareSel: DataFrame): DataFrame = {
+      val q2k = rareSel.groupBy("query_id")
+        .agg(concat_ws(" ", sort_array(collect_list(col("term")))).as("rkey"))
+      val keyTerms = q2k
+        .select(col("rkey"), explode(split(col("rkey"), " ")).as("term"))
+        .distinct()
+      scatterKeyed(q2k, keyTerms)
     }
     val sess = qd.sparkSession
     // Routing breadcrumb (observability for RetrievalSpec's engagement
@@ -390,16 +393,34 @@ object Retrieval {
       .getOption("graft.retrieval.wavePrune").forall(_ != "off")
     if (!on) return flat("forced-off")
     val comCeil = SelDfFrac * ix.n
-    // ONE collect for BOTH term classes (they partition the same distinct
-    // (term, df) set on the comCeil boundary) — the two class-filtered
-    // collects this replaces each ran their own job over the batch's
-    // terms, a per-screen fixed cost the evolving-dist pricing flagged.
-    val termDf: Array[(String, Long)] = rare
-      .select("term", "df").distinct().collect()
-      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    // ONE collect for the whole routing prelude: the per-query rare rows
+    // are batch-arity (<= RareTerms per arrival — the same driver-data
+    // class as the bucket-set collect and far under the broadcast twin's
+    // whole-batch collect), and everything the router needs derives from
+    // them on the driver with no further jobs: the distinct (term, df)
+    // classes, the per-arrival selective masses that used to cost a
+    // separate refinement aggregate job, and the rare-set keys that let
+    // the flat routes hand scatterKeyed PRE-BUILT local q2k/keyTerms
+    // relations (their broadcasts then build from driver rows instead of
+    // running two more aggregate jobs over qd per screen).
+    val rareArr: Array[(Long, String, Long)] = rare.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val termDf: Array[(String, Long)] = rareArr
+      .map(t => (t._2, t._3)).distinct.sortBy(_._1)
+    def flatLocal(reason: String): DataFrame = {
+      note(reason)
+      val pairs = rareArr.groupBy(_._1).toSeq.map { case (q, rows) =>
+        (q, rows.map(_._2).sorted.mkString(" "))
+      }
+      val q2k = pairs.toDF("query_id", "rkey")
+      val keyTerms = pairs.map(_._2).distinct
+        .flatMap(k => k.split(" ").map(t => (k, t))).toDF("rkey", "term")
+      scatterKeyed(q2k, keyTerms).select("query_id", "doc_id")
+    }
     val commons: Array[(String, Long)] = termDf.filter(_._2 > comCeil)
-    if (commons.isEmpty) return flat("commons=0")
-    if (commons.length > 63) return flat(s"commons=${commons.length},overflow")
+    if (commons.isEmpty) return flatLocal("commons=0")
+    if (commons.length > 63)
+      return flatLocal(s"commons=${commons.length},overflow")
     // Degenerate-selectivity route gate: an arrival with >= 1 common term
     // is provable only by filling CandCap candidates from its selective
     // posting lists, and every arrival's candidate count is bounded by
@@ -413,7 +434,7 @@ object Retrieval {
     // ~2-3 s/screen; at 30x/100x the copy-local token forms are selective,
     // selRows is large, and this gate never trips.
     val selMass = termDf.collect { case (_, df) if df <= comCeil => df }.sum
-    if (selMass < CandCap) return flat(s"selRows=$selMass,underCap")
+    if (selMass < CandCap) return flatLocal(s"selRows=$selMass,underCap")
     // Per-arrival refinement of the same bound (round 14): the batch-total
     // mass is a loose proxy — an arrival with >= 1 common term is provable
     // only by filling CandCap candidates from ITS OWN selective posting
@@ -434,14 +455,14 @@ object Retrieval {
     // only to bound cost) — RetrievalSpec proves route equality and gate
     // engagement.
     if (selMass < CandCap.toLong * RouteRefineFactor) {
-      val r = rare.groupBy("query_id")
-        .agg(sum(when(col("df") <= comCeil, col("df")).otherwise(0L)).as("m"))
-        .agg(count(lit(1)).as("nq"),
-          sum(when(col("m") >= CandCap, 1L).otherwise(0L)).as("npossible"))
-        .head()
-      val (nq, npossible) = (r.getLong(0), r.getLong(1))
+      // Driver-derived from the rare rows already collected — the
+      // refinement used to cost one batch-scale aggregate job per screen.
+      val masses = rareArr.groupBy(_._1).view.mapValues(
+        _.collect { case (_, _, df) if df <= comCeil => df }.sum)
+      val nq = masses.size.toLong
+      val npossible = masses.count(_._2 >= CandCap).toLong
       if (npossible * 4 < nq)
-        return flat(s"selRows=$selMass,provableUB=$npossible/$nq,lowCoverage")
+        return flatLocal(s"selRows=$selMass,provableUB=$npossible/$nq,lowCoverage")
     }
     val comDF = broadcast(
       commons.zipWithIndex.map { case ((t, _), i) => (t, i) }.toSeq
