@@ -256,6 +256,88 @@ case class FloatQuantize(child: Expression, scale: Double)
     copy(child = newChild)
 }
 
+/** The per-pair BM25 micro-unit sum of [[graft.llm.Retrieval.scoreCandidatesQd]]
+  * as one fused merge: both inputs are term-ASCENDING sorted struct arrays
+  * (doc side (term, tf) from the forward index's `sort_array`, query side
+  * (term, df) from the qd aggregate), so the matched-term set is a single
+  * two-pointer merge on UTF8String binary order — the same order
+  * `sort_array` sorts by — instead of the interpreted
+  * `aggregate(filter(terms, ...))` composition, whose per-ELEMENT cost
+  * (UnsafeArrayData.get + a linear qmap probe per lambda eval, ~3 probes
+  * per kept element) owned the round-16 sampling profile of the decontam
+  * gate family. Per-match arithmetic delegates to
+  * [[graft.llm.Retrieval.impMicrosLocal]] — the verified local mirror of
+  * the Catalyst fold (StrictMath.log, identical promotion points), so each
+  * contribution is bit-identical to the fold's CAST(floor(...) AS BIGINT)
+  * and the BIGINT sum is order-independent. NULL on NULL input (never
+  * reached: all three columns come from inner joins over aggregates). */
+object Bm25Fold {
+  def microSum(dt: ArrayData, qt: ArrayData, len: Long,
+      n: Long, avgLen: Double): Long = {
+    val nd = dt.numElements(); val nq = qt.numElements()
+    var i = 0; var j = 0; var acc = 0L
+    while (i < nd && j < nq) {
+      val drow = dt.getStruct(i, 2)
+      val qrow = qt.getStruct(j, 2)
+      val c = drow.getUTF8String(0).compareTo(qrow.getUTF8String(0))
+      if (c < 0) i += 1
+      else if (c > 0) j += 1
+      else {
+        acc += graft.llm.Retrieval.impMicrosLocal(
+          n, avgLen, drow.getLong(1), qrow.getLong(1), len)
+        i += 1; j += 1
+      }
+    }
+    acc
+  }
+}
+
+/** Column form of [[Bm25Fold.microSum]]; `n`/`avgLen` are literal
+  * parameters exactly as the fold embedded them (Double.toString
+  * round-trips, so codegen and eval see the same constants). */
+case class Bm25FoldMicros(first: Expression, second: Expression,
+    third: Expression, n: Long, avgLen: Double)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  // Analysis-time shape check (the FloatQuantize rationale: a mistyped
+  // input must fail in the analyzer, not misread bytes at runtime):
+  // two array<struct<string, bigint>> sides and a bigint length.
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def sideOk(dt: DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StructType(fs), _) =>
+        fs.length == 2 && fs(0).dataType == org.apache.spark.sql.types.StringType &&
+          fs(1).dataType == LongType
+      case _ => false
+    }
+    if (sideOk(first.dataType) && sideOk(second.dataType) &&
+        third.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "bm25_fold_micros requires (array<struct<string,bigint>>, " +
+          s"array<struct<string,bigint>>, bigint), got (${first.dataType.catalogString}, " +
+          s"${second.dataType.catalogString}, ${third.dataType.catalogString})")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bm25_fold_micros"
+
+  override def nullSafeEval(d: Any, q: Any, l: Any): Any =
+    java.lang.Long.valueOf(Bm25Fold.microSum(d.asInstanceOf[ArrayData],
+      q.asInstanceOf[ArrayData], l.asInstanceOf[Long], n, avgLen))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, q, l) =>
+      s"${ev.value} = graft.functions.Bm25Fold.microSum($d, $q, $l, ${n}L, ${avgLen}D);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Bm25FoldMicros =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VectorFunctions {
   /** Column-API entry point: cosine similarity of two array<float> columns. */
   def floatCosine(a: Column, b: Column): Column =
@@ -276,4 +358,12 @@ object VectorFunctions {
   def floatQuantize(a: Column, scale: Double): Column =
     GraftColumnBridge.toColumn(FloatQuantize(
       GraftColumnBridge.toExpression(a), scale))
+
+  /** Fused BM25 micro-unit merge of two term-sorted struct arrays. */
+  def bm25FoldMicros(docTerms: Column, qTerms: Column, len: Column,
+      n: Long, avgLen: Double): Column =
+    GraftColumnBridge.toColumn(Bm25FoldMicros(
+      GraftColumnBridge.toExpression(docTerms),
+      GraftColumnBridge.toExpression(qTerms),
+      GraftColumnBridge.toExpression(len), n, avgLen))
 }

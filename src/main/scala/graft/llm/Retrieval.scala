@@ -694,28 +694,32 @@ object Retrieval {
     * dominant per-arrival CPU term of the distributed kernel. */
   private[graft] def scoreCandidatesQd(ix: Bm25Index, fwd: DataFrame,
       qd: DataFrame, cand: DataFrame): DataFrame = {
-    val qmaps = qd.groupBy("query_id")
-      .agg(map_from_entries(collect_list(struct(col("term"), col("df")))).as("qmap"))
+    val qarrs = qd.groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("df")))).as("qarr"))
     // TWO batch-bounded broadcasts, not one of their product: embedding
     // each candidate's query map before broadcasting multiplied the
     // payload ~25x (CandCap rows per query x a ~24-entry map each) and
     // hit Spark's 8 GB broadcast hard cap at a 100k-arrival batch. Bare
-    // (query, doc) candidates + the |batch|-arity map table broadcast
-    // separately; the forward index is still probed in place — no
-    // corpus-side shuffle (PlanShapeSpec pins both broadcasts and the
+    // (query, doc) candidates + the |batch|-arity query-term table
+    // broadcast separately; the forward index is still probed in place —
+    // no corpus-side shuffle (PlanShapeSpec pins both broadcasts and the
     // absence of a sort-merge join).
+    //
+    // The fold itself is the fused codegen merge
+    // [[graft.functions.Bm25FoldMicros]] since round 16: the previous
+    // `aggregate(filter(terms, e -> qmap[e.term] IS NOT NULL), ...)`
+    // higher-order composition is interpreted per ELEMENT (the round-16
+    // sampling profile of the decontam family put its UnsafeArrayData.get
+    // + linear map-probe frames at the top), where the merge walks the
+    // two term-sorted arrays once per pair. Per-match arithmetic is
+    // [[impMicrosLocal]] — the spec-verified bit-identical mirror of the
+    // old in-plan expression — and a BIGINT sum is order-independent, so
+    // scores are unchanged (RetrievalSpec's fold-vs-impact equality and
+    // every decontam oracle hash gate it).
     fwd.join(broadcast(cand), "doc_id")
-      .join(broadcast(qmaps), "query_id")
-      .withColumn("smicro", expr(s"""
-        aggregate(
-          filter(terms, e -> qmap[e.term] IS NOT NULL),
-          CAST(0 AS BIGINT),
-          (acc, e) -> acc + CAST(floor(
-            ln(1.0D + (CAST(${ix.n} AS BIGINT) - qmap[e.term] + 0.5D)
-                      / (qmap[e.term] + 0.5D))
-            * (e.tf * ${K1 + 1.0}D)
-            / (e.tf + ${K1}D * (${1.0 - B}D + ${B}D * (CAST(len AS DOUBLE) / ${ix.avgLen}D)))
-            * 1000000.0D + 0.5D) AS BIGINT))"""))
+      .join(broadcast(qarrs), "query_id")
+      .withColumn("smicro", graft.functions.VectorFunctions.bm25FoldMicros(
+        col("terms"), col("qarr"), col("len"), ix.n, ix.avgLen))
       .select(col("query_id"), col("doc_id"),
         round(col("smicro").cast(DoubleType) / lit(1000000.0), 6).as("score"))
   }

@@ -80,6 +80,52 @@ class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"score divergence: ${(a.toSet diff b.toSet).take(3)} vs ${(b.toSet diff a.toSet).take(3)}")
   }
 
+  test("fused bm25 fold merge equals the interpreted higher-order fold pair-for-pair") {
+    // Round 16 replaced stage 2's interpreted
+    // `aggregate(filter(terms, e -> qmap[e.term] IS NOT NULL), ...)`
+    // composition with the fused codegen merge Bm25FoldMicros (guide §4:
+    // per-ELEMENT interpreted eval + a linear map probe per lambda owned
+    // the decontam family's sampling profile). Same discipline as the
+    // round-11 floor-vs-string-round pin below: the REPLACED formulation
+    // stays in the test verbatim and the live corpus must score
+    // pair-for-pair identical through both, so any arithmetic or
+    // matched-set divergence in the merge fails loudly here rather than
+    // surfacing as an oracle hash flip.
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+    val ix = Retrieval.buildIndex(docs)
+    val qt = ix.tf.filter(col("doc_id") < Retrieval.NumQueries)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val qd = Retrieval.subCeilingQueryDf(ix, qt)
+    val cand = Retrieval.screenCandidates(ix, qt)
+    val fwd = Retrieval.forwardIndex(ix)
+    val fused = Retrieval.scoreCandidatesQd(ix, fwd, qd, cand)
+    val qmaps = qd.groupBy("query_id")
+      .agg(map_from_entries(collect_list(struct(col("term"), col("df"))))
+        .as("qmap"))
+    val interp = fwd.join(broadcast(cand), "doc_id")
+      .join(broadcast(qmaps), "query_id")
+      .withColumn("smicro", expr(s"""
+        aggregate(
+          filter(terms, e -> qmap[e.term] IS NOT NULL),
+          CAST(0 AS BIGINT),
+          (acc, e) -> acc + CAST(floor(
+            ln(1.0D + (CAST(${ix.n} AS BIGINT) - qmap[e.term] + 0.5D)
+                      / (qmap[e.term] + 0.5D))
+            * (e.tf * ${Retrieval.K1 + 1.0}D)
+            / (e.tf + ${Retrieval.K1}D * (${1.0 - Retrieval.B}D
+                 + ${Retrieval.B}D * (CAST(len AS DOUBLE) / ${ix.avgLen}D)))
+            * 1000000.0D + 0.5D) AS BIGINT))"""))
+      .select(col("query_id"), col("doc_id"),
+        round(col("smicro").cast("double") / lit(1000000.0), 6).as("score"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val (a, b) = (asMap(fused), asMap(interp))
+    assert(a.nonEmpty && a == b,
+      s"fused merge diverges from the interpreted fold: " +
+        s"${(a.toSet diff b.toSet).take(3)} vs ${(b.toSet diff a.toSet).take(3)}")
+  }
+
   test("floor-based impact micros: formulation-identical and boundary-safe") {
     // Round 11 replaced the string-based round(ts,6) in the impact
     // computation (BigDecimal.valueOf -> Double.toString dtoa — the
