@@ -44,6 +44,20 @@ class LayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("closed-form Morton z-value equals the 16-round fold row-for-row") {
+    // Round 16 replaced the interpreted higher-order fold with the
+    // branchless shift-or-mask spread (the fold's summed terms occupy
+    // disjoint bit positions, so the sum IS the OR of the spreads); the
+    // replaced formulation stays here verbatim and the live events table
+    // must agree bit-for-bit, or the written z layout silently moves.
+    import org.apache.spark.sql.functions.{col, expr}
+    val diverged = Layout.zEvents(spark, Dir)
+      .withColumn("z_fold", expr(Layout.ZExprFold))
+      .filter(col("z") =!= col("z_fold")).count()
+    assert(diverged == 0, s"$diverged events diverge between the closed-form" +
+      " Morton z and the fold formulation")
+  }
+
   test("z-order prunes the 2-D slice several-fold better than 1-D layouts") {
     val layouts = Seq("z", "ts", "none").map { l =>
       l -> Layout.writeLayout(spark, Dir, l)
